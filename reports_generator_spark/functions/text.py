@@ -1,0 +1,61 @@
+"""Reusable text column builders (all JVM-side, codegen-friendly).
+
+These are the building blocks of the text-analysis operators (language
+ID, quality scoring, fingerprinting, shingling for near-dup). They are
+plain Column expressions — no UDFs — so they inline into whole-stage
+codegen and scale linearly with input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny deterministic English stopword list for the language-ID
+#: heuristic. Fixed and ordered so the oracle SQL can embed the same set.
+EN_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
+)
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokens with empties dropped.
+
+    `split` + `filter` (higher-order) — stays columnar; equivalent
+    oracle: list_filter(string_split(text, ' '), x -> x <> '').
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+def shingles_col(toks: Column, k: int = 3) -> Column:
+    """k-word shingles (space-joined) from a token array.
+
+    transform(sequence(1, n-k+1), i -> concat_ws(' ', t[i..i+k-1])),
+    1-based via element_at. Empty array when n < k.
+    """
+    n = F.size(toks)
+    # sequence(1, x) DESCENDS for x < 1, so guard short docs explicitly
+    sh = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + off).cast("int")) for off in range(k)]
+        ),
+    )
+    return F.when(n >= k, sh).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+
+def en_stopword_ratio(toks: Column) -> Column:
+    """Fraction of tokens that are English stopwords (language-ID score)."""
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def fingerprint_col(toks: Column) -> Column:
+    """Content fingerprint: md5 over the sorted distinct token set.
+
+    Normalization (sort + distinct) makes the fingerprint invariant to
+    token order and repetition — two docs with the same vocabulary
+    collide, which is the intent for near-dup candidate generation.
+    """
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))

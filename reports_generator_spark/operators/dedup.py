@@ -1,0 +1,241 @@
+"""Deduplication operators for LLM-pretraining-scale corpora.
+
+Four families, all shuffle-bounded and driver-free:
+
+- exact:        hash-groupBy on the normalized content key.
+- minhash_lsh:  shingle → k minhash signatures → band-bucket join.
+                Candidate pairs only form inside a band bucket, so the
+                join is equi-key (shuffle on bucket), never quadratic.
+- simhash:      64-bit simhash; near-dup candidates share a rotated
+                prefix band (Hamming-adjacent docs collide).
+- ngram_jaccard: exact Jaccard over k-word shingle sets, restricted to
+                pairs sharing ≥1 shingle (equi-join on shingle).
+
+At 100 TB: every stage is groupBy/join on a key Spark can hash-
+partition; minhash bands and simhash prefixes bound candidate-pair
+fan-out; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import shingles_col, tokens_col
+from ..functions.rounding import dround
+
+
+def dedup_exact(df: DataFrame, key_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one surviving id per distinct key + duplicate count.
+
+    groupBy(key) with min(id) — partial aggregation makes the shuffle
+    carry one row per distinct key per task.
+    """
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select(id_col, "n_dups")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, perm, minhash) — k independent minhash values per doc.
+
+    Hash family: xxhash64(seed=i) over the shingle string; the min over
+    a doc's shingle set approximates a random permutation's first
+    element. Pure built-ins: explode → groupBy(id).agg(min per perm).
+    The per-perm mins are computed in ONE aggregation (k min columns),
+    not k passes.
+    """
+    shingles = df.select(
+        F.col(id_col), F.explode(shingles_col(tokens_col(text_col), shingle_k)).alias("shingle")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingles.groupBy(id_col).agg(*mins)
+    # long form: (id, perm, value)
+    pairs = F.array(
+        *[F.struct(F.lit(i).alias("perm"), F.col(f"mh_{i}").alias("mh")) for i in range(num_hashes)]
+    )
+    return sig.select(id_col, F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.perm").alias("perm"), F.col("p.mh").alias("mh")
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: (id_a, id_b, est_jaccard).
+
+    num_hashes signatures split into `bands` bands of r rows; docs
+    agreeing on all r values of any band become candidates (equi-join
+    on (band, band-hash) — the classic S-curve). Candidates are then
+    scored by full-signature agreement (estimated Jaccard) and
+    thresholded.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    banded = sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+    # one hash per (doc, band) over its r minhash values, order-fixed by perm
+    band_key = (
+        banded.groupBy(id_col, "band")
+        .agg(F.sort_array(F.collect_list(F.struct("perm", "mh"))).alias("vals"))
+        .select(id_col, "band", F.xxhash64(F.to_json(F.col("vals"))).alias("band_hash"))
+    )
+    a = band_key.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = band_key.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # estimated Jaccard = fraction of agreeing minhash positions
+    sa = sig.select(F.col(id_col).alias("id_a"), "perm", F.col("mh").alias("mh_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), "perm", F.col("mh").alias("mh_b"))
+    scored = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "perm"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            (F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)) / num_hashes).alias(
+                "est_jaccard"
+            )
+        )
+    )
+    return scored.filter(F.col("est_jaccard") >= jaccard_threshold).select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def simhash_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per doc: sign of the per-bit sum of token hashes.
+
+    Implemented as explode(tokens) → per-bit ±1 contributions →
+    groupBy(id) sum → bit reassembly. One shuffle (the groupBy).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
+    h = F.xxhash64("token")
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+            f"b{i}"
+        )
+        for i in range(bits)
+    ]
+    sums = toks.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return sums.select(id_col, fp.alias("simhash"))
+
+
+def dedup_simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share one of 4 16-bit bands
+    (any pair within Hamming distance 3 of 64 bits must agree on ≥1
+    band by pigeonhole); verified by exact Hamming distance."""
+    fp = simhash_fingerprint(df, id_col, text_col)
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * band_bits).bitwiseAND(F.lit(mask)).alias(
+                            "band_val"
+                        ),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "band_val")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band", "band_val")
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_ngram_jaccard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard over k-word shingle sets for pairs sharing ≥1
+    shingle. |A∩B| from the shingle equi-join; |A∪B| = |A|+|B|−|A∩B|.
+
+    The shingle join is the only large shuffle; hot shingles can be
+    frequency-capped upstream (drop shingles with df > cap) — standard
+    practice at corpus scale.
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles_col(tokens_col(text_col), shingle_k)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", dround(F.col("jaccard"), 4).alias("jaccard")
+    )

@@ -1,0 +1,520 @@
+"""Relational core operators (SURVEY.md §2.3 R1–R12, R16–R21).
+
+Design notes (100 TB posture):
+- All queries are single declarative DataFrame plans — Catalyst applies
+  predicate pushdown, column pruning, join selection and AQE freely.
+- Dimension sides of joins are explicitly broadcast when they are
+  bounded-size by schema design (region/nation/supplier); fact-fact
+  joins shuffle on their equi-keys and rely on AQE skew handling.
+- Double aggregates are rounded at the output boundary (2–6 decimals)
+  so results are stable under any summation order — cross-partition
+  float reduction is otherwise non-deterministic at scale.
+
+The reference implements none of these (SURVEY.md §2.2): its only query
+surface is the parquet read-back at Main.scala:39-42. This module IS
+the query capability layer the reference delegates wholesale to Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround
+from ..sources import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# R1 scan
+# --------------------------------------------------------------------------
+@query(
+    "scan_parquet",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan (Main.scala:40 equivalent)."""
+    return _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+# --------------------------------------------------------------------------
+# R2 projection
+# --------------------------------------------------------------------------
+@query(
+    "project",
+    oracle="""
+    SELECT p_partkey, p_name,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST('1.1' AS DECIMAL(2,1))
+                AS DOUBLE) AS uplifted_price
+    FROM part
+    """,
+)
+def project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning + computed column: only 3 columns reach the scan.
+    Money math in exact DECIMAL, surfaced as double."""
+    uplift = F.col("p_retailprice").cast("decimal(18,2)") * F.lit("1.1").cast("decimal(2,1)")
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        uplift.cast("double").alias("uplifted_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R3 filter with AND/OR/IN/LIKE — all pushdown-eligible
+# --------------------------------------------------------------------------
+@query(
+    "filter_predicate",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus = 'O' AND o_totalprice > 150000.0)
+       OR (o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderkey % 10 = 3)
+       OR o_orderpriority LIKE '%MEDIUM%'
+    """,
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate: AND/OR/comparison/IN/LIKE/modulo."""
+    o = _t(spark, sf_dir, "orders")
+    cond = (
+        ((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000.0))
+        | (F.col("o_orderpriority").isin("1-URGENT", "2-HIGH") & (F.col("o_orderkey") % 10 == 3))
+        | F.col("o_orderpriority").like("%MEDIUM%")
+    )
+    return o.filter(cond).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# R4 inner equi-join (fact–dim; Catalyst/AQE picks broadcast vs SMJ)
+# --------------------------------------------------------------------------
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "inner").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------------
+# R5 outer joins
+# --------------------------------------------------------------------------
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, s.s_suppkey
+    FROM (SELECT * FROM nation WHERE n_regionkey <= 2) n
+    FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") <= 2)
+    s = _t(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full").select(
+        "n_nationkey", "n_name", "s_suppkey"
+    )
+
+
+# --------------------------------------------------------------------------
+# R6 semi / anti joins — the idiomatic form of the reference's
+# idempotency TODO (Proof.scala:225-234): "already processed" is a
+# left-anti join against the sink's key set.
+# --------------------------------------------------------------------------
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — completes the reference's verificateIntoParquet
+    stub (Proof.scala:226-229) as a distributed set difference."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# R7 explicit broadcast join — dims (nation, region) are bounded-size;
+# at 100 TB the fact side never shuffles for these.
+# --------------------------------------------------------------------------
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name <> 'EUROPE'
+    GROUP BY n.n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") != "EUROPE")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# R8 theta/range join: equi key + range residual. Spark plans SMJ/BHJ on
+# the equi part with the range as a post-join filter — never a pure BNLJ.
+# --------------------------------------------------------------------------
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT s.s_suppkey, c.c_custkey,
+           CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) - CAST(c.c_acctbal AS DECIMAL(18,2))
+                AS DOUBLE) AS bal_gap
+    FROM supplier s JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    return s.join(
+        c,
+        (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+    ).select(
+        "s_suppkey",
+        "c_custkey",
+        (F.col("s_acctbal").cast("decimal(18,2)") - F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("bal_gap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R9 hash aggregation — the flagship (TPC-H Q1 shape). Partial (map-side)
+# aggregation then a 6-group final: the shuffle carries 6 rows per task.
+# --------------------------------------------------------------------------
+# Money aggregation runs in exact DECIMAL (order-independent, so any
+# partial-aggregation schedule on any cluster gives the same answer)
+# and surfaces as double; averages are exact-sum / count.
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)       AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)  AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)      AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)      AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*)       AS avg_disc,
+       count(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("agg_hash_group", oracle=Q1_ORACLE)
+def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped flagship aggregation over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# R10 distinct aggregation
+# --------------------------------------------------------------------------
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R11 approximate distinct (HLL) — approximate, so rows-only check:
+# no oracle registered (the driver records the weaker check by design).
+# --------------------------------------------------------------------------
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct — sketch-based, mergeable, scales to 100 TB
+    where exact distinct would shuffle every key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R12 rollup / cube / grouping sets
+# --------------------------------------------------------------------------
+@query(
+    "grouping_sets_cube_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_ls
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def grouping_sets_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R16 sort + limit (Spark plans TakeOrderedAndProject: per-partition
+# top-k then a k-row merge on the driver — no global sort at scale).
+# --------------------------------------------------------------------------
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# R17 set operations (UNION/INTERSECT/EXCEPT — SQL set semantics)
+# --------------------------------------------------------------------------
+@query(
+    "set_union_intersect_except",
+    oracle="""
+    (SELECT c_nationkey AS nk FROM customer
+     UNION
+     SELECT s_nationkey AS nk FROM supplier)
+    INTERSECT
+    SELECT n_nationkey AS nk FROM nation
+    EXCEPT
+    SELECT n_nationkey AS nk FROM nation WHERE n_regionkey = 4
+    """,
+)
+def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    n = _t(spark, sf_dir, "nation")
+    n_all = n.select(F.col("n_nationkey").alias("nk"))
+    n_r4 = n.filter(F.col("n_regionkey") == 4).select(F.col("n_nationkey").alias("nk"))
+    return c.union(s).distinct().intersect(n_all).subtract(n_r4)
+
+
+# --------------------------------------------------------------------------
+# R18 scalar string functions (JVM-side, whole-stage codegen — P1/P3/P5
+# of the reference generalized: split/trim/regex live here)
+# --------------------------------------------------------------------------
+@query(
+    "scalar_string_fns",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                               AS brand_u,
+           lower(p_type)                                AS type_l,
+           substring(p_name, 1, 8)                      AS name_prefix,
+           concat_ws('|', p_brand, p_type)              AS brand_type,
+           regexp_extract(p_brand, '#(\\d+)', 1)        AS brand_num,
+           replace(p_name, ' ', '_')                    AS name_snake,
+           length(p_name)                               AS name_len,
+           trim(concat(' ', p_brand, ' '))              AS brand_trim
+    FROM part
+    """,
+)
+def scalar_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R19 scalar date/time functions
+# --------------------------------------------------------------------------
+@query(
+    "scalar_date_fns",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)                       AS order_year,
+           CAST(month(o_orderdate) AS INTEGER)                      AS order_month,
+           CAST(day(o_orderdate) AS INTEGER)                        AS order_day,
+           date_trunc('month', o_orderdate)                         AS month_start,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+                AS INTEGER)                                         AS days_to_2002,
+           CAST(epoch(o_orderdate) AS BIGINT)                       AS epoch_s
+    FROM orders
+    """,
+)
+def scalar_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R20 scalar math + CASE WHEN (rounded: libm vs JVM may differ in ulps)
+# --------------------------------------------------------------------------
+@query(
+    "scalar_math_fns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS net_price,
+           CAST(abs(CAST(l_discount AS DECIMAL(4,2))
+                    - CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE)       AS disc_tax_gap,
+           floor(ln(l_quantity + 1) * 1000000 + 0.5) / 1000000      AS log_qty,
+           floor(sqrt(l_extendedprice) * 1000000 + 0.5) / 1000000   AS sqrt_price,
+           floor(pow(1 + l_discount, 2) * 1000000 + 0.5) / 1000000  AS disc_sq,
+           CASE WHEN l_quantity > 25 THEN 'bulk'
+                WHEN l_quantity > 10 THEN 'mid'
+                ELSE 'small' END                         AS qty_band
+    FROM lineitem
+    """,
+)
+def scalar_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - disc))
+        .cast("double")
+        .alias("net_price"),
+        F.abs(disc - tax).cast("double").alias("disc_tax_gap"),
+        dround(F.log(F.col("l_quantity") + 1), 6).alias("log_qty"),
+        dround(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        dround(F.pow(F.col("l_discount") + 1, 2), 6).alias("disc_sq"),
+        F.when(F.col("l_quantity") > 25, "bulk")
+        .when(F.col("l_quantity") > 10, "mid")
+        .otherwise("small")
+        .alias("qty_band"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R21 JSON extraction on events.props
+# --------------------------------------------------------------------------
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.select("event_id", "user_id", k.alias("k_val")).filter(F.col("k_val") >= 50)

@@ -1,0 +1,78 @@
+"""Similarity-search registrations (SURVEY.md §2.3 E4).
+
+`similarity_topk` (exact brute force) and `embedding_neardup` carry
+full float64 oracles (scores rounded to 4 dp before ranking on both
+sides, id tiebreak — deterministic under float reassociation).
+`similarity_topk_lsh` is the scale path; its recall against the exact
+variant is asserted in tests/test_similarity.py (rows-only here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import cosine_topk, cosine_topk_lsh, embedding_neardup
+from ..sources import load_table
+from .registry import query
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+TOPK = 5
+NEARDUP_THRESHOLD = 0.38
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+          WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+    p AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, c.v) / (q.qn * c.nrm), 4) AS score
+      FROM q CROSS JOIN n c
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM p
+    ) WHERE rank <= {TOPK}
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{TOPK} for 5 query vectors over the corpus."""
+    out = cosine_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=TOPK)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@query("similarity_topk_lsh")
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-k (scale path; recall tested vs exact)."""
+    out = cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=TOPK)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@query(
+    "embedding_neardup",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= {NEARDUP_THRESHOLD}
+    """,
+)
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.38)."""
+    return embedding_neardup(load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_THRESHOLD)

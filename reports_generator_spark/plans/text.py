@@ -1,0 +1,240 @@
+"""Text-analysis operators over `documents` (SURVEY.md §2.3 E5/E6 +
+north-star text ops: language-ID, quality scoring, token counting,
+fingerprinting) and the array/higher-order function surface (R22).
+
+All pure built-in column expressions — no Python in the hot path; a
+100 TB corpus streams through whole-stage codegen with one shuffle per
+aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import EN_STOPWORDS, en_stopword_ratio, fingerprint_col, tokens_col
+from ..functions.rounding import dround
+from ..sources import load_table
+from .registry import query
+
+# The oracle-side token expression, kept in lockstep with tokens_col().
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+# --------------------------------------------------------------------------
+# R22 arrays / explode / higher-order functions
+# --------------------------------------------------------------------------
+@query(
+    "array_map_fns",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+    FROM toks
+    WHERE length(token) >= 3
+    GROUP BY token
+    """,
+)
+def array_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → filter (higher-order) → explode → aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    return (
+        toks.filter(F.length("token") >= 3)
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E5 per-document token statistics
+# --------------------------------------------------------------------------
+@query(
+    "text_tokenize_stats",
+    oracle=f"""
+    SELECT doc_id, lang,
+           length(text)                               AS n_chars,
+           CAST(len({_SQL_TOKS}) AS BIGINT)           AS n_tokens,
+           CAST(len(list_distinct({_SQL_TOKS})) AS BIGINT) AS n_unique_tokens,
+           floor(length(replace(text, ' ', '')) * 1.0
+                 / greatest(len({_SQL_TOKS}), 1) * 10000 + 0.5) / 10000
+                                                      AS avg_token_len
+    FROM documents
+    """,
+)
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_tokens = F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        dround(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            / F.greatest(n_tokens, F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E6 TF-IDF (pure DataFrame: token counts ⋈ doc-frequency ⋈ corpus size)
+# --------------------------------------------------------------------------
+@query(
+    "text_tfidf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token,
+           floor(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0)
+                 * 1000000 + 0.5) / 1000000 AS tfidf
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF: tf * (ln((1+N)/(1+df)) + 1).
+
+    The doc-frequency side is tiny (vocabulary-sized) and is broadcast;
+    the corpus count N joins as a broadcast scalar. At 100 TB the only
+    full-data shuffle is the (doc_id, token) partial-aggregated count.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", dround(F.col("tf") * idf, 6).alias("tfidf"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID (n-gram/stopword heuristic)
+# --------------------------------------------------------------------------
+_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           floor(len(list_filter({_SQL_TOKS}, x -> x IN ({_STOP_SQL}))) * 1.0
+                 / greatest(len({_SQL_TOKS}), 1) * 10000 + 0.5) / 10000 AS en_score,
+           CASE WHEN len(list_filter({_SQL_TOKS}, x -> x IN ({_STOP_SQL}))) * 1.0
+                     / greatest(len({_SQL_TOKS}), 1) >= 0.15
+                THEN 'en' ELSE 'other' END AS lang_pred
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language ID (deterministic heuristic)."""
+    d = load_table(spark, sf_dir, "documents")
+    score = en_stopword_ratio(tokens_col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        dround(score, 4).alias("en_score"),
+        F.when(score >= 0.15, "en").otherwise("other").alias("lang_pred"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword / repetition ratios)
+# --------------------------------------------------------------------------
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           floor(least(length(text) / 200.0, 1.0) * 10000 + 0.5) / 10000   AS len_score,
+           floor(len(list_distinct({_SQL_TOKS})) * 1.0
+                 / greatest(len({_SQL_TOKS}), 1) * 10000 + 0.5) / 10000    AS diversity,
+           floor(len(list_filter({_SQL_TOKS}, x -> x IN ({_STOP_SQL}))) * 1.0
+                 / greatest(len({_SQL_TOKS}), 1) * 10000 + 0.5) / 10000    AS stopword_ratio,
+           floor((0.4 * least(length(text) / 200.0, 1.0)
+               + 0.4 * (len(list_distinct({_SQL_TOKS})) * 1.0
+                        / greatest(len({_SQL_TOKS}), 1))
+               + 0.2 * (len(list_filter({_SQL_TOKS}, x -> x IN ({_STOP_SQL}))) * 1.0
+                        / greatest(len({_SQL_TOKS}), 1))) * 10000 + 0.5) / 10000 AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: 0.4·length + 0.4·lexical-diversity +
+    0.2·stopword-density (a standard pretraining-filter shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n = F.greatest(F.size(toks), F.lit(1))
+    len_score = F.least(F.length("text") / 200.0, F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)) / n
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS))) / n
+    quality = 0.4 * len_score + 0.4 * diversity + 0.2 * stop_ratio
+    return d.select(
+        "doc_id",
+        dround(len_score, 4).alias("len_score"),
+        dround(diversity, 4).alias("diversity"),
+        dround(stop_ratio, 4).alias("stopword_ratio"),
+        dround(quality, 4).alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token counting: whitespace + a BPE-ish regex segmentation
+# --------------------------------------------------------------------------
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+             AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+             AS bpeish_tokens,
+           CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT)
+             AS char4_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three token-count estimators: whitespace, regex word-pieces, and
+    the chars/4 heuristic used for budget estimates."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens_col("text")).cast("bigint").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"([a-z]+|[0-9]+|[^a-z0-9 ])"), 1)
+        ).cast("bigint").alias("bpeish_tokens"),
+        F.ceil(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / 4.0).alias(
+            "char4_tokens"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (normalized content hash)
+# --------------------------------------------------------------------------
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_col(tokens_col("text")).alias("fp"))

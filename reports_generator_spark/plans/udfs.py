@@ -1,0 +1,81 @@
+"""UDF surface (SURVEY.md §2.3 R23/R24): the Python escape hatch, done
+the only way that survives scale — Arrow-vectorized pandas UDFs.
+
+Row-at-a-time Python UDFs are banned in this engine: a pandas UDF
+transfers columnar Arrow batches and amortizes the Python crossing
+~10-100×. The oracles express the same semantics in SQL, proving the
+UDFs compute what they claim.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from ..sources import load_table
+from .registry import query
+
+
+@pandas_udf(DoubleType())
+def _net_price(ep: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+    """Vectorized net price: ep * (1-disc) * (1+tax), floor-rounded to
+    2dp with the same IEEE ops as the oracle SQL (see functions.rounding)."""
+    import numpy as np
+
+    v = ep * (1.0 - disc) * (1.0 + tax)
+    return np.floor(v * 100.0 + 0.5) / 100.0
+
+
+@query(
+    "udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100
+             AS net_price
+    FROM lineitem
+    WHERE floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100
+            > 50000.0
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            _net_price("l_extendedprice", "l_discount", "l_tax").alias("net_price"),
+        )
+        .filter(F.col("net_price") > 50000.0)
+    )
+
+
+@pandas_udf(DoubleType())
+def _weighted_avg_disc(price: pd.Series, disc: pd.Series) -> float:
+    """Grouped-agg pandas UDF: price-weighted mean discount."""
+    denom = price.sum()
+    if denom == 0:
+        return 0.0
+    return float((price * disc).sum() / denom)
+
+
+@query(
+    "udaf",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_discount) / sum(l_extendedprice), 6)
+             AS weighted_avg_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(_weighted_avg_disc("l_extendedprice", "l_discount"), 6).alias(
+            "weighted_avg_disc"
+        )
+    )

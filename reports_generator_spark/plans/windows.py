@@ -1,0 +1,180 @@
+"""Window-function operators (SURVEY.md §2.3 R13–R15, E8).
+
+The window machinery here is the same primitive that rebuilds the
+reference's stateful block-segmentation parser (Proof.scala:104-130):
+a cumulative sum over an ordered partition assigns group ids without
+ever forcing `repartition(1)`. E8 `sessionize_events` is exactly that
+pattern on the events table — gap > threshold starts a new session.
+
+Scale note: every window below partitions by a high-cardinality key
+(customer, user) so state per partition is tiny; none uses a global
+(unpartitioned) ordering, which would serialize on one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# R13 ranking
+# --------------------------------------------------------------------------
+@query(
+    "window_ranking",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(rn AS INTEGER) AS rn, CAST(rnk AS INTEGER) AS rnk,
+           CAST(drnk AS INTEGER) AS drnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER w AS rn,
+             rank()       OVER w AS rnk,
+             dense_rank() OVER w AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    ) t
+    WHERE rn <= 3
+    """,
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (deterministic tiebreak)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# R14 analytic (lag/lead/first/last)
+# --------------------------------------------------------------------------
+@query(
+    "window_analytic",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS first_price,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                - CAST(lag(o_totalprice) OVER w AS DECIMAL(18,2))
+                AS DOUBLE) AS price_delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    lag_p = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        lag_p.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        (F.col("o_totalprice").cast("decimal(18,2)") - lag_p.cast("decimal(18,2)"))
+        .cast("double")
+        .alias("price_delta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R15 running aggregate with an explicit frame
+# --------------------------------------------------------------------------
+@query(
+    "window_running_agg",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
+           CAST(sum(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
+    FROM events
+    """,
+)
+def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    dec_val = F.col("value").cast("decimal(18,2)")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(dec_val).over(cum).cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(cum).alias("running_n"),
+        (F.sum(dec_val).over(mov).cast("double") / F.count(F.lit(1)).over(mov)).alias(
+            "moving_avg3"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# E8 sessionization — gap-based session ids via cumulative sum.
+# Same window primitive that replaces the reference's mutable-closure
+# block parser (Proof.scala:104-130): "terminator" here is a >30 min gap.
+# --------------------------------------------------------------------------
+SESSION_GAP_MIN = 30
+
+_SESSIONIZE_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id,
+       count(*)                 AS n_events,
+       min(ts)                  AS session_start,
+       max(ts)                  AS session_end,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+@query("sessionize_events", oracle=_SESSIONIZE_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (gap > 30 min ⇒ new session)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap_s > SESSION_GAP_MIN * 60, 1).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.withColumn("session_id", F.sum(is_new).over(cum))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+    )

@@ -1,0 +1,75 @@
+"""SparkSession factory and runtime tuning.
+
+The reference creates a bare ``SparkSession.builder.master("local[*]")``
+session (Proof.scala:30-33). Here we centralize session construction and
+— critically for a 1000-executor / 100 TB deployment — set the handful
+of configs that must be right everywhere:
+
+- ``spark.sql.session.timeZone=UTC``: parquet timestamps are naive; both
+  the DuckDB oracle and Spark must interpret them identically.
+- AQE on (runtime re-planning: skew-join splitting, shuffle coalescing,
+  dynamic broadcast conversion).
+- Arrow on: every pandas UDF / mapInPandas crossing is Arrow-batched.
+
+``tune(spark)`` applies the runtime-settable subset to an externally
+provided session (the driver owns the session in the verify harness).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Conf that is safe to set on a live session (runtime-settable).
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # fixture `events.parquet` carries TIMESTAMP(NANOS); Spark reads
+    # nanos as raw long and the events loader rescales to timestamp
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # 32 matches local[32]; on a real cluster this is overridden per-job
+    # (AQE coalesces down from a high initial number anyway).
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an existing session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # e.g. conf locked down; engine still works, results may
+            # differ only in timezone rendering.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "reports-generator-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    Master resolution order: explicit arg > $SPARK_GRAFT_MASTER >
+    ``local[$SPARK_GRAFT_CPUS]`` > ``local[*]``.
+    """
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.ui.enabled", "false")
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

@@ -1,0 +1,3 @@
+from .windowed import stream_dedup_keys, stream_tumbling_agg
+
+__all__ = ["stream_tumbling_agg", "stream_dedup_keys"]

@@ -1,0 +1,102 @@
+"""Structured Streaming operators (SURVEY.md §2.3 T1/T2).
+
+The reference polls a directory and appends each arriving file to the
+parquet sink (Proof.scala:68-89, 147-151) — the modern idiom for that
+loop is a file-source Structured Streaming query, which is what these
+implement. The `spark-streaming` provided dependency (pom.xml:32-37)
+is the reference's declared-but-unused intent.
+
+Both run with `Trigger.AvailableNow` against the fixture parquet so
+they terminate deterministically; in production the same code runs
+unbounded with the watermark bounding state.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. The file streaming
+    source requires a *directory* (its basePath), so a single-file
+    fixture is exposed through a per-sf symlink dir under /tmp."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.tables import normalize_nanos_ts
+
+    src = f"{sf_dir}/events.parquet"
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"rg_stream_src_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(src), link)
+
+    schema = spark.read.parquet(src).schema
+    raw = spark.readStream.schema(schema).parquet(d)
+    return normalize_nanos_ts(raw)
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute with availableNow into a memory sink; return the result
+    as a batch DataFrame. Memory-sink collection is bounded: these are
+    aggregate/dedup outputs, not raw streams."""
+    name = f"rg_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def stream_tumbling_agg(
+    spark: SparkSession, sf_dir: str, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """T1: watermarked tumbling-window counts/sums per event_type.
+
+    Complete output mode so a single availableNow pass emits every
+    window (append mode would hold back windows newer than the final
+    watermark)."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def stream_dedup_keys(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """T2: watermarked streaming dedup on (user_id, event_type).
+
+    Output restricted to the dedup keys so the result is deterministic
+    (dropDuplicates keeps an arbitrary first row per key)."""
+    ev = _stream_events(spark, sf_dir)
+    dd = (
+        ev.withWatermark("ts", watermark)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(dd, "append")

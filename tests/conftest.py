@@ -1,0 +1,87 @@
+"""Shared test fixtures: one SparkSession per run + the DuckDB
+differential harness mirroring the driver's correctness gate
+(row-count + schema + order-insensitive value comparison)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from reports_generator_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("rg-spark-tests", master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[4]"))
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style: floats already rounded upstream; normalize -0.0
+        # and integral floats (nullable-int columns surface as float64)
+        r = round(v + 0.0, 9)
+        return int(r) if r == int(r) and abs(r) < 2**53 else r
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    try:  # Decimal → float-ish string
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+    except Exception:
+        pass
+    return v
+
+
+def assert_matches_oracle(spark_df, duck_con, sql, check_types=True):
+    """Order-insensitive, column-name-sorted value comparison — strict
+    superset of the driver's row-count + schema + value-hash check."""
+    sdf = spark_df.toPandas()
+    ddf = duck_con.execute(sql).fetchdf()
+    s_cols = sorted(sdf.columns)
+    d_cols = sorted(ddf.columns)
+    assert s_cols == d_cols, f"column mismatch: spark={s_cols} oracle={d_cols}"
+    assert len(sdf) == len(ddf), f"row count: spark={len(sdf)} oracle={len(ddf)}"
+    s_rows = sorted(
+        (
+            tuple(_norm_cell(v) for v in row)
+            for row in sdf[s_cols].itertuples(index=False, name=None)
+        ),
+        key=repr,
+    )
+    d_rows = sorted(
+        (
+            tuple(_norm_cell(v) for v in row)
+            for row in ddf[d_cols].itertuples(index=False, name=None)
+        ),
+        key=repr,
+    )
+    for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+        assert a == b, f"row {i} differs:\n  spark={a}\n  oracle={b}"
