@@ -71,6 +71,14 @@ BLOCK_LEN = 22  # values per record block, terminator included
 #: logical field order of the ERP output row (ERP.scala:2-34 /
 #: Proof.scala:187-213) — position i here gets public name
 #: ERP_HEADERS[i].
+#:
+#: CONTRACT QUIRK (faithful to the reference): the header list
+#: (Proof.scala:27) and the Row field order (Proof.scala:187-213) are
+#: semantically misaligned in the last count block — public
+#: DIFERENCIA_TOTAL_COLUMNAS/REGISTROS receive the *official counts*
+#: (fileColForCountColumns/Rows) while TOTAL_COLUMNAS/REGISTROS_OFICIAL
+#: receive the *differences* (difCountCol/Row). Downstream consumers of
+#: the reference's parquet depend on this layout, so we preserve it.
 ERP_FIELD_ORDER: tuple[str, ...] = (
     "module",
     "reportType",
@@ -114,8 +122,9 @@ def read_report_lines(spark: SparkSession, cfg: ReportConfig) -> DataFrame:
     raw = (
         spark.read.option("recursiveFileLookup", "true")
         .option("pathGlobFilter", f"*{cfg.ext_file}")
-        .option("wholetext", "true")
-        .text(cfg.input_dir)
+        # NOTE: must be the boolean kwarg — .option("wholetext","true")
+        # is silently ignored by the text source in Spark 4.x
+        .text(cfg.input_dir, wholetext=True)
     )
     return raw.select(
         F.input_file_name().alias("report_path"),
@@ -182,13 +191,19 @@ def ingest_reports(spark: SparkSession, cfg: ReportConfig) -> DataFrame:
         name: F.element_at(F.col("vals"), pos) for pos, name in BLOCK_POSITIONS.items()
     }
 
-    # P8 — enrichment, computed for real (cf. Proof.scala:236-274)
+    # P8 — enrichment, computed for real (cf. Proof.scala:236-274).
+    # input_file_name() returns a URL-encoded URI; decode it so the
+    # stored path (and the filename-date regex, whose brackets arrive
+    # as %5B/%5D otherwise) see the real file name.
+    decoded_path = F.coalesce(
+        F.expr("try_url_decode(report_path)"), F.col("report_path")
+    )
     fields["module"] = F.lit(cfg.module)
     fields["reportType"] = F.when(
         F.col("any_parquet") == 1, cfg.report_type_message
     ).otherwise(F.lit(""))
-    fields["reportPath"] = F.col("report_path")
-    fields["fileGeneratedDate"] = F.regexp_extract(F.col("report_path"), _FILE_DATE_RE, 1)
+    fields["reportPath"] = decoded_path
+    fields["fileGeneratedDate"] = F.regexp_extract(decoded_path, _FILE_DATE_RE, 1)
 
     def count_diff(prep: str, oficial: str):
         d = fields[prep].cast("bigint") - fields[oficial].cast("bigint")

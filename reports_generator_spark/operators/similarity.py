@@ -96,33 +96,55 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 4,
+    n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """ANN top-k: candidates restricted to the query's LSH bucket.
+    """ANN top-k via multi-table sign-LSH.
 
-    With n_planes=P the candidate set shrinks ~2^P×; recall is traded
-    via P (tests measure recall@k against cosine_topk). The join is an
-    equi-join on bucket — shuffle-partitionable at any scale.
+    L independent tables of P hyperplanes each; a candidate is scored
+    if it shares the query's bucket in ANY table (recall ≈
+    1-(1-p^P)^L for per-plane agreement p). Candidate volume is
+    ~L/2^P of the corpus — the knob the deployment tunes. The
+    per-table join is an equi-join on (table, bucket), hash-
+    partitionable at any scale; candidates are deduped before the
+    (more expensive) exact scoring.
     """
-    planes = random_hyperplanes(dim, n_planes, seed)
-    base = with_norm(emb, vec_col).withColumn("bucket", signlsh_bucket(F.col("v"), planes))
-    q = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("v_norm").alias("q_norm"),
-        "bucket",
+    base = with_norm(emb, vec_col)
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                signlsh_bucket(
+                    F.col("v"), random_hyperplanes(dim, n_planes, seed + 1000 * t)
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
     )
-    c = base.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("v").alias("cv"),
-        F.col("v_norm").alias("c_norm"),
-        "bucket",
+    hashed = base.withColumn("tb", F.explode(buckets)).select(
+        id_col, "v", "v_norm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    q = hashed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), "tbl", "bucket"
+    )
+    cand = (
+        hashed.select(F.col(id_col).alias("neighbor_id"), "tbl", "bucket")
+        .join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = base.select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("v_norm").alias("q_norm")
+    ).filter(F.col("query_id").isin(query_ids))
+    cv = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("v_norm").alias("c_norm")
     )
     score = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm")), 4)
     pairs = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
         .select("query_id", "neighbor_id", score.alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())

@@ -1,0 +1,82 @@
+"""Behavioral tests for the dedup operator family on planted data —
+the rows-only queries' real correctness gate (their hash families are
+Spark-internal, so no SQL oracle can check them)."""
+
+from __future__ import annotations
+
+import pytest
+
+from reports_generator_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+    minhash_signatures,
+    simhash_fingerprint,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees"
+)
+NEAR = BASE.replace("warm", "cold")  # one-token edit
+OTHER = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution pipelines here"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),        # exact dup of 0
+        (2, NEAR),        # near dup of 0
+        (3, OTHER),
+        (4, "tiny doc"),  # too short for 3-gram shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    out = {r["doc_id"]: r["n_dups"] for r in dedup_exact(docs).collect()}
+    assert out[0] == 2          # doc 1 collapsed into doc 0
+    assert 1 not in out
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_minhash_signature_stability(docs):
+    """Identical texts ⇒ identical signatures (run-to-run too)."""
+    sig = minhash_signatures(docs)
+    s0 = {(r["perm"], r["mh"]) for r in sig.filter("doc_id = 0").collect()}
+    s1 = {(r["perm"], r["mh"]) for r in sig.filter("doc_id = 1").collect()}
+    assert s0 == s1
+    assert len(s0) == 32
+
+
+def test_minhash_lsh_finds_planted_pair(docs):
+    pairs = dedup_minhash_lsh(docs, jaccard_threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)] == 1.0   # exact dup: all mins agree
+    assert (0, 2) in got                           # near dup caught by a band
+    assert all({a, b} != {0, 3} and {a, b} != {2, 3} for a, b in got)
+
+
+def test_simhash_hamming(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprint(docs).collect()}
+    assert fp[0] == fp[1]
+    ham_near = bin(fp[0] ^ fp[2]).count("1")
+    ham_far = bin(fp[0] ^ fp[3]).count("1")
+    assert ham_near < ham_far
+
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup_simhash(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard_planted(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup_ngram_jaccard(docs, threshold=0.2).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs

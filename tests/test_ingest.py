@@ -1,0 +1,164 @@
+"""E1 report-ingest golden tests.
+
+Covers the full grammar derived from the reference (SURVEY.md §2.1):
+block assembly, SI/NO normalization, skip-9/10 positional projection,
+filename-date extraction, report-type classification, count-diff
+arithmetic, schema contract, idempotent parquet sink, and the
+recursive-scan extension filter.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from reports_generator_spark.config import ERP_HEADERS, ISU_HEADERS, ReportConfig
+from reports_generator_spark.ingest import ingest_reports, write_parquet_idempotent
+from reports_generator_spark.ingest.fixtures import block_values, write_report_files
+from reports_generator_spark.schemas import typed_view
+
+GEN_DATE = "2026-01-01 00:00:00"
+
+
+@pytest.fixture(scope="module")
+def report_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("reports"))
+    write_report_files(d, n_files=3, blocks_per_file=4)
+    return d
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, report_dir):
+    cfg = ReportConfig(
+        input_dir=report_dir, output_parquet="", output_csv="", generation_date=GEN_DATE
+    )
+    df = ingest_reports(spark, cfg)
+    df.cache()
+    yield df
+    df.unpersist()
+
+
+def test_row_count_and_schema(ingested):
+    assert ingested.count() == 12  # 3 files x 4 blocks
+    assert [f.name for f in ingested.schema.fields] == list(ERP_HEADERS)
+    assert all(f.dataType.typeName() == "string" for f in ingested.schema.fields)
+
+
+def test_golden_block_values(ingested):
+    """Every positional field of file 0 / block 0 lands in the right
+    public column (the reference's skip-9/10 mapping)."""
+    vals = block_values(0, 0)
+    row = (
+        ingested.filter(
+            (F.col("ARCHIVO_PROCESADO") == vals["file"])
+        ).collect()
+    )[0]
+    assert row["MODULO"] == "ERP"
+    assert row["NOMBRE_DE_TABLA_ASIGNADO_EN_LANDING_RAW_POR_ARCHIVO"] == vals["tableNameFromFile"]
+    assert row["NOMBRE_DE_TABLA_ASIGNADO_EN_LOS_PARAMETROS"] == vals["tableNameFromJson"]
+    assert row["CABECERA_ASIGNADA"] == vals["headersFromJson"]
+    assert row["CONTEO_CABECERA_ASIGNADO_ENVIADO_POR_EL_SISTEMA"] == vals["countHeadersFromJson"]
+    assert row["CONTEO_CABECERA_POR_ARCHIVO"] == vals["countHeadersFromFile"]
+    assert row["CABECERA_IDENTIFICADA_EN_EL_ARCHIVO"] == vals["headersFromFile"]
+    assert row["NOMBRE_DE_DIRECTORIO"] == vals["fileDirectory"]
+    assert row["RUTA_EN_LANDING_RAW_ARCHIVO_SIN_TRANSFORMAR"] == vals["filePath"]
+    assert row["TAMANO_DE_ARCHIVO_BYTES"] == vals["fileSize"]
+    assert row["VALIDACION_SHA"] == vals["fileValidSha"]
+    assert row["FORMATO_DE_ALMACENAMIENTO_DE_ARCHIVO_TRANSFORMADO"] == vals["fileColForSchema"]
+    assert row["NOMBRE_TABLA"] == vals["fileTableName"]
+    assert row["RUTA_EN_LANDINGRAW"] == vals["fileColForPathTable"]
+    assert row["TOTAL_COLUMNAS_PREPARACION_DE_MARCO_DE_DATOS"] == vals["fileAntColForCountColumns"]
+    assert row["TOTAL_REGISTROS_PREPARACION_DE_MARCO_DE_DATOS"] == vals["fileAntColForCountRows"]
+    # reference contract quirk (see ingest/reports.py ERP_FIELD_ORDER):
+    # DIFERENCIA_* carries the official counts; TOTAL_*_OFICIAL the diffs
+    assert row["DIFERENCIA_TOTAL_COLUMNAS"] == vals["fileColForCountColumns"]
+    assert row["DIFERENCIA_TOTAL_REGISTROS"] == vals["fileColForCountRows"]
+    assert row["ESTADO_DEL_PROCESO"] == vals["status"]
+    assert row["GEBERATION_DATE"] == GEN_DATE
+    # the ignored positions 9/10 must appear NOWHERE in the row
+    assert vals["ignoredChecksumA"] not in list(row)
+    assert vals["ignoredChecksumB"] not in list(row)
+
+
+def test_si_no_normalization(ingested):
+    """equalsHeaders true/false -> SI/NO (Proof.scala:113-123)."""
+    got = {
+        (r["ARCHIVO_PROCESADO"], r["CABECERAS_IGUALES"]) for r in ingested.collect()
+    }
+    for f in range(3):
+        for b in range(4):
+            vals = block_values(f, b)
+            expect = "SI" if vals["equalsHeaders"] == "true" else "NO"
+            assert (vals["file"], expect) in got
+
+
+def test_count_diffs(ingested):
+    """difCountCol/Row are real arithmetic, not 'Proof'/'Proof2'.
+    Per the contract quirk, the computed differences surface in the
+    TOTAL_*_OFICIAL columns."""
+    for r in ingested.collect():
+        ant_c = int(r["TOTAL_COLUMNAS_PREPARACION_DE_MARCO_DE_DATOS"])
+        of_c = int(r["DIFERENCIA_TOTAL_COLUMNAS"])
+        assert r["TOTAL_COLUMNAS_OFICIAL"] == str(ant_c - of_c)
+        ant_r = int(r["TOTAL_REGISTROS_PREPARACION_DE_MARCO_DE_DATOS"])
+        of_r = int(r["DIFERENCIA_TOTAL_REGISTROS"])
+        assert r["TOTAL_REGISTROS_OFICIAL"] == str(ant_r - of_r)
+
+
+def test_enrichment_metadata(ingested):
+    rows = ingested.collect()
+    for r in rows:
+        # file-name generation date extracted via regex
+        assert r["FECHA_DE_GENERACION_DE_REPORTE"].endswith("_30")
+        assert "T" in r["FECHA_DE_GENERACION_DE_REPORTE"]
+        # source path is the real file URI
+        assert r["RUTA_DE_REPORTE"].endswith(".TXT")
+    # every fixture block contains a 'parquet' token in fileColForSchema
+    # for even b; all blocks of a file share report type (per-block here)
+    types = {r["TIPO_DE_REPORTE"] for r in rows}
+    assert types <= {"Generación de Parquet", ""}
+    assert "Generación de Parquet" in types
+
+
+def test_decoy_extension_ignored(ingested):
+    """.log decoy with a status line must not produce records (S1)."""
+    assert ingested.filter(F.col("RUTA_DE_REPORTE").endswith(".log")).count() == 0
+
+
+def test_isu_headers_contract(spark, report_dir):
+    cfg = ReportConfig(
+        input_dir=report_dir,
+        output_parquet="",
+        output_csv="",
+        module="ISU",
+        generation_date=GEN_DATE,
+    )
+    df = ingest_reports(spark, cfg)
+    assert [f.name for f in df.schema.fields] == list(ISU_HEADERS)
+    r = df.limit(1).collect()[0]
+    assert r["MODULO"] == "ISU"
+    assert r["NOMBRE_ZIP"] == ""  # declared, not populated (ref TODO)
+
+
+def test_typed_view(ingested):
+    tv = typed_view(ingested)
+    r = tv.limit(1).collect()[0]
+    assert isinstance(r["TAMANO_DE_ARCHIVO_BYTES"], int)
+    assert r["CABECERAS_IGUALES"] in (True, False)
+
+
+def test_idempotent_parquet_sink(spark, report_dir, tmp_path):
+    cfg = ReportConfig(
+        input_dir=report_dir, output_parquet="", output_csv="", generation_date=GEN_DATE
+    )
+    df = ingest_reports(spark, cfg)
+    sink = str(tmp_path / "parquet_sink")
+    first = write_parquet_idempotent(spark, df, sink)
+    assert first.count() == 12
+    assert spark.read.parquet(sink).count() == 12
+    # re-ingesting the same reports appends nothing (P13 done right)
+    second = write_parquet_idempotent(spark, df, sink)
+    assert second.count() == 0
+    assert spark.read.parquet(sink).count() == 12

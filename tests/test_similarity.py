@@ -1,0 +1,81 @@
+"""Behavioral tests for similarity search: exact ranking on known
+geometry, and LSH recall on planted clusters (the scale path's gate)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from reports_generator_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_neardup,
+)
+
+DIM = 8
+
+
+def _vec(*axes: float) -> list[float]:
+    v = list(axes) + [0.0] * (DIM - len(axes))
+    return v
+
+
+def test_exact_topk_known_geometry(spark):
+    rows = [
+        (0, _vec(1.0, 0.0)),            # query
+        (1, _vec(1.0, 0.1)),            # closest
+        (2, _vec(1.0, 0.5)),            # second
+        (3, _vec(0.0, 1.0)),            # orthogonal
+        (4, _vec(-1.0, 0.0)),           # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(emb, [0], k=4).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3, 4]
+    assert out[0]["score"] > 0.99
+    assert abs(out[2]["score"]) < 1e-6      # orthogonal ⇒ 0
+    assert out[3]["score"] == -1.0          # opposite ⇒ -1
+
+
+def test_lsh_recall_on_planted_clusters(spark):
+    """10 clusters of 20 vectors; LSH top-5 must recover most of the
+    exact top-5 (same-cluster vectors collide in sign-LSH buckets)."""
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for c in range(10):
+        centroid = [rng.gauss(0, 1) for _ in range(64)]
+        n = math.sqrt(sum(x * x for x in centroid))
+        centroid = [x / n for x in centroid]
+        for _ in range(20):
+            noise = [rng.gauss(0, 0.05) for _ in range(64)]
+            rows.append((vid, [c + n2 for c, n2 in zip(centroid, noise)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = [0, 20, 40, 60, 80]
+
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = cosine_topk_lsh(emb, queries, k=5, n_planes=4, dim=64).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    hits = total = 0
+    for q in queries:
+        total += len(exact_sets[q])
+        hits += len(exact_sets[q] & approx_sets.get(q, set()))
+    recall = hits / total
+    assert recall >= 0.8, f"LSH recall@5 too low: {recall}"
+
+
+def test_neardup_symmetric_pairs(spark):
+    rows = [
+        (0, _vec(1.0, 0.0)),
+        (1, _vec(1.0, 0.01)),   # near-dup of 0
+        (2, _vec(0.0, 1.0)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["id_a"], r["id_b"]) for r in embedding_neardup(emb, threshold=0.9).collect()}
+    assert out == {(0, 1)}  # id_a < id_b exactly once, no self-pairs
