@@ -25,6 +25,15 @@ from ..functions import shingles_col, tokens_col
 from ..functions.rounding import dround
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism before an
+    explode-heavy stage. Single-file local fixtures arrive as ONE
+    partition; without this, shingling/hashing serializes on one task.
+    (At production scale the source already has many partitions and
+    this is a cheap round-robin of doc rows.)"""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dedup_exact(df: DataFrame, key_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: one surviving id per distinct key + duplicate count.
 
@@ -48,15 +57,14 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, perm, minhash) — k independent minhash values per doc.
+    """(id, sig: array<long>) — k independent minhash values per doc.
 
     Hash family: xxhash64(seed=i) over the shingle string; the min over
     a doc's shingle set approximates a random permutation's first
-    element. Pure built-ins: explode → groupBy(id).agg(min per perm).
-    The per-perm mins are computed in ONE aggregation (k min columns),
-    not k passes.
+    element. ONE explode + ONE aggregation computing all k mins as
+    parallel agg columns — the shuffle carries k longs per doc.
     """
-    shingles = df.select(
+    shingles = _spread(df).select(
         F.col(id_col), F.explode(shingles_col(tokens_col(text_col), shingle_k)).alias("shingle")
     )
     mins = [
@@ -64,12 +72,8 @@ def minhash_signatures(
         for i in range(num_hashes)
     ]
     sig = shingles.groupBy(id_col).agg(*mins)
-    # long form: (id, perm, value)
-    pairs = F.array(
-        *[F.struct(F.lit(i).alias("perm"), F.col(f"mh_{i}").alias("mh")) for i in range(num_hashes)]
-    )
-    return sig.select(id_col, F.explode(pairs).alias("p")).select(
-        id_col, F.col("p.perm").alias("perm"), F.col("p.mh").alias("mh")
+    return sig.select(
+        id_col, F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -84,44 +88,59 @@ def dedup_minhash_lsh(
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: (id_a, id_b, est_jaccard).
 
-    num_hashes signatures split into `bands` bands of r rows; docs
+    num_hashes signatures split into `bands` bands of r values; docs
     agreeing on all r values of any band become candidates (equi-join
     on (band, band-hash) — the classic S-curve). Candidates are then
     scored by full-signature agreement (estimated Jaccard) and
-    thresholded.
+    thresholded. Band hashes come straight off the wide signature (one
+    xxhash64 over r columns — no re-aggregation), and scoring joins
+    the packed signature array once per side.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    banded = sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-    # one hash per (doc, band) over its r minhash values, order-fixed by perm
-    band_key = (
-        banded.groupBy(id_col, "band")
-        .agg(F.sort_array(F.collect_list(F.struct("perm", "mh"))).alias("vals"))
-        .select(id_col, "band", F.xxhash64(F.to_json(F.col("vals"))).alias("band_hash"))
+    r = num_hashes // bands
+    shingles = _spread(df).select(
+        F.col(id_col), F.explode(shingles_col(tokens_col(text_col), shingle_k)).alias("shingle")
     )
-    a = band_key.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    b = band_key.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig_wide = shingles.groupBy(id_col).agg(*mins)
+    sig = sig_wide.withColumn(
+        "sig", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)])
+    ).withColumn(
+        "bandkeys",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(
+                        "band_hash"
+                    ),
+                )
+                for b in range(bands)
+            ]
+        ),
+    ).select(id_col, "sig", "bandkeys")
+
+    banded = sig.select(
+        id_col, "sig", F.explode("bandkeys").alias("bk")
+    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash")
     cand = (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    # estimated Jaccard = fraction of agreeing minhash positions
-    sa = sig.select(F.col(id_col).alias("id_a"), "perm", F.col("mh").alias("mh_a"))
-    sb = sig.select(F.col(id_col).alias("id_b"), "perm", F.col("mh").alias("mh_b"))
-    scored = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "perm"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            (F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)) / num_hashes).alias(
-                "est_jaccard"
-            )
-        )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    scored = cand.select(
+        "id_a", "id_b", (agree / F.lit(num_hashes)).alias("est_jaccard")
     )
     return scored.filter(F.col("est_jaccard") >= jaccard_threshold).select(
-        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+        "id_a", "id_b", dround(F.col("est_jaccard"), 4).alias("est_jaccard")
     )
 
 
@@ -136,7 +155,7 @@ def simhash_fingerprint(
     Implemented as explode(tokens) → per-bit ±1 contributions →
     groupBy(id) sum → bit reassembly. One shuffle (the groupBy).
     """
-    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
+    toks = _spread(df).select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
     h = F.xxhash64("token")
     bit_sums = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
@@ -213,7 +232,8 @@ def dedup_ngram_jaccard(
     practice at corpus scale.
     """
     sh = (
-        df.select(F.col(id_col), F.explode(shingles_col(tokens_col(text_col), shingle_k)).alias("sh"))
+        _spread(df)
+        .select(F.col(id_col), F.explode(shingles_col(tokens_col(text_col), shingle_k)).alias("sh"))
         .distinct()
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))

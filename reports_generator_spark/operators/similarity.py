@@ -161,10 +161,11 @@ def embedding_neardup(
     vec_col: str = "embedding",
     threshold: float = 0.38,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (embedding-space near-dup).
+    """All pairs with cosine ≥ threshold — simple pure-DataFrame form.
 
-    Exact all-pairs here; the scale path is the same computation after
-    signlsh_bucket() blocking (join on bucket instead of cross)."""
+    O(n²) pair rows through the JVM expression path; correct at any
+    size but the blocked variant below is the one to run (vectorized
+    matmul, ~50× less per-pair overhead)."""
     base = with_norm(emb, vec_col)
     a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("v_norm").alias("na"))
     b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("v_norm").alias("nb"))
@@ -174,3 +175,84 @@ def embedding_neardup(
         .select("id_a", "id_b", score.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_neardup_blocked(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.38,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via block-matrix products.
+
+    Vectors hash into n_blocks blocks; each of the B(B+1)/2 block
+    pairs becomes one task computing a numpy matmul over its two
+    (s×dim) matrices and emitting only the above-threshold pairs.
+    Per-pair cost is a SIMD multiply-add instead of an interpreted
+    expression; shuffle volume is O(n·dim·B) (each block ships to B
+    partners), and the pair space never materializes as rows.
+
+    At 100 TB scale the same operator runs after LSH bucketing (join
+    blocks on bucket instead of all-pairs) — the matmul kernel is
+    unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    blk = emb.select(
+        F.col(id_col).alias("vid").cast("long"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_blocks)).alias("blk"),
+    )
+    packed = blk.groupBy("blk").agg(
+        F.collect_list(F.struct("vid", "v")).alias("vecs")
+    )
+    pa = packed.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("vecs_a"))
+    pb = packed.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vecs_b"))
+    block_pairs = pa.join(pb, F.col("blk_a") <= F.col("blk_b")).repartition(
+        n_blocks * (n_blocks + 1) // 2
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score_blocks(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a = np.array([x["vid"] for x in row["vecs_a"]], dtype=np.int64)
+                mat_a = np.array([x["v"] for x in row["vecs_a"]], dtype=np.float64)
+                ids_b = np.array([x["vid"] for x in row["vecs_b"]], dtype=np.int64)
+                mat_b = np.array([x["v"] for x in row["vecs_b"]], dtype=np.float64)
+                na = np.linalg.norm(mat_a, axis=1)
+                nb = np.linalg.norm(mat_b, axis=1)
+                sim = (mat_a @ mat_b.T) / np.outer(na, nb)
+                sim = np.floor(sim * 10000 + 0.5) / 10000  # dround(4)
+                ia, ib = np.nonzero(sim >= threshold)
+                lhs, rhs = ids_a[ia], ids_b[ib]
+                if row["blk_a"] == row["blk_b"]:
+                    # same block: each unordered pair appears twice +
+                    # the diagonal; keep the ordered half
+                    keep = lhs < rhs
+                    lo, hi, sc = lhs[keep], rhs[keep], sim[ia, ib][keep]
+                else:
+                    # disjoint blocks: each pair appears exactly once;
+                    # normalize id order
+                    lo = np.minimum(lhs, rhs)
+                    hi = np.maximum(lhs, rhs)
+                    sc = sim[ia, ib]
+                yield pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sc})
+
+    return block_pairs.mapInPandas(score_blocks, out_schema)

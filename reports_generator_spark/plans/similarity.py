@@ -68,11 +68,19 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+           floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000 + 0.5) / 10000
+             AS cosine
     FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= {NEARDUP_THRESHOLD}
+    WHERE floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000 + 0.5) / 10000
+            >= {NEARDUP_THRESHOLD}
     """,
 )
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.38)."""
-    return embedding_neardup(load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_THRESHOLD)
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.38), computed
+    with the blocked-matmul operator (the pure-DF form is equivalent
+    but ~50× slower per pair)."""
+    from ..operators.similarity import embedding_neardup_blocked
+
+    return embedding_neardup_blocked(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_THRESHOLD
+    )

@@ -48,8 +48,8 @@ def test_dedup_exact_keeps_min_id(docs):
 def test_minhash_signature_stability(docs):
     """Identical texts ⇒ identical signatures (run-to-run too)."""
     sig = minhash_signatures(docs)
-    s0 = {(r["perm"], r["mh"]) for r in sig.filter("doc_id = 0").collect()}
-    s1 = {(r["perm"], r["mh"]) for r in sig.filter("doc_id = 1").collect()}
+    s0 = sig.filter("doc_id = 0").collect()[0]["sig"]
+    s1 = sig.filter("doc_id = 1").collect()[0]["sig"]
     assert s0 == s1
     assert len(s0) == 32
 
