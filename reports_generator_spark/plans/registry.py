@@ -45,6 +45,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
+    from . import analytics  # noqa: F401
     from . import relational  # noqa: F401
     from . import windows  # noqa: F401
     from . import text  # noqa: F401
