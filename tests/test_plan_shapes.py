@@ -1,0 +1,86 @@
+"""Physical-plan assertions: the 100 TB posture is checkable locally.
+
+A correct answer with the wrong plan shape (no pushdown, no broadcast,
+global sort for a top-k) would still pass the oracle tests but die at
+scale — these tests pin the plan properties that matter.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from reports_generator_spark.plans import registry
+
+from conftest import SF_DIR
+
+registry.load_all()
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A simple equality predicate must reach the parquet reader.
+    (filter_predicate's OR-of-modulo is deliberately non-pushable, so
+    the pushdown check uses join_inner_equi's status filter.)"""
+    df = registry.QUERIES["join_inner_equi"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_projection_prunes_columns(spark):
+    df = registry.QUERIES["project"](spark, SF_DIR)
+    plan = plan_str(df)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    schema_line = read[0]
+    assert "p_partkey" in schema_line and "p_retailprice" in schema_line
+    # untouched columns must NOT be read
+    assert "p_brand" not in schema_line and "p_size" not in schema_line
+
+
+def test_dim_join_broadcasts(spark):
+    df = registry.QUERIES["join_broadcast"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle the fact side
+
+
+def test_topk_is_take_ordered(spark):
+    df = registry.QUERIES["sort_limit_topk"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "TakeOrderedAndProject" in plan
+    # no global sort stage for a LIMIT 10
+
+
+def test_flagship_has_partial_aggregation(spark):
+    df = registry.QUERIES["agg_hash_group"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "partial_" in plan
+
+
+def test_semi_join_stays_semi(spark):
+    df = registry.QUERIES["join_semi"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "LeftSemi" in plan
+
+
+def test_ingest_has_no_single_partition_exchange(spark):
+    """The reference forced repartition(1) (Proof.scala:111); the
+    rebuilt ingest must never serialize onto one partition."""
+    df = registry.QUERIES["report_ingest"](spark, SF_DIR)
+    plan = plan_str(df, "extended")
+    assert "SinglePartition" not in plan
+
+
+def test_whole_stage_codegen_covers_scalar_fns(spark):
+    df = registry.QUERIES["scalar_math_fns"](spark, SF_DIR)
+    # simple mode marks codegen'd operators with a "*(stage)" prefix
+    plan = plan_str(df, "simple")
+    assert "*(1)" in plan
