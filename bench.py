@@ -35,6 +35,11 @@ def main() -> None:
     registry.QUERIES["agg_hash_group"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # warm the Python/Arrow worker pool (mapInPandas queries otherwise
+    # pay ~10s of daemon spawn on their first run)
+    spark.range(0, spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):
