@@ -116,6 +116,17 @@ ERP_FIELD_ORDER: tuple[str, ...] = (
 _FILE_DATE_RE = r"\[(\d{2}-\d{2}-\d{4}T\d{2}_\d{2}_\d{2})\]"
 
 
+def lines_from_wholetext(raw: DataFrame) -> DataFrame:
+    """(value=whole file text) → (report_path, line_no, line).
+
+    Shared by the batch and streaming ingest paths (foreachBatch hands
+    the streaming micro-batch to this same function)."""
+    return raw.select(
+        F.input_file_name().alias("report_path"),
+        F.posexplode(F.split(F.col("value"), r"\r?\n")).alias("line_no", "line"),
+    )
+
+
 def read_report_lines(spark: SparkSession, cfg: ReportConfig) -> DataFrame:
     """S1+S2: one recursive scan of all report files → (report_path,
     line_no, line). Executor-side IO; no driver listing loop."""
@@ -126,10 +137,7 @@ def read_report_lines(spark: SparkSession, cfg: ReportConfig) -> DataFrame:
         # is silently ignored by the text source in Spark 4.x
         .text(cfg.input_dir, wholetext=True)
     )
-    return raw.select(
-        F.input_file_name().alias("report_path"),
-        F.posexplode(F.split(F.col("value"), r"\r?\n")).alias("line_no", "line"),
-    )
+    return lines_from_wholetext(raw)
 
 
 def parse_blocks(lines: DataFrame, cfg: ReportConfig) -> DataFrame:
@@ -183,7 +191,12 @@ def parse_blocks(lines: DataFrame, cfg: ReportConfig) -> DataFrame:
 def ingest_reports(spark: SparkSession, cfg: ReportConfig) -> DataFrame:
     """Full E1 pipeline → DataFrame with the module's public (Spanish)
     all-string schema, one row per report record."""
-    lines = read_report_lines(spark, cfg)
+    return ingest_report_lines(read_report_lines(spark, cfg), cfg)
+
+
+def ingest_report_lines(lines: DataFrame, cfg: ReportConfig) -> DataFrame:
+    """E1 transform stages (P1-P13) over an already-built line frame —
+    the batch/streaming-shared core of `ingest_reports`."""
     blocks = parse_blocks(lines, cfg)
 
     # P6 — positional projection (1-based element_at; skip 9/10)

@@ -155,6 +155,84 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via an IVF (inverted-file) index, pure DataFrame ops.
+
+    Coarse quantizer: n_cells centroids chosen deterministically (the
+    n_cells corpus vectors with the smallest xxhash64(seed, id) — a
+    seeded uniform sample; no iterative k-means fit step, so the index
+    build is a single broadcast-join pass, which is the right trade at
+    ingest time). Every corpus vector is assigned to its nearest
+    centroid's cell; a query probes its n_probe nearest cells and
+    exact-scores only those candidates.
+
+    Scale shape: centroids are O(n_cells·dim) — always broadcastable;
+    cell assignment is one map-side broadcast join + per-id top-1
+    window; the probe join is equi-key on `cell` so candidate volume is
+    ~ (n_probe / n_cells) of the corpus per query.
+    """
+    base = with_norm(emb, vec_col)
+    w_cent = Window.orderBy(F.xxhash64(F.lit(seed), F.col(id_col)))
+    cents = (
+        base.orderBy(F.xxhash64(F.lit(seed), F.col(id_col)))
+        .limit(n_cells)
+        .select(
+            # row_number over the same hash order: a stable dense cell id
+            # (the window runs over only n_cells rows post-limit)
+            (F.row_number().over(w_cent) - 1).alias("cell"),
+            F.col("v").alias("cv_cent"),
+            F.col("v_norm").alias("cent_norm"),
+        )
+    )
+    cent_score = _dot(F.col("v"), F.col("cv_cent")) / (
+        F.col("v_norm") * F.col("cent_norm")
+    )
+    ranked = (
+        base.select(id_col, "v", "v_norm")
+        .crossJoin(F.broadcast(cents))
+        .select(id_col, "v", "v_norm", "cell", cent_score.alias("cscore"))
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("cscore").desc(), F.col("cell").asc()
+    )
+    assigned = ranked.withColumn("crank", F.row_number().over(w_assign))
+    cells = assigned.filter(F.col("crank") == 1).select(id_col, "v", "v_norm", "cell")
+    probes = (
+        assigned.filter(F.col(id_col).isin(query_ids))
+        .filter(F.col("crank") <= n_probe)
+        .select(F.col(id_col).alias("query_id"), "cell")
+    )
+    qv = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("v_norm").alias("q_norm")
+    )
+    score = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm")), 4)
+    pairs = (
+        cells.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
+                     F.col("v_norm").alias("c_norm"), "cell")
+        .join(F.broadcast(probes), ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "cv", "c_norm")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def embedding_neardup(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -41,6 +41,53 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
 
 
+@query(
+    "scan_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+CSV source: write `nation` through the header+quoteAll CSV
+    sink (Proof.scala:140-145 options), scan it back with an explicit
+    schema, and hash-match the original table — the sink and source
+    are inverses."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..ingest.sinks import write_csv
+    from ..sources.formats import read_csv
+
+    n = _t(spark, sf_dir, "nation")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"rg_csv_rt_{tag}")
+    write_csv(n, path, mode="overwrite")
+    return read_csv(spark, path, n.schema).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
+    "scan_jsonl_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + source round-trip on `supplier` (explicit schema on
+    read — no inference pass)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.formats import read_jsonl, write_jsonl
+
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"rg_jsonl_rt_{tag}")
+    write_jsonl(s, path)
+    return read_jsonl(spark, path, s.schema)
+
+
 # --------------------------------------------------------------------------
 # R2 projection
 # --------------------------------------------------------------------------
@@ -124,6 +171,24 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
     return c.join(o, c.c_custkey == o.o_custkey, "left").select(
         "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 right outer: every customer row survives; order columns NULL
+    where no qualifying order exists (mirror of join_left_outer)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    c = _t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
     )
 
 

@@ -58,6 +58,16 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+@query("similarity_topk_ivf")
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN top-k (seeded coarse quantizer, n_probe cells per
+    query; recall tested vs exact in tests/test_similarity.py)."""
+    from ..operators.similarity import cosine_topk_ivf
+
+    out = cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=TOPK)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 @query(
     "embedding_neardup",
     oracle=f"""

@@ -8,6 +8,7 @@ compares real streaming output against batch SQL.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..streaming import stream_dedup_keys, stream_tumbling_agg
 from .registry import query
@@ -38,3 +39,80 @@ def stream_tumbling_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates ≡ batch DISTINCT on the key columns."""
     return stream_dedup_keys(spark, sf_dir)
+
+
+_STATEFUL_SESSION_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+@query("stream_sessionize_stateful", oracle=_STATEFUL_SESSION_ORACLE)
+def stream_sessionize_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): gap-based
+    streaming sessionization ≡ batch window+groupBy sessionization
+    keyed on (user_id, session_start)."""
+    from ..streaming.stateful import sessionize_stream
+    from ..streaming.windowed import _run_to_memory, _stream_events
+
+    out = _run_to_memory(sessionize_stream(_stream_events(spark, sf_dir)), "update")
+    # update semantics: keep the latest emission per open session key
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "session_start").orderBy(
+        F.col("session_end").desc(), F.col("n_events").desc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@query("stream_report_ingest")
+def stream_report_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 as a streaming pipeline: file-source readStream over
+    synthesized report fixtures → foreachBatch(batch parser) →
+    idempotent parquet sink; returns the sink contents. Rows-only (the
+    .TXT grammar is not a DuckDB source), and batch/stream parity is
+    asserted in tests/test_report_stream.py."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..config import ReportConfig
+    from ..ingest.fixtures import write_report_files
+    from ..streaming.report_stream import stream_report_ingest
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"rg_stream_ingest_{tag}")
+    reports, sink, ckpt = (os.path.join(base, p) for p in ("reports", "sink", "ckpt"))
+    # fresh run each invocation: deterministic fixture + empty sink
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(reports, exist_ok=True)
+    write_report_files(reports, n_files=3, blocks_per_file=4)
+    cfg = ReportConfig(
+        input_dir=reports, output_parquet="", output_csv="",
+        generation_date="2026-01-01 00:00:00",
+    )
+    stream_report_ingest(spark, cfg, sink, checkpoint_dir=ckpt).awaitTermination()
+    return spark.read.parquet(sink)

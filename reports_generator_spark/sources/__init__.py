@@ -1,3 +1,4 @@
+from .formats import read_csv, read_jsonl, write_jsonl
 from .tables import TABLES, load_table, load_tables
 
-__all__ = ["TABLES", "load_table", "load_tables"]
+__all__ = ["TABLES", "load_table", "load_tables", "read_csv", "read_jsonl", "write_jsonl"]

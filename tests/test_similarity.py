@@ -8,6 +8,7 @@ import random
 
 from reports_generator_spark.operators.similarity import (
     cosine_topk,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_neardup,
 )
@@ -68,6 +69,41 @@ def test_lsh_recall_on_planted_clusters(spark):
         hits += len(exact_sets[q] & approx_sets.get(q, set()))
     recall = hits / total
     assert recall >= 0.8, f"LSH recall@5 too low: {recall}"
+
+
+def test_ivf_recall_on_planted_clusters(spark):
+    """Same planted geometry as the LSH test: IVF with enough probes
+    must recover most of the exact top-5 (cluster members land in the
+    same coarse cell as their query)."""
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for c in range(10):
+        centroid = [rng.gauss(0, 1) for _ in range(64)]
+        n = math.sqrt(sum(x * x for x in centroid))
+        centroid = [x / n for x in centroid]
+        for _ in range(20):
+            noise = [rng.gauss(0, 0.05) for _ in range(64)]
+            rows.append((vid, [c + n2 for c, n2 in zip(centroid, noise)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = [0, 20, 40, 60, 80]
+
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = cosine_topk_ivf(emb, queries, k=5, n_cells=16, n_probe=4).collect()
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    hits = total = 0
+    for q in queries:
+        total += len(exact_sets[q])
+        hits += len(exact_sets[q] & approx_sets.get(q, set()))
+    recall = hits / total
+    assert recall >= 0.8, f"IVF recall@5 too low: {recall}"
 
 
 def test_neardup_symmetric_pairs(spark):

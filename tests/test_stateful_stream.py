@@ -1,0 +1,79 @@
+"""applyInPandasWithState sessionization: cross-micro-batch state
+continuation — a session split across two batches must merge via the
+carried open-session state (the property the batch-parity oracle can't
+see, since availableNow at sf fixtures is a single batch)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import uuid
+
+from pyspark.sql import Window, functions as F
+
+from reports_generator_spark.streaming.stateful import sessionize_stream
+
+T0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _mins(m: int) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=m)
+
+
+def test_session_merges_across_micro_batches(spark, tmp_path):
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    schema = "user_id long, event_id long, ts timestamp, value double"
+
+    # batch 1: two events 10 min apart; batch 2: +20 min (same session,
+    # within gap of the open state) and +3 h (new session)
+    b1 = [(1, 1, _mins(0), 1.0), (1, 2, _mins(10), 2.0)]
+    b2 = [(1, 3, _mins(20), 4.0), (1, 4, _mins(200), 8.0)]
+    p1, p2 = str(src / "b1.parquet"), str(src / "b2.parquet")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(p1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(p2)
+    # file order = modification time; force b1 strictly older
+    past = dt.datetime.now().timestamp() - 1000
+    for root, _, files in os.walk(p1):
+        for f_ in files:
+            os.utime(os.path.join(root, f_), (past, past))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    name = f"sess_{uuid.uuid4().hex[:10]}"
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.table(name)
+    latest = (
+        out.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "session_start").orderBy(
+                    F.col("session_end").desc(), F.col("n_events").desc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("session_start")
+        .collect()
+    )
+    assert len(latest) == 2
+    first, second = latest
+    assert first["n_events"] == 3                      # merged across batches
+    assert first["session_end"] == _mins(20)
+    assert first["session_value"] == 7.0
+    assert second["n_events"] == 1
+    assert second["session_start"] == _mins(200)
