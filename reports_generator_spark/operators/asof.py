@@ -1,0 +1,92 @@
+"""As-of (point-in-time) join — an operator family the reference's
+Spark 2.4 surface lacks entirely (no joins exist in the reference at
+all, SURVEY.md §2.2), but which every event/orders-style pipeline
+needs: "for each left row, the latest right row at-or-before its
+timestamp, per key".
+
+Implementation is the union-and-window trick, NOT a range join:
+
+    1. Tag left rows (is_left=1) and right rows (is_left=0), pad each
+       side with nulls for the other side's payload, and UNION them.
+    2. One window per key ordered by (t, is_left, tiebreak):
+       ``last(right_payload, ignorenulls=True)`` over
+       rows UNBOUNDED PRECEDING..CURRENT carries the most recent right
+       payload forward onto every subsequent left row.
+    3. Keep only left rows.
+
+Why this shape at 100 TB: a naive formulation
+(`l JOIN r ON key AND r.t <= l.t` + keep-latest) explodes to
+O(|l|·|r| per key) intermediate rows before pruning; this one is a
+single hash-partition shuffle on the key plus a per-key sort —
+O((|l|+|r|) log) with nothing quadratic, and Spark's window exec
+spills the sorted run to disk if a key is huge. Ordering
+(t, is_left) puts right rows *before* left rows at equal t, giving
+at-or-before (<=) semantics; the tiebreak column makes the winner
+among equal-t right rows deterministic (greatest wins, because
+``last`` sees it last).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | tuple[str, str],
+    ts: str | tuple[str, str],
+    right_payload: Sequence[str],
+    tiebreak: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join: each left row gains the payload of the
+    latest right row with ``right.ts <= left.ts`` on the same key
+    (nulls when no such row — left-outer semantics).
+
+    on / ts: column name shared by both sides, or (left_name,
+    right_name). right_payload: right columns to carry (renamed with
+    `suffix` if they collide with a left column). tiebreak: right
+    column ordering equal-t right rows (greatest wins).
+    """
+    lkey, rkey = (on, on) if isinstance(on, str) else on
+    lts, rts = (ts, ts) if isinstance(ts, str) else ts
+
+    out_names = {
+        c: (c + suffix if c in left.columns else c) for c in right_payload
+    }
+
+    l_tagged = left.select(
+        F.col(lkey).alias("__key"),
+        F.col(lts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("long").alias("__tb"),
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c]) for c in right_payload],
+    )
+    r_tagged = right.select(
+        F.col(rkey).alias("__key"),
+        F.col(rts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("__tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        *[F.col(c).alias(out_names[c]) for c in right_payload],
+    )
+
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "__is_left",
+        *[F.col(c) for c in left.columns],
+        *[
+            F.last(out_names[c], ignorenulls=True).over(w).alias(out_names[c])
+            for c in right_payload
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).drop("__is_left")

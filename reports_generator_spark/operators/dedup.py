@@ -105,10 +105,9 @@ def dedup_minhash_lsh(
         for i in range(num_hashes)
     ]
     sig_wide = shingles.groupBy(id_col).agg(*mins)
-    sig = sig_wide.withColumn(
-        "sig", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)])
-    ).withColumn(
-        "bandkeys",
+    sig = sig_wide.select(
+        id_col,
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
         F.array(
             *[
                 F.struct(
@@ -119,19 +118,30 @@ def dedup_minhash_lsh(
                 )
                 for b in range(bands)
             ]
-        ),
-    ).select(id_col, "sig", "bandkeys")
+        ).alias("bandkeys"),
+    )
 
-    banded = sig.select(
-        id_col, "sig", F.explode("bandkeys").alias("bk")
-    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash")
+    # Band join on (band, band_hash) ONLY — the 8-way banded explode and
+    # its shuffle carry 3 longs per row, not the k-long signature. The
+    # signatures join back once per side AFTER candidate-pair dedup, so
+    # each doc's signature crosses the wire once, not once per band
+    # collision. At corpus scale this is the difference between an
+    # O(collisions·k) and an O(docs·k + pairs·k) shuffle volume.
+    banded = sig.select(id_col, F.explode("bandkeys").alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     cand = (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sigs = sig.select(id_col, "sig")
+    cand = (
+        cand.join(sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
@@ -157,16 +167,20 @@ def simhash_fingerprint(
     """
     toks = _spread(df).select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
     h = F.xxhash64("token")
+    # A token with bit i set contributes +1, else -1; the per-bit signed
+    # sum equals 2*ones_i - n, so sign(sum) == (2*ones_i > n). Summing the
+    # raw bit (plus one shared count) is much cheaper codegen than 64
+    # conditional ±1 sums.
     bit_sums = [
-        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
-            f"b{i}"
-        )
-        for i in range(bits)
+        F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"b{i}") for i in range(bits)
     ]
-    sums = toks.groupBy(id_col).agg(*bit_sums)
+    sums = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"), *bit_sums)
     fp = None
     for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = (
+            F.when(F.col(f"b{i}") * 2 > F.col("n_tok"), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp.bitwiseXOR(term)
     return sums.select(id_col, fp.alias("simhash"))

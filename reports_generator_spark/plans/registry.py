@@ -55,3 +55,4 @@ def load_all() -> None:
     from . import ingest_queries  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import streaming_queries  # noqa: F401
+    from . import temporal  # noqa: F401

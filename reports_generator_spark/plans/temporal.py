@@ -1,0 +1,188 @@
+"""Temporal / incremental-pipeline operators: as-of join, time-bucket
+rollup (hypertable-style continuous aggregate), merge-upsert, and a
+partition-pruned parquet sink round-trip.
+
+These extend the reference's append-only result store
+(Proof.scala:147-151) toward what its pipeline would need at scale:
+point-in-time enrichment, multi-resolution time rollups, CDC-style
+upsert into the store instead of blind append, and a date/type-
+partitioned store layout so downstream queries prune.
+
+Scale notes: the as-of join is one hash shuffle + per-key sort (see
+operators/asof.py — nothing quadratic); the rollup is a partial-agg
+groupBy on (bucket, type); the upsert is a single full-outer
+equi-join (broadcast when the delta is small); the partitioned sink
+writes one directory per partition value so a filtered read scans
+only matching files (PartitionFilters, verified in
+tests/test_plan_shape.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround
+from ..operators.asof import asof_join
+from ..sources import load_table
+from .registry import query
+
+_VAL = "CAST(value AS DECIMAL(18,6))"
+
+
+@query(
+    "asof_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, ts AS click_ts,
+                      value AS click_value
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_id, c.click_value
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id AND c.click_ts <= p.ts
+    QUALIFY row_number() OVER (
+        PARTITION BY p.event_id
+        ORDER BY c.click_ts DESC, c.click_id DESC) = 1
+    """,
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the user's
+    most recent click at-or-before it (union+window — one shuffle,
+    never a range-join explosion; operators/asof.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts="ts",
+        right_payload=["click_id", "click_value"],
+        tiebreak="click_id",
+    )
+
+
+@query(
+    "time_bucket_rollup",
+    oracle=f"""
+    SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS bucket_epoch,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum({_VAL}) AS DOUBLE) AS sum_value,
+           floor(CAST(avg(value) AS DOUBLE) * 10000 + 0.5) / 10000 AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: arbitrary-width time
+    buckets (15 min — not expressible with date_trunc) × event_type.
+    Partial aggregation makes the shuffle carry one row per
+    (bucket, type) per task; value sums run in exact DECIMAL."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 900) * 900).cast("bigint")
+    return ev.groupBy(
+        bucket.alias("bucket_epoch"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        dround(F.avg("value").cast("double"), 4).alias("avg_value"),
+    )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH delta AS (
+        SELECT o_orderkey, 'P' AS o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(1.10 AS DECIMAL(3,2)) AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, 'N' AS o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(0.50 AS DECIMAL(3,2)) AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           COALESCE(d.o_totalprice, b.o_totalprice) AS o_totalprice
+    FROM orders b FULL OUTER JOIN delta d USING (o_orderkey)
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics (update-if-matched / insert-if-not) as one
+    full-outer equi-join + per-column COALESCE preferring the delta —
+    the idempotent replacement for the reference's blind Parquet
+    append (Proof.scala:147-151). One shuffle on the merge key; AQE
+    broadcasts the delta when it is small."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    updates = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("P").alias("o_orderstatus"),
+        (price_dec * F.lit(1.10).cast("decimal(3,2)")).cast("double").alias("o_totalprice"),
+    )
+    inserts = base.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        (price_dec * F.lit(0.50).cast("decimal(3,2)")).cast("double").alias("o_totalprice"),
+    )
+    delta = updates.unionByName(inserts)
+    d = delta.select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus").alias("d_status"),
+        F.col("o_totalprice").alias("d_price"),
+    )
+    return (
+        base.join(d, "o_orderkey", "full_outer")
+        .select(
+            "o_orderkey",
+            F.coalesce("d_status", "o_orderstatus").alias("o_orderstatus"),
+            F.coalesce("d_price", "o_totalprice").alias("o_totalprice"),
+        )
+    )
+
+
+@query(
+    "partitioned_sink_roundtrip",
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS n_purchases,
+           CAST(sum({_VAL}) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet store layout: write events partitioned by
+    event_type (the scale replacement for the reference's
+    repartition(1) single file, Proof.scala:148), read back with a
+    partition filter — only the matching directory is scanned
+    (PartitionFilters; asserted in tests/test_plan_shape.py) — and
+    aggregate. Hash-matches the direct aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"rg_part_events_{tag}")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )

@@ -1,0 +1,53 @@
+"""Behavioral tests for the as-of join operator: at-or-before
+semantics, left-outer nulls, deterministic tie-break, and key
+isolation — on a hand-computed fixture."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from reports_generator_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            Row(lid=1, k=1, t=_ts("2024-01-01T10:00:00")),  # after r1, before r2
+            Row(lid=2, k=1, t=_ts("2024-01-01T12:00:00")),  # == r2.t (inclusive)
+            Row(lid=3, k=1, t=_ts("2024-01-01T08:00:00")),  # before all → null
+            Row(lid=4, k=2, t=_ts("2024-01-01T23:00:00")),  # other key
+            Row(lid=5, k=3, t=_ts("2024-01-01T10:00:00")),  # key with no rights
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(rid=10, k=1, t=_ts("2024-01-01T09:00:00"), v="r1"),
+            Row(rid=11, k=1, t=_ts("2024-01-01T12:00:00"), v="r2a"),
+            Row(rid=12, k=1, t=_ts("2024-01-01T12:00:00"), v="r2b"),  # tie: rid wins
+            Row(rid=13, k=2, t=_ts("2024-01-01T09:30:00"), v="k2"),
+        ]
+    )
+    out = {
+        r["lid"]: (r["rid"], r["v"])
+        for r in asof_join(
+            left, right, on="k", ts="t", right_payload=["rid", "v"], tiebreak="rid"
+        ).collect()
+    }
+    assert out[1] == (10, "r1")        # latest at-or-before 10:00 is 09:00
+    assert out[2] == (12, "r2b")       # equal-t included; max rid wins tie
+    assert out[3] == (None, None)      # nothing before 08:00
+    assert out[4] == (13, "k2")        # keys don't leak across partitions
+    assert out[5] == (None, None)      # key with no right rows at all
+
+
+def test_asof_collision_suffix(spark):
+    left = spark.createDataFrame([Row(k=1, t=1, v="L")])
+    right = spark.createDataFrame([Row(k=1, t=0, v="R")])
+    row = asof_join(left, right, on="k", ts="t", right_payload=["v"]).collect()[0]
+    assert row["v"] == "L" and row["v_r"] == "R"

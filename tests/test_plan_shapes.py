@@ -84,3 +84,24 @@ def test_whole_stage_codegen_covers_scalar_fns(spark):
     # simple mode marks codegen'd operators with a "*(stage)" prefix
     plan = plan_str(df, "simple")
     assert "*(1)" in plan
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """A filter on the partition column must become a PartitionFilter
+    (directory pruning), not a data filter over the full scan."""
+    df = registry.QUERIES["partitioned_sink_roundtrip"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "PartitionFilters" in plan
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("event_type" in ln for ln in pf_lines), plan
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    """The as-of join must plan as union + window (one hash exchange
+    on the key), never a BroadcastNestedLoopJoin / cartesian range
+    join."""
+    df = registry.QUERIES["asof_join"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
