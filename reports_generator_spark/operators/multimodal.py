@@ -102,3 +102,76 @@ def extract_features(multimodal: DataFrame) -> DataFrame:
             yield out
 
     return multimodal.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes_resized", LongType()),
+        StructField("resized_hash", StringType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+
+def resize_image(payload: bytes, size: tuple[int, int]):  # pragma: no cover - stub
+    """Real resize hook (PIL thumbnail). No codec in this container →
+    NotImplementedError; the pipeline uses the deterministic fake."""
+    img = decode_image(payload)
+    return img.resize(size)
+
+
+def resize_payloads(multimodal: DataFrame, stride: int = 4) -> DataFrame:
+    """1:1 Arrow-batched "resize": the deterministic fake keeps every
+    `stride`-th byte (the real hook is resize_image). Same mapInPandas
+    shape a real thumbnailer would use — payload-in, payload-digest-out,
+    no row-at-a-time Python."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: bytes(b)[::stride])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes_resized": resized.map(len),
+                    "resized_hash": resized.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return multimodal.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    multimodal: DataFrame, frame_bytes: int = 256, frame_stride: int = 2
+) -> DataFrame:
+    """1:N frame sampling: payload = concatenated fixed-size "frames";
+    emit every `frame_stride`-th frame's digest. Output cardinality
+    differs from input — mapInPandas yields however many rows each
+    batch produces (a video frame-sampler's exact shape)."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, frame_stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.md5(b[i * frame_bytes : (i + 1) * frame_bytes]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_hash": hashes}
+            )
+
+    return multimodal.mapInPandas(run, FRAME_SCHEMA)

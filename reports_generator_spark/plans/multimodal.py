@@ -34,3 +34,55 @@ def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(attach_payload(docs))
     return feats.select("doc_id", "mime", "n_bytes", "feature_hash")
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH idx AS (
+        SELECT doc_id, text,
+               UNNEST(range(1, length(text) + 1, 4)) AS i
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bytes_resized,
+           md5(string_agg(substring(text, CAST(i AS INTEGER), 1),
+                          '' ORDER BY i)) AS resized_hash
+    FROM idx
+    GROUP BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1:1 payload transform plumbing (fake resize = byte stride 4;
+    real hook is operators.multimodal.resize_image). Oracle rebuilds
+    the strided bytes char-by-char — ASCII fixture text makes byte and
+    char slicing identical."""
+    from ..operators.multimodal import resize_payloads
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_payloads(attach_payload(docs), stride=4)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH idx AS (
+        SELECT doc_id, text,
+               UNNEST(range(0, CAST(floor((length(text) + 255) / 256) AS BIGINT),
+                            2)) AS i
+        FROM documents
+    )
+    SELECT doc_id,
+           i AS frame_idx,
+           md5(substring(text, CAST(i * 256 + 1 AS INTEGER), 256)) AS frame_hash
+    FROM idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1:N frame-sampling plumbing: payload split into 256-byte frames,
+    every 2nd frame digested — mapInPandas emitting more rows than it
+    consumes, exactly a video frame-sampler's shape."""
+    from ..operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(docs), frame_bytes=256, frame_stride=2)

@@ -583,3 +583,90 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return e.select("event_id", "user_id", k.alias("k_val")).filter(F.col("k_val") >= 50)
+
+
+# --------------------------------------------------------------------------
+# Skew-aware join: salting (the manual fallback when AQE skew-join
+# can't help, e.g. a skewed broadcast-ineligible key)
+# --------------------------------------------------------------------------
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join for skewed keys: events.user_id is hot (~150
+    distinct keys over the whole table). The fact side gets a
+    deterministic salt in [0,8); the dim side is exploded 8×; the join
+    key becomes (key, salt), spreading each hot key over 8 reducers.
+    Result ≡ the unsalted join — the oracle is the plain one."""
+    n_salt = 8
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__salt", F.pmod(F.col("event_id"), F.lit(n_salt)).cast("int")
+    )
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    joined = ev.join(cust, (ev.user_id == cust.c_custkey) & (ev.__salt == cust.__salt))
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join: pre-shuffled storage layout, no exchange
+# on the join keys at read time
+# --------------------------------------------------------------------------
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table join: both sides written bucketBy(8, custkey) +
+    sortBy, so the sort-merge join reads co-located buckets with NO
+    exchange on the join keys (asserted in tests/test_plan_shapes.py).
+    At 100 TB this is the difference between re-shuffling the fact
+    table per query and shuffling it once at write time."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    t_orders, t_cust = f"rg_orders_b_{tag}", f"rg_cust_b_{tag}"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+    def _ensure(table: str, source: str, key: str) -> None:
+        # the in-memory catalog forgets tables between sessions but the
+        # warehouse directory persists — clear a stale location first
+        if spark.catalog.tableExists(table):
+            return
+        loc = os.path.join(warehouse, table.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        _t(spark, sf_dir, source).write.bucketBy(8, key).sortBy(key).mode(
+            "overwrite"
+        ).saveAsTable(table)
+
+    _ensure(t_orders, "orders", "o_custkey")
+    _ensure(t_cust, "customer", "c_custkey")
+
+    o = spark.table(t_orders)
+    c = spark.table(t_cust).filter(F.col("c_mktsegment") == "BUILDING")
+    joined = o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )

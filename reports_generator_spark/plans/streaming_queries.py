@@ -116,3 +116,32 @@ def stream_report_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream_report_ingest(spark, cfg, sink, checkpoint_dir=ckpt).awaitTermination()
     return spark.read.parquet(sink)
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_purchases,
+           CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the
+    static customer dimension (broadcast — no stream-side shuffle for
+    the join), then aggregated. The batch oracle is the same join; the
+    stream-static join is stateless so stream ≡ batch exactly."""
+    from ..sources import load_table
+    from ..streaming.windowed import _run_to_memory, _stream_events
+
+    ev = _stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    dim = F.broadcast(load_table(spark, sf_dir, "customer"))
+    joined = ev.join(dim, ev.user_id == dim.c_custkey)
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    return _run_to_memory(agg, "complete")

@@ -105,3 +105,21 @@ def test_asof_join_is_single_shuffle_window(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_bucketed_join_has_no_exchange_on_join_keys(spark):
+    """Both sides are bucketBy(8, custkey): the sort-merge join must
+    read co-located buckets without shuffling either side."""
+    df = registry.QUERIES["join_bucketed_colocated"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "SortMergeJoin" in plan
+    ex_lines = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert not any("custkey" in ln for ln in ex_lines), plan
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """The salted join must shuffle on (key, salt), not the bare hot
+    key."""
+    df = registry.QUERIES["join_skew_salted"](spark, SF_DIR)
+    plan = plan_str(df, "extended")
+    assert "__salt" in plan
