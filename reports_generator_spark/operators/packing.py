@@ -1,0 +1,75 @@
+"""Sequence packing — the LLM-training batch-prep step: greedily pack
+documents into fixed-capacity context windows ("bins") so training
+sees full sequences instead of per-doc padding waste.
+
+Greedy next-fit in deterministic (doc_id) order inside each shard:
+a running fill accumulates token counts; a doc that would overflow the
+capacity opens the next bin. A doc larger than the capacity occupies a
+bin alone (truncation is the trainer's call, not the packer's).
+
+The sequential dependency (bin of doc i depends on docs < i) makes
+this non-expressible as a window function — it is exactly the
+applyInPandas shape: shard the corpus by a grouping key (here `lang`;
+in production a hash shard), sort inside the group, run the O(n)
+greedy scan in one Arrow batch stream per group.
+
+Scale posture: parallelism = number of shards; each shard's scan is
+linear and memory-bounded by the group (spill-safe: the plan sorts
+shard rows before the UDF). Packing quality is per-shard — the
+standard trade (global optimal packing is NP-hard and serial; sharded
+next-fit is what production pipelines run).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator  # noqa: F401  (mirrors sibling operators)
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+PACK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("shard", StringType()),
+        StructField("n_tok", LongType()),
+        StructField("bin_id", LongType()),
+    ]
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tok",
+) -> DataFrame:
+    """(doc_id, shard, n_tok, bin_id): greedy next-fit packing of each
+    shard's docs (in id order) into bins of `capacity` tokens."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        bin_id, fill = 0, 0
+        bins = []
+        for n in pdf[tokens_col]:
+            if fill > 0 and fill + n > capacity:
+                bin_id += 1
+                fill = 0
+            fill += n
+            bins.append(bin_id)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf[id_col].to_numpy(),
+                "shard": pdf[shard_col].to_numpy(),
+                "n_tok": pdf[tokens_col].to_numpy(),
+                "bin_id": bins,
+            }
+        )
+
+    sel = docs.select(
+        F.col(id_col), F.col(shard_col), F.col(tokens_col).cast("long")
+    )
+    return sel.groupBy(shard_col).applyInPandas(pack, PACK_SCHEMA)

@@ -238,3 +238,138 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint_col(tokens_col("text")).alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# PII redaction (regexp_replace sweep; Java and RE2 share this subset)
+# --------------------------------------------------------------------------
+@query(
+    "text_redact_pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               text || ' contact user' || doc_id ||
+                 '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: email + phone regexes over the corpus (PII is
+    synthesized deterministically from doc_id since the fixture text
+    has none — the redaction path is what's under test). Pure
+    regexp_replace: JVM-side, codegen'd, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            with_pii, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+        ),
+        r"\+1-555-[0-9]{4}",
+        "<PHONE>",
+    )
+    return d.select("doc_id", redacted.alias("redacted"))
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy join (edit distance with a length-band blocking key)
+# --------------------------------------------------------------------------
+@query(
+    "fuzzy_join_levenshtein",
+    oracle="""
+    WITH probes AS (
+      SELECT c_custkey AS probe_id, substring(c_name, 3) AS probe FROM customer
+    )
+    SELECT p.probe_id, c.c_custkey AS match_id,
+           levenshtein(p.probe, c.c_name) AS dist
+    FROM probes p JOIN customer c
+      ON abs(length(c.c_name) - length(p.probe)) <= 2
+     AND levenshtein(p.probe, c.c_name) <= 2
+    QUALIFY row_number() OVER (PARTITION BY p.probe_id
+                               ORDER BY dist, match_id) = 1
+    """,
+)
+def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity match: probes (customer names with the first two
+    chars cut) matched back by edit distance ≤ 2. NOT a cross join:
+    levenshtein ≤ d implies |len(a)-len(b)| ≤ d, so each probe explodes
+    into the 5 candidate lengths and the join is EQUI on length —
+    blocking bounds candidates exactly as banding does for MinHash.
+    Best match per probe via window (min dist, then min key)."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    probes = cust.select(
+        F.col("c_custkey").alias("probe_id"),
+        F.substring("c_name", 3, 2_000_000).alias("probe"),
+    )
+    cand_lens = probes.select(
+        "probe_id",
+        "probe",
+        F.explode(
+            F.array(*[F.length("probe") + F.lit(d) for d in range(-2, 3)])
+        ).alias("blen"),
+    )
+    names = cust.select(
+        F.col("c_custkey").alias("match_id"),
+        F.col("c_name"),
+        F.length("c_name").alias("blen"),
+    )
+    j = (
+        cand_lens.join(names, "blen")
+        .withColumn("dist", F.levenshtein("probe", "c_name").cast("bigint"))
+        .filter(F.col("dist") <= 2)
+    )
+    w = Window.partitionBy("probe_id").orderBy("dist", "match_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "match_id", "dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (LLM batch prep; operators/packing.py)
+# --------------------------------------------------------------------------
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tok,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tok, rn, CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.doc_id, d.lang, d.n_tok, d.rn,
+             CASE WHEN p.fill + d.n_tok <= 256 THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + d.n_tok <= 256 THEN p.fill + d.n_tok ELSE d.n_tok END
+      FROM packed p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, lang AS shard, n_tok, bin_id FROM packed
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing into 256-token bins, sharded
+    by lang. The sequential scan is applyInPandas per shard; the
+    oracle replays the same fold as a recursive CTE."""
+    from ..operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(tokens_col("text")).cast("long").alias("n_tok"),
+    )
+    return pack_sequences(d, capacity=256, shard_col="lang", tokens_col="n_tok")

@@ -80,3 +80,25 @@ def test_ngram_jaccard_planted(docs):
     assert pairs[(0, 1)] == 1.0
     assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
     assert (0, 3) not in pairs
+
+
+def test_pack_sequences_edges(spark):
+    """Greedy next-fit: exact-fit stays, overflow opens a bin, an
+    oversized doc occupies a bin alone."""
+    import pandas as pd
+    from reports_generator_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "lang": ["en"] * 5,
+                "n_tok": [60, 40, 1, 200, 10],  # 60+40 fills 100 exactly
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r["bin_id"]
+        for r in pack_sequences(df, capacity=100, shard_col="lang").collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3}

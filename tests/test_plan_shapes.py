@@ -123,3 +123,35 @@ def test_salted_join_spreads_hot_keys(spark):
     df = registry.QUERIES["join_skew_salted"](spark, SF_DIR)
     plan = plan_str(df, "extended")
     assert "__salt" in plan
+
+
+def test_no_antipatterns_in_any_batch_plan(spark):
+    """Sweep every batch query's physical plan for scale
+    anti-patterns: cartesian/nested-loop joins (except the intentional
+    theta-range join) and row-at-a-time Python UDFs (BatchEvalPython —
+    everything Python must go through Arrow)."""
+    skip = {
+        # streaming queries execute at build time; theta-range is BNLJ by design
+        "join_theta_range",
+        "stream_tumbling_agg", "stream_dedup_watermark", "stream_static_join",
+        "stream_sessionize_stateful", "stream_report_ingest",
+        # intentional broadcast-cross shapes: brute-force/IVF similarity
+        # broadcast a tiny side (query vectors / centroids) against the
+        # corpus — that IS the scale plan; tfidf broadcasts a 1-row
+        # corpus-size aggregate
+        "similarity_topk", "similarity_topk_ivf", "embedding_neardup",
+        "text_tfidf",
+    }
+    bad = {}
+    for name, fn in sorted(registry.QUERIES.items()):
+        if name in skip:
+            continue
+        plan = plan_str(fn(spark, SF_DIR))
+        hits = [
+            p
+            for p in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+            if p in plan
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, bad
