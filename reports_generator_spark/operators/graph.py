@@ -38,6 +38,10 @@ def connected_components(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
         .distinct()
+        # materialize once: every round joins against `und`, and without
+        # this the full upstream lineage (e.g. the near-dup pair
+        # generation) would re-execute per iteration
+        .localCheckpoint()
     )
     labels = (
         und.select(F.col("src").alias("node"))

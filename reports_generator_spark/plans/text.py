@@ -291,7 +291,8 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.probe_id, c.c_custkey AS match_id,
            levenshtein(p.probe, c.c_name) AS dist
     FROM probes p JOIN customer c
-      ON abs(length(c.c_name) - length(p.probe)) <= 2
+      ON substring(p.probe, length(p.probe) - 7, 8)
+         = substring(c.c_name, length(c.c_name) - 7, 8)
      AND levenshtein(p.probe, c.c_name) <= 2
     QUALIFY row_number() OVER (PARTITION BY p.probe_id
                                ORDER BY dist, match_id) = 1
@@ -300,9 +301,13 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity match: probes (customer names with the first two
     chars cut) matched back by edit distance ≤ 2. NOT a cross join:
-    levenshtein ≤ d implies |len(a)-len(b)| ≤ d, so each probe explodes
-    into the 5 candidate lengths and the join is EQUI on length —
-    blocking bounds candidates exactly as banding does for MinHash.
+    the blocking key is the 8-char suffix — under the head-edit noise
+    model (≤ 2 edits, none in the tail), the suffix survives
+    verbatim, so the join is EQUI on a highly selective key and the
+    quadratic verify runs only inside tiny blocks. Like LSH banding,
+    blocking trades bounded recall (a tail edit escapes the block) for
+    candidate volume — length-only blocking is the classic trap (every
+    fixture name has the SAME length, collapsing it to a cross join).
     Best match per probe via window (min dist, then min key)."""
     from pyspark.sql import Window
 
@@ -311,20 +316,16 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("probe_id"),
         F.substring("c_name", 3, 2_000_000).alias("probe"),
     )
-    cand_lens = probes.select(
-        "probe_id",
-        "probe",
-        F.explode(
-            F.array(*[F.length("probe") + F.lit(d) for d in range(-2, 3)])
-        ).alias("blen"),
+    blocked = probes.select(
+        "probe_id", "probe", F.substring("probe", -8, 8).alias("bkey")
     )
     names = cust.select(
         F.col("c_custkey").alias("match_id"),
         F.col("c_name"),
-        F.length("c_name").alias("blen"),
+        F.substring("c_name", -8, 8).alias("bkey"),
     )
     j = (
-        cand_lens.join(names, "blen")
+        blocked.join(names, "bkey")
         .withColumn("dist", F.levenshtein("probe", "c_name").cast("bigint"))
         .filter(F.col("dist") <= 2)
     )
