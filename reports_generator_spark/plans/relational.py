@@ -670,3 +670,84 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# ORC round-trip (third columnar format after parquet/CSV/JSONL)
+# --------------------------------------------------------------------------
+@query(
+    "scan_orc_roundtrip",
+    oracle="SELECT p_partkey, p_name, p_brand, p_retailprice FROM part",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip on `part` (Spark's built-in ORC
+    reader is vectorized and push-down capable, same as parquet)."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"rg_orc_rt_{tag}")
+    p.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/validation/test split (reproducible by key, not
+# by RNG — the only split that survives re-runs and backfills)
+# --------------------------------------------------------------------------
+@query(
+    "train_test_split",
+    oracle="""
+    SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+                WHEN doc_id % 10 = 8 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split assigned by key arithmetic (doc_id mod 10):
+    deterministic, re-runnable, join-free — a doc's split never changes
+    as the corpus grows, unlike fraction-based sampling."""
+    d = _t(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("doc_id") % 10 < 8, "train")
+        .when(F.col("doc_id") % 10 == 8, "valid")
+        .otherwise("test")
+    )
+    return d.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-width histogram (distributed: one groupBy on the bucket index)
+# --------------------------------------------------------------------------
+@query(
+    "histogram_fixed_width",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value histogram with fixed 50k-wide buckets: floor-divide to a
+    bucket index, one partial-agg groupBy — the distributed histogram
+    primitive (no driver-side binning)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )

@@ -178,3 +178,40 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
     )
+
+
+@query(
+    "window_range_time",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_1h_value,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+           ) AS trailing_1h_events
+    FROM events
+    """,
+)
+def window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: trailing 1-hour sum/count per
+    user. rangeBetween on epoch seconds — the frame is value-based
+    (all rows within 3599s), not row-count-based; ties in ts share a
+    frame, so the result is deterministic without a tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h_value"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+    )
