@@ -140,11 +140,11 @@ def read_report_lines(spark: SparkSession, cfg: ReportConfig) -> DataFrame:
     return lines_from_wholetext(raw)
 
 
-def parse_blocks(lines: DataFrame, cfg: ReportConfig) -> DataFrame:
-    """P1-P7: key/value split, SI/NO normalization, cumulative-sum block
-    ids, ordered block assembly. Returns one row per record block with
-    `vals` = the 22 positional values and `any_parquet` marking P8's
-    content classification."""
+def parse_blocks_raw(lines: DataFrame, cfg: ReportConfig) -> DataFrame:
+    """P1-P6: key/value split, SI/NO normalization, cumulative-sum block
+    ids, ordered block assembly — WITHOUT the completeness filter (P7),
+    so the quarantine path can route rejects. Returns one row per block
+    with `vals`, `has_term`, and `any_parquet`."""
     kv = lines.filter(F.col("line").contains(":")).select(
         "report_path",
         "line_no",
@@ -184,7 +184,13 @@ def parse_blocks(lines: DataFrame, cfg: ReportConfig) -> DataFrame:
             F.when(F.col("value").rlike(rf"\b({cfg.report_type_match})\b"), 1).otherwise(0)
         ).alias("any_parquet"),
     )
-    # P7 — only complete (terminated, full-length) blocks survive
+    return assembled
+
+
+def parse_blocks(lines: DataFrame, cfg: ReportConfig) -> DataFrame:
+    """P1-P7: parse_blocks_raw + the completeness filter — only
+    complete (terminated, full-length) blocks survive."""
+    assembled = parse_blocks_raw(lines, cfg)
     return assembled.filter((F.col("has_term") == 1) & (F.size("vals") >= BLOCK_LEN))
 
 
@@ -253,3 +259,31 @@ def ingest_report_lines(lines: DataFrame, cfg: ReportConfig) -> DataFrame:
     want = [(f.name, f.dataType) for f in expect.fields]
     assert got == want, f"schema contract violated: {got} != {want}"
     return out
+
+
+def ingest_with_quarantine(
+    lines: DataFrame, cfg: ReportConfig
+) -> tuple[DataFrame, DataFrame]:
+    """P12 done right: (good, quarantined).
+
+    The reference swallows a failing file with a printStackTrace and
+    moves on (Proof.scala:71-87) — errors vanish. Here malformed
+    blocks are *routed*, not dropped: the good side is the normal
+    `ingest_report_lines` output; the quarantine side is one row per
+    rejected block with the source path, block id, a reject reason
+    (`no_terminator` | `short_block`), the observed length, and the
+    raw values for replay. Both sides come off the same parsed-block
+    plan — no second scan of the input."""
+    blocks = parse_blocks_raw(lines, cfg)
+    good_pred = (F.col("has_term") == 1) & (F.size("vals") >= BLOCK_LEN)
+    good = ingest_report_lines(lines, cfg)
+    quarantined = blocks.filter(~good_pred).select(
+        "report_path",
+        "block_id",
+        F.when(F.col("has_term") == 0, "no_terminator")
+        .otherwise("short_block")
+        .alias("reject_reason"),
+        F.size("vals").alias("n_values"),
+        F.col("vals").alias("raw_values"),
+    )
+    return good, quarantined

@@ -751,3 +751,28 @@ def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").cast("double").alias("lo"),
         F.max("o_totalprice").cast("double").alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# SQL surface: the same ANSI text runs on spark.sql AND the oracle —
+# the engine's second query API next to the DataFrame builders
+# --------------------------------------------------------------------------
+_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           floor(avg(l_discount) * 10000 + 0.5) / 10000 AS avg_disc,
+           count(*) AS n_rows
+    FROM {lineitem}
+    WHERE l_quantity < 45.0
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_surface", oracle=_Q1_SQL.format(lineitem="lineitem"))
+def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql() entry path: the flagship Q1 shape as raw ANSI SQL
+    over a registered view — the IDENTICAL text is the oracle, so this
+    also pins the engine's SQL dialect to the portable subset."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("rg_sql_lineitem")
+    return spark.sql(_Q1_SQL.format(lineitem="rg_sql_lineitem"))

@@ -79,3 +79,44 @@ def udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_avg_disc"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# UDTF (table function) — completes the function surface: scalar
+# (pandas_udf) / aggregate (GROUPED_AGG) / table (udtf)
+# --------------------------------------------------------------------------
+@query(
+    "udtf_expand",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, UNNEST(string_split(text, '.')) AS sentence FROM documents
+    )
+    SELECT doc_id, trim(sentence) AS sentence,
+           CAST(len(list_filter(string_split(trim(sentence), ' '), x -> x <> ''))
+                AS BIGINT) AS n_words
+    FROM s
+    WHERE trim(sentence) <> ''
+    """,
+)
+def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Arrow-batched): one input doc → N sentence rows
+    with word counts. The table-function escape hatch for 1:N logic a
+    lateral view can't express (here it CAN — the oracle proves the
+    semantics with UNNEST — but the shape is the point)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id: bigint, sentence: string, n_words: bigint", useArrow=True)
+    class ExpandSentences:
+        def eval(self, doc_id: int, text: str):
+            for raw in text.split("."):
+                s = raw.strip()
+                if s:
+                    yield doc_id, s, len([w for w in s.split(" ") if w])
+
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("rg_udtf_docs")
+    spark.udtf.register("rg_expand_sentences", ExpandSentences)
+    return spark.sql(
+        "SELECT t.* FROM rg_udtf_docs, "
+        "LATERAL rg_expand_sentences(doc_id, text) t"
+    )

@@ -162,3 +162,30 @@ def test_idempotent_parquet_sink(spark, report_dir, tmp_path):
     second = write_parquet_idempotent(spark, df, sink)
     assert second.count() == 0
     assert spark.read.parquet(sink).count() == 12
+
+
+def test_quarantine_routes_malformed_blocks(spark, tmp_path):
+    """P12 done right: a truncated trailing block (no terminator) and a
+    short block land in quarantine with reasons; good blocks are
+    unaffected; nothing is silently dropped."""
+    from reports_generator_spark.ingest.fixtures import INPUT_KEYS
+    from reports_generator_spark.ingest.reports import (
+        ingest_with_quarantine,
+        read_report_lines,
+    )
+
+    d = str(tmp_path / "qreports")
+    write_report_files(d, n_files=1, blocks_per_file=2, nested=False)
+    # append a malformed tail: a short block (terminated early) and a
+    # truncated block with no terminator at EOF
+    path = [p for p in os.listdir(d) if p.endswith(".TXT")][0]
+    with open(os.path.join(d, path), "a", encoding="utf-8") as fh:
+        fh.write("file: short.csv\nstatus: BROKEN\n")      # short but terminated
+        fh.write("file: tail.csv\ntableName: t\n")          # no terminator
+    cfg = ReportConfig(
+        input_dir=d, output_parquet="", output_csv="", generation_date=GEN_DATE
+    )
+    good, quar = ingest_with_quarantine(read_report_lines(spark, cfg), cfg)
+    assert good.count() == 2
+    reasons = {r["reject_reason"] for r in quar.collect()}
+    assert reasons == {"short_block", "no_terminator"}
