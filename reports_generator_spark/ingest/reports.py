@@ -225,7 +225,9 @@ def ingest_report_lines(lines: DataFrame, cfg: ReportConfig) -> DataFrame:
     fields["fileGeneratedDate"] = F.regexp_extract(decoded_path, _FILE_DATE_RE, 1)
 
     def count_diff(prep: str, oficial: str):
-        d = fields[prep].cast("bigint") - fields[oficial].cast("bigint")
+        # try_cast: non-numeric/empty counts yield NULL -> "" instead of
+        # failing the whole job under ANSI mode (per-record tolerance).
+        d = fields[prep].try_cast("bigint") - fields[oficial].try_cast("bigint")
         return F.coalesce(d.cast("string"), F.lit(""))
 
     fields["difCountCol"] = count_diff("fileAntColForCountColumns", "fileColForCountColumns")
