@@ -776,3 +776,104 @@ def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     also pins the engine's SQL dialect to the portable subset."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("rg_sql_lineitem")
     return spark.sql(_Q1_SQL.format(lineitem="rg_sql_lineitem"))
+
+
+# --------------------------------------------------------------------------
+# Deterministic mode / arg-max per group (ties broken by value order —
+# built-in mode() is tie-unstable on both engines, so neither side
+# uses it; both compute the same count-then-rank plan).
+# --------------------------------------------------------------------------
+@query(
+    "agg_argmax_mode",
+    oracle="""
+    SELECT user_id, event_type AS mode_event_type, cnt AS mode_count
+    FROM (
+      SELECT user_id, event_type, count(*) AS cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type ASC) AS rn
+      FROM events
+      GROUP BY user_id, event_type
+    ) t
+    WHERE rn = 1
+    """,
+)
+def agg_argmax_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent event type per user. The heavy shuffle is the
+    partial-aggregated (user, type) count — group-count-sized, not
+    row-sized; the ranking window then runs over ~|groups| rows."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Ordered list aggregation (collect_list is unordered by contract —
+# sort_array makes the result deterministic; string-join so the
+# value-hash compares across engines).
+# --------------------------------------------------------------------------
+@query(
+    "agg_collect_ordered",
+    oracle="""
+    SELECT s_nationkey,
+           count(*) AS n_suppliers,
+           string_agg(s_name, '|' ORDER BY s_name) AS supplier_names
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted name roster per nation. collect_list's order is
+    partition-arrival-dependent; array_sort restores determinism
+    regardless of shuffle layout — required for reproducible results
+    on any cluster size."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.array_join(F.array_sort(F.collect_list("s_name")), "|").alias(
+            "supplier_names"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sample — multiplicative hash on the key,
+# not rand(): the sampled set is stable across re-runs, retries, and
+# cluster layouts (rand()-based sampling is none of those).
+# --------------------------------------------------------------------------
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_sampled,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sampled_value
+    FROM orders
+    WHERE (o_orderkey * 2654435761) % 1000 < 100
+    GROUP BY o_orderpriority
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% per-stratum sample via Knuth multiplicative hash on the
+    key. The predicate is a pure column expression: it pushes into the
+    scan, samples identically on every executor count, and never
+    needs a seed broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    sampled = o.filter((F.col("o_orderkey") * F.lit(2654435761)) % 1000 < 100)
+    return sampled.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sampled_value"),
+    )

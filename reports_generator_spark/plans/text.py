@@ -374,3 +374,82 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens_col("text")).cast("long").alias("n_tok"),
     )
     return pack_sequences(d, capacity=256, shard_col="lang", tokens_col="n_tok")
+
+
+# --------------------------------------------------------------------------
+# BM25 relevance scoring — the retrieval-side complement to TF-IDF.
+# --------------------------------------------------------------------------
+BM25_TERMS = ("join", "hash", "filter")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@query(
+    "text_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks
+      WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT count(*) * 1.0 FROM toks)
+               / (SELECT count(*) FROM documents) AS avgdl
+    )
+    SELECT tf.doc_id,
+           floor(sum(
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * ({BM25_K1} + 1.0)
+             / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))
+           ) * 1000000 + 0.5) / 1000000 AS bm25
+    FROM tf
+    JOIN dl ON tf.doc_id = dl.doc_id
+    JOIN df ON tf.token = df.token
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 score of a fixed term set per document.
+
+    Scale shape: one full-corpus shuffle (the (doc_id, token) partial
+    count); doc-frequency and the (n_docs, avgdl) scalars are
+    vocabulary-/unit-sized and broadcast. The per-term filter is pushed
+    below the tf aggregation so the big shuffle only carries query
+    terms, not the whole vocabulary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    stats = (
+        toks.agg(F.count(F.lit(1)).alias("total_toks"))
+        .crossJoin(d.agg(F.count(F.lit(1)).alias("n_docs")))
+        .select(
+            "n_docs",
+            (F.col("total_toks") * 1.0 / F.col("n_docs")).alias("avgdl"),
+        )
+    )
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * F.col("tf") * (BM25_K1 + 1.0) / (
+        F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(dround(F.sum(contrib), 6).alias("bm25"))
+    )

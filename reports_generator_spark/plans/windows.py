@@ -215,3 +215,39 @@ def window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trailing_1h_value"),
         F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# R13b distribution / bucketing window functions — ntile is the
+# length-bucketing primitive for batch-shaping training data (group
+# docs of similar length so padding waste is bounded).
+# --------------------------------------------------------------------------
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+           floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist per priority class (total order
+    within each partition makes every value deterministic)."""
+    from ..functions.rounding import dround
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        dround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        dround(F.cume_dist().over(w), 6).alias("cdist"),
+    )
