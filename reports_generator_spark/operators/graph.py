@@ -34,13 +34,13 @@ def connected_components(
 ) -> DataFrame:
     """(node, cluster_id) for every node in `edges`, where cluster_id
     is the minimum node id in the node's connected component."""
+    # materialize the (possibly expensive) upstream pair generation
+    # exactly once — the symmetric union below references it twice, and
+    # every round joins against the edge set
+    base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
     und = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        # materialize once: every round joins against `und`, and without
-        # this the full upstream lineage (e.g. the near-dup pair
-        # generation) would re-execute per iteration
         .localCheckpoint()
     )
     labels = (
@@ -49,6 +49,10 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # labels are monotonically non-increasing (a node's old label is in
+    # the min), so convergence == the label sum stops decreasing — one
+    # aggregation per round instead of a self-join change count
+    prev_sum = None
     for _ in range(max_iter):
         nbr = und.join(labels, und.src == labels.node).select(
             F.col("dst").alias("node"), "label"
@@ -60,13 +64,11 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
