@@ -453,3 +453,59 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(dround(F.sum(contrib), 6).alias("bm25"))
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window chunking — the context-window prep step of an LLM
+# corpus pipeline: each doc becomes ⌈n_tok/stride⌉ overlapping chunks.
+# --------------------------------------------------------------------------
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "doc_chunk_sliding",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), {CHUNK_STRIDE})) AS start
+      FROM t WHERE len(toks) >= 1
+    )
+    SELECT doc_id,
+           CAST(start / {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           CAST(len(toks[start + 1 : start + {CHUNK_SIZE}]) AS INTEGER)
+             AS n_chunk_tokens,
+           array_to_string(toks[start + 1 : start + {CHUNK_SIZE}], ' ')
+             AS chunk_text
+    FROM starts
+    """,
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{CHUNK_SIZE}-token chunks at stride {CHUNK_STRIDE} (16-token
+    overlap). sequence+explode+slice — all JVM built-ins; the explode
+    multiplies rows ~n_tok/stride with no shuffle at all (chunking is
+    embarrassingly parallel; the downstream writer decides layout)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_tok = F.size(toks)
+    starts = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+            ).alias("start"),
+        )
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_SIZE)
+    return starts.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
