@@ -25,6 +25,18 @@ from ..functions import shingles_col, tokens_col
 from ..functions.rounding import dround
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Materialize a subplan that is referenced by several downstream
+    branches. Spark re-executes a DataFrame's lineage once per
+    reference (no automatic diamond reuse across different shuffle
+    keys), so an expensive shingle/signature stage would run 2–3×.
+    localCheckpoint executes it once; blocks are freed by the
+    ContextCleaner when the frame goes out of scope (unlike SQL cache,
+    which leaks until explicit unpersist). On a multi-node cluster this
+    would be `persist(DISK_ONLY)` or HDFS `checkpoint`."""
+    return df.localCheckpoint()
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition to the session's default parallelism before an
     explode-heavy stage. Single-file local fixtures arrive as ONE
@@ -105,6 +117,8 @@ def dedup_minhash_lsh(
         for i in range(num_hashes)
     ]
     sig_wide = shingles.groupBy(id_col).agg(*mins)
+    # sig feeds three branches (band explode + two signature join-backs)
+    sig_wide = _materialize(sig_wide)
     sig = sig_wide.select(
         id_col,
         F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
@@ -196,7 +210,9 @@ def dedup_simhash(
     """SimHash near-dup pairs: candidates share one of 4 16-bit bands
     (any pair within Hamming distance 3 of 64 bits must agree on ≥1
     band by pigeonhole); verified by exact Hamming distance."""
-    fp = simhash_fingerprint(df, id_col, text_col)
+    # fp feeds both sides of the band self-join — materialize so the
+    # 64-bit-sum aggregation runs once
+    fp = _materialize(simhash_fingerprint(df, id_col, text_col))
     bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = fp.select(
@@ -245,11 +261,11 @@ def dedup_ngram_jaccard(
     frequency-capped upstream (drop shingles with df > cap) — standard
     practice at corpus scale.
     """
-    sh = (
+    sh = _materialize(
         _spread(df)
         .select(F.col(id_col), F.explode(shingles_col(tokens_col(text_col), shingle_k)).alias("sh"))
         .distinct()
-    )
+    )  # referenced by sizes + both join sides
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
