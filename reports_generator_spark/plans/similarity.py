@@ -94,3 +94,56 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_blocked(
         load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_THRESHOLD
     )
+
+
+# --------------------------------------------------------------------------
+# int8 symmetric quantization — the storage/serving-side companion of
+# the ANN ops: 4× smaller vectors, one shuffle-free pass.
+# --------------------------------------------------------------------------
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS maxabs
+      FROM v
+    )
+    SELECT vec_id,
+           floor(127.0 / maxabs * 1000000 + 0.5) / 1000000 AS scale,
+           array_to_string(
+             list_transform(v, x -> CAST(floor(x * (127.0 / maxabs) + 0.5) AS BIGINT)),
+             ',') AS q_vec,
+           CAST(list_sum(
+             list_transform(v, x -> CAST(floor(x * (127.0 / maxabs) + 0.5) AS BIGINT))
+           ) AS BIGINT) AS q_sum
+    FROM s
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization: q = round(x · 127/max|x|).
+
+    Pure higher-order column expressions (transform/aggregate) — no
+    Python, no shuffle; a 100 TB embedding store quantizes at scan
+    speed. Deterministic floor(x+0.5) rounding so any engine
+    reproduces the same bytes. The quantized vector is surfaced as a
+    CSV string only for the cross-engine value hash; the production
+    sink would keep `array<tinyint>`.
+    """
+    from ..functions.rounding import dround
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    maxabs = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    scale = 127.0 / maxabs
+    q = F.transform(v, lambda x: F.floor(x * scale + 0.5).cast("bigint"))
+    return e.select(
+        "vec_id",
+        dround(scale, 6).alias("scale"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q_vec"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("q_sum"),
+    )

@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import EN_STOPWORDS, en_stopword_ratio, fingerprint_col, tokens_col
+from ..functions import (
+    EN_STOPWORDS,
+    en_stopword_ratio,
+    fingerprint_col,
+    shingles_col,
+    tokens_col,
+)
 from ..functions.rounding import dround
 from ..sources import load_table
 from .registry import query
@@ -508,4 +514,109 @@ def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
         F.size(chunk).cast("int").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus mixture reweighting — per-language keep-rates applied with a
+# deterministic key hash (the "data mixing" step of pretraining prep).
+# --------------------------------------------------------------------------
+MIX_RATES = {"en": 500, "de": 1000, "es": 1000, "fr": 1000, "zh": 250}  # per-mille
+
+_MIX_VALUES_SQL = ", ".join(f"('{k}', {v})" for k, v in MIX_RATES.items())
+
+
+@query(
+    "corpus_mix_weighted",
+    oracle=f"""
+    WITH rates(lang, keep_permille) AS (VALUES {_MIX_VALUES_SQL})
+    SELECT d.lang, r.keep_permille,
+           count(*) AS n_kept,
+           CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+    FROM documents d
+    JOIN rates r ON d.lang = r.lang
+    WHERE (d.doc_id * 2654435761) % 1000 < r.keep_permille
+    GROUP BY d.lang, r.keep_permille
+    """,
+)
+def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-weight over-represented languages by hash-thresholding on
+    the doc key. The rate table is a broadcast-joined config frame
+    (not a when-chain), so mixtures with thousands of (source, lang)
+    strata cost the same plan; the filter is deterministic — re-runs
+    and backfills keep exactly the same documents."""
+    d = load_table(spark, sf_dir, "documents")
+    rates = d.sparkSession.createDataFrame(
+        list(MIX_RATES.items()), "lang string, keep_permille int"
+    )
+    kept = d.join(F.broadcast(rates), "lang").filter(
+        (F.col("doc_id") * F.lit(2654435761)) % 1000 < F.col("keep_permille")
+    )
+    return kept.groupBy("lang", "keep_permille").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination — flag training docs sharing any 5-gram
+# with a held-out eval set (n-gram-overlap decontamination, the
+# standard pre-release hygiene step for LLM corpora).
+# --------------------------------------------------------------------------
+DECON_K = 5
+EVAL_MOD = 97  # doc_id % 97 == 0 plays the role of the benchmark set
+
+_DECON_SH_SQL = f"""
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - {DECON_K - 2}),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+        FROM t WHERE len(toks) >= {DECON_K}
+      )
+"""
+
+
+@query(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sh AS ({_DECON_SH_SQL}),
+    eval_sh AS (
+      SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    train_sh AS (
+      SELECT doc_id, sh FROM sh WHERE doc_id % {EVAL_MOD} <> 0
+    )
+    SELECT doc_id,
+           count(*) AS n_shared_ngrams
+    FROM train_sh JOIN eval_sh USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contaminated-doc report: training docs ranked by how many
+    distinct 5-grams they share with the eval split.
+
+    The eval shingle set is benchmark-sized (tiny next to the corpus)
+    and is broadcast — the corpus side never shuffles: flagging is a
+    map-side semi-join at scan speed, which is what makes this
+    runnable per-release on the full 100 TB corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(shingles_col(tokens_col("text"), DECON_K)).alias("sh"),
+        )
+        .distinct()
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_sh = sh.filter(is_eval).select("sh").distinct()
+    train_sh = sh.filter(~is_eval)
+    return (
+        train_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
