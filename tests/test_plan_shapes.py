@@ -141,6 +141,8 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # corpus-size aggregate
         "similarity_topk", "similarity_topk_ivf", "embedding_neardup",
         "text_tfidf",
+        # bm25 broadcasts its 1-row (n_docs, avgdl) corpus-stats frame
+        "text_bm25",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
@@ -155,3 +157,35 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         if hits:
             bad[name] = hits
     assert not bad, bad
+
+
+def test_decontaminate_broadcasts_eval_set(spark):
+    """The eval shingle set must broadcast — the corpus side of the
+    contamination semi-join must not shuffle (that's what makes the
+    sweep runnable per-release on the full corpus)."""
+    df = registry.QUERIES["decontaminate_ngram"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_data_profile_is_single_scan(spark):
+    """All five column profiles come out of ONE scan+aggregate (the
+    oracle spells it as 5 scans; the engine must not)."""
+    df = registry.QUERIES["data_profile"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Sliding-window chunking is embarrassingly parallel — any
+    Exchange in the plan would be a scale bug."""
+    df = registry.QUERIES["doc_chunk_sliding"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_quantize_is_shuffle_free(spark):
+    df = registry.QUERIES["embedding_quantize"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert "Exchange" not in plan, plan
