@@ -2,6 +2,7 @@ from .text import (
     EN_STOPWORDS,
     tokens_col,
     shingles_col,
+    with_token_array,
     en_stopword_ratio,
     fingerprint_col,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "EN_STOPWORDS",
     "tokens_col",
     "shingles_col",
+    "with_token_array",
     "en_stopword_ratio",
     "fingerprint_col",
 ]

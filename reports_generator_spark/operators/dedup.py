@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import shingles_col, tokens_col
+from ..functions import shingles_col, tokens_col, with_token_array
 from ..functions.rounding import dround
 
 
@@ -76,8 +76,8 @@ def minhash_signatures(
     element. ONE explode + ONE aggregation computing all k mins as
     parallel agg columns — the shuffle carries k longs per doc.
     """
-    shingles = _spread(df).select(
-        F.col(id_col), F.explode(shingles_col(tokens_col(text_col), shingle_k)).alias("shingle")
+    shingles = with_token_array(_spread(df), text_col).select(
+        F.col(id_col), F.explode(shingles_col(F.col("toks"), shingle_k)).alias("shingle")
     )
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
@@ -109,8 +109,8 @@ def dedup_minhash_lsh(
     the packed signature array once per side.
     """
     r = num_hashes // bands
-    shingles = _spread(df).select(
-        F.col(id_col), F.explode(shingles_col(tokens_col(text_col), shingle_k)).alias("shingle")
+    shingles = with_token_array(_spread(df), text_col).select(
+        F.col(id_col), F.explode(shingles_col(F.col("toks"), shingle_k)).alias("shingle")
     )
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
@@ -262,8 +262,8 @@ def dedup_ngram_jaccard(
     practice at corpus scale.
     """
     sh = _materialize(
-        _spread(df)
-        .select(F.col(id_col), F.explode(shingles_col(tokens_col(text_col), shingle_k)).alias("sh"))
+        with_token_array(_spread(df), text_col)
+        .select(F.col(id_col), F.explode(shingles_col(F.col("toks"), shingle_k)).alias("sh"))
         .distinct()
     )  # referenced by sizes + both join sides
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))

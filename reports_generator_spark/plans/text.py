@@ -18,6 +18,7 @@ from ..functions import (
     fingerprint_col,
     shingles_col,
     tokens_col,
+    with_token_array,
 )
 from ..functions.rounding import dround
 from ..sources import load_table
@@ -495,10 +496,8 @@ def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplies rows ~n_tok/stride with no shuffle at all (chunking is
     embarrassingly parallel; the downstream writer decides layout)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens_col("text")
-    n_tok = F.size(toks)
     starts = (
-        d.select("doc_id", toks.alias("toks"))
+        with_token_array(d)
         .filter(F.size("toks") >= 1)
         .select(
             "doc_id",
@@ -605,18 +604,25 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side semi-join at scan speed, which is what makes this
     runnable per-release on the full 100 TB corpus."""
     d = load_table(spark, sf_dir, "documents")
-    sh = (
-        d.select(
-            "doc_id",
-            F.explode(shingles_col(tokens_col("text"), DECON_K)).alias("sh"),
-        )
-        .distinct()
-    )
     is_eval = F.col("doc_id") % EVAL_MOD == 0
-    eval_sh = sh.filter(is_eval).select("sh").distinct()
-    train_sh = sh.filter(~is_eval)
+
+    def shingle_rows(docs):
+        # token array behind a Generate barrier: the k element_at calls
+        # of a shingle must not each re-split the document
+        return with_token_array(docs).select(
+            "doc_id",
+            F.explode(shingles_col(F.col("toks"), DECON_K)).alias("sh"),
+        )
+
+    # split BEFORE exploding: the eval branch shingles 1/97 of the
+    # corpus (filter pushed to the scan). The train side is NEVER
+    # pre-deduplicated — that would shuffle the whole corpus; instead
+    # countDistinct after the broadcast join dedups only the matching
+    # rows, so the lone shuffle carries contaminated shingles only.
+    eval_sh = shingle_rows(d.filter(is_eval)).select("sh").distinct()
+    train_sh = shingle_rows(d.filter(~is_eval))
     return (
         train_sh.join(F.broadcast(eval_sh), "sh")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .agg(F.countDistinct("sh").alias("n_shared_ngrams"))
     )
