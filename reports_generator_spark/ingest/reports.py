@@ -68,6 +68,15 @@ BLOCK_POSITIONS: dict[int, str] = {
 
 BLOCK_LEN = 22  # values per record block, terminator included
 
+#: ISU zip-archive fields (ISU.scala:19-23). The reference declared
+#: them but never defined their input grammar (readFilesISU is an
+#: empty TODO, Proof.scala:219-224). Completed here BY KEY, not by
+#: position: an ISU block is an ERP block plus up to five optional
+#: `infoFile:/zipName:/zipDirectory:/zipPath:/zipSize:` lines anywhere
+#: before the terminator — keyed extraction keeps the 22 positional
+#: slots (and the skip-9/10 mapping) byte-identical to ERP.
+ZIP_KEYS: tuple[str, ...] = ("infoFile", "zipName", "zipDirectory", "zipPath", "zipSize")
+
 #: logical field order of the ERP output row (ERP.scala:2-34 /
 #: Proof.scala:187-213) — position i here gets public name
 #: ERP_HEADERS[i].
@@ -173,16 +182,25 @@ def parse_blocks_raw(lines: DataFrame, cfg: ReportConfig) -> DataFrame:
         ),
     ).withColumn("is_term", is_term)
 
-    # ordered assembly: one aggregation, values sorted by line_no
+    # ordered assembly: one aggregation, values sorted by line_no.
+    # Zip-keyed lines (ISU extension) are extracted as named columns and
+    # EXCLUDED from the positional array so ERP positions never shift.
+    is_zip = F.col("key").isin(*ZIP_KEYS)
     assembled = blocks.groupBy("report_path", "block_id").agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("line_no", "value"))),
+            F.array_sort(
+                F.collect_list(F.when(~is_zip, F.struct("line_no", "value")))
+            ),
             lambda s: s["value"],
         ).alias("vals"),
         F.max("is_term").alias("has_term"),
         F.max(
             F.when(F.col("value").rlike(rf"\b({cfg.report_type_match})\b"), 1).otherwise(0)
         ).alias("any_parquet"),
+        *[
+            F.max(F.when(F.col("key") == k, F.col("value"))).alias(f"zip_{k}")
+            for k in ZIP_KEYS
+        ],
     )
     return assembled
 
@@ -239,15 +257,13 @@ def ingest_report_lines(lines: DataFrame, cfg: ReportConfig) -> DataFrame:
     )
 
     # ISU (ISU.scala:3-37) = ERP row + the zip block after the date
-    # column; the reference never defined the ISU input grammar
-    # (readFilesISU is an empty TODO, Proof.scala:219-224), so the zip
-    # fields are carried as empty strings until that grammar exists.
+    # column. Zip values arrive by key (see ZIP_KEYS) — absent keys
+    # surface as empty strings, matching the all-string contract.
     field_order = list(ERP_FIELD_ORDER)
     if cfg.module == "ISU":
-        zip_fields = ("infoFile", "zipName", "zipDirectory", "zipPath", "zipSize")
-        field_order[4:4] = zip_fields
-        for zf in zip_fields:
-            fields[zf] = F.lit("")
+        field_order[4:4] = ZIP_KEYS
+        for zf in ZIP_KEYS:
+            fields[zf] = F.coalesce(F.trim(F.col(f"zip_{zf}")), F.lit(""))
 
     public = [
         fields[logical].cast("string").alias(public_name)

@@ -139,7 +139,44 @@ def test_isu_headers_contract(spark, report_dir):
     assert [f.name for f in df.schema.fields] == list(ISU_HEADERS)
     r = df.limit(1).collect()[0]
     assert r["MODULO"] == "ISU"
-    assert r["NOMBRE_ZIP"] == ""  # declared, not populated (ref TODO)
+    assert r["NOMBRE_ZIP"] == ""  # no zip lines in the ERP fixtures
+
+
+def test_isu_zip_fields_keyed(spark, tmp_path):
+    """ISU grammar completion: zip lines are extracted BY KEY and do
+    not shift the 22 positional slots (readFilesISU TODO done)."""
+    from reports_generator_spark.ingest.fixtures import INPUT_KEYS
+
+    d = str(tmp_path / "isu_reports")
+    import os
+
+    os.makedirs(d)
+    path = os.path.join(
+        d, "[ISU]_REPORT_PARQUET_DATE_OF_PROCESSS[04-08-2019T13_51_30].TXT"
+    )
+    with open(path, "w", encoding="utf-8") as fh:
+        for i, k in enumerate(INPUT_KEYS):
+            fh.write(f"{k}: v{i}\n")
+            if k == "equalsHeaders":  # zip lines interleaved mid-block
+                fh.write("zipName: archive.zip\n")
+                fh.write("zipSize: 12345\n")
+    cfg = ReportConfig(
+        input_dir=d,
+        output_parquet="",
+        output_csv="",
+        module="ISU",
+        generation_date=GEN_DATE,
+    )
+    r = ingest_reports(spark, cfg).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["NOMBRE_ZIP"] == "archive.zip"
+    assert row["TAMANO_ZIP_BYTES"] == "12345"
+    assert row["INFO_FILE"] == ""  # absent key -> empty string
+    # positional fields unshifted despite the interleaved zip lines
+    assert row["ARCHIVO_PROCESADO"] == "v0"
+    assert row["NOMBRE_DE_DIRECTORIO"] == "v10"
+    assert row["ESTADO_DEL_PROCESO"] == "v21"
 
 
 def test_typed_view(ingested):
