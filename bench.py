@@ -44,6 +44,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
+        # benchmark hygiene: collect the previous query's garbage OUTSIDE
+        # the timed section so no query is billed for its predecessor's
+        # heap debt (87 queries in one JVM otherwise interfere)
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
