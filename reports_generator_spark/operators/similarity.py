@@ -334,3 +334,70 @@ def embedding_neardup_blocked(
                 yield pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sc})
 
     return block_pairs.mapInPandas(score_blocks, out_schema)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: partition the embedding space
+    into n_cells (seedless deterministic coarse quantizer), keep ONE
+    representative per cell — the member closest to its centroid.
+
+    Returns (cell, n_members, rep_id, rep_score). Everything except
+    the final per-cell pick is the IVF assignment pass: centroids are
+    O(n_cells·dim) and broadcast; assignment is a map-side cross +
+    per-id top-1 window. Centroid choice is the n_cells vectors
+    minimizing (id·2654435761) mod 1000003 — a fixed multiplicative
+    hash both engines can compute (unlike xxhash64), so the whole
+    operator is oracle-checkable. At corpus scale n_cells grows ~√N so
+    the per-cell window never concentrates (documented upgrade:
+    k-means centroids refreshed per ingest batch; the plan shape is
+    unchanged).
+    """
+    base = with_norm(emb, vec_col)
+    hkey = (F.col(id_col) * F.lit(2654435761)) % F.lit(1000003)
+    w_cent = Window.orderBy(hkey.asc(), F.col(id_col).asc())
+    cents = (
+        base.orderBy(hkey.asc(), F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w_cent) - 1).alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("v_norm").alias("cnrm"),
+        )
+    )
+    cscore = F.round(
+        _dot(F.col("v"), F.col("cv")) / (F.col("v_norm") * F.col("cnrm")), 6
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("cscore").desc(), F.col("cell").asc()
+    )
+    best = (
+        base.select(id_col, "v", "v_norm")
+        .crossJoin(F.broadcast(cents))
+        .select(id_col, "cell", cscore.alias("cscore"))
+        .withColumn("crank", F.row_number().over(w_assign))
+        .filter(F.col("crank") == 1)
+    )
+    w_cell = Window.partitionBy("cell").orderBy(
+        F.col("cscore").desc(), F.col(id_col).asc()
+    )
+    return (
+        best.select(
+            "cell",
+            F.col(id_col),
+            "cscore",
+            F.count(F.lit(1)).over(Window.partitionBy("cell")).alias("n_members"),
+            F.row_number().over(w_cell).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "cell",
+            "n_members",
+            F.col(id_col).alias("rep_id"),
+            F.col("cscore").alias("rep_score"),
+        )
+    )

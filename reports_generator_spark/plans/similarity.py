@@ -147,3 +147,53 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q_vec"),
         F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("q_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (one representative per embedding cell)
+# --------------------------------------------------------------------------
+@query(
+    "semantic_dedup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003 ASC,
+                                vec_id ASC) - 1 AS cell,
+             v AS cv, nrm AS cnrm
+      FROM v
+      ORDER BY (vec_id * 2654435761) % 1000003 ASC, vec_id ASC
+      LIMIT 16
+    ),
+    scored AS (
+      SELECT vec_id, cell,
+             round(list_dot_product(v.v, cents.cv) / (v.nrm * cents.cnrm), 6)
+               AS cscore
+      FROM v CROSS JOIN cents
+    ),
+    best AS (
+      SELECT vec_id, cell, cscore,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cscore DESC, cell ASC) AS crank
+      FROM scored
+    )
+    SELECT cell,
+           count(*) OVER (PARTITION BY cell) AS n_members,
+           vec_id AS rep_id,
+           cscore AS rep_score
+    FROM best
+    WHERE crank = 1
+    QUALIFY row_number() OVER (PARTITION BY cell
+                               ORDER BY cscore DESC, vec_id ASC) = 1
+    """,
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup: 16 cells, keep the centroid-closest member of
+    each (operators/similarity.py::semantic_dedup)."""
+    from ..operators.similarity import semantic_dedup
+
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"))

@@ -140,6 +140,7 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # corpus — that IS the scale plan; tfidf broadcasts a 1-row
         # corpus-size aggregate
         "similarity_topk", "similarity_topk_ivf", "embedding_neardup",
+        "semantic_dedup",
         "text_tfidf",
         # bm25 broadcasts its 1-row (n_docs, avgdl) corpus-stats frame
         "text_bm25",
