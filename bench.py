@@ -59,15 +59,37 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # The driver captures a bounded slice of stdout (round 1: a ~4 KB
+    # line was truncated and failed to parse), so the line it reads must
+    # stay compact: headline metric + the 10 slowest queries. The full
+    # per-query map goes to bench_full.json next to this script.
+    full = {
+        "metric": "total_seconds_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "sf": sf_val,
+    }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "total_seconds_all_queries",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "queries": slowest,
+                "n_queries": len(timings),
+                "n_errors": sum(1 for t in timings.values() if t < 0),
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -43,6 +43,36 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+#: Keys the round-1 driver already attested green (CORRECTNESS_r01.json).
+#: The driver walks ``queries()`` in registration order under a bounded
+#: budget (round 1 stopped at entry #50), so keys WITHOUT a green row yet
+#: — plus any newly added key — must register first.  Keys in this set are
+#: pushed to the back of the dict; everything else keeps its relative
+#: registration order at the front.
+_ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
+    {
+        "q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items",
+        "subquery_above_avg", "pivot_event_matrix", "agg_statistics",
+        "agg_percentiles", "q7_nation_trade_volume", "q8_market_share",
+        "scan_parquet", "scan_csv_roundtrip", "scan_jsonl_roundtrip",
+        "project", "filter_predicate", "join_inner_equi", "join_left_outer",
+        "join_right_outer", "join_full_outer", "join_semi", "join_anti",
+        "join_broadcast", "join_theta_range", "agg_hash_group", "agg_distinct",
+        "grouping_sets_cube_rollup", "sort_limit_topk",
+        "set_union_intersect_except", "scalar_string_fns", "scalar_date_fns",
+        "scalar_math_fns", "json_extract", "join_skew_salted",
+        "join_bucketed_colocated", "scan_orc_roundtrip", "train_test_split",
+        "histogram_fixed_width", "sql_surface", "agg_argmax_mode",
+        "agg_collect_ordered", "sample_stratified", "data_profile",
+        "window_ranking", "window_analytic", "window_running_agg",
+        "sessionize_events", "window_range_time", "window_distribution",
+        "array_map_fns", "text_tokenize_stats",
+        # NOTE: agg_approx_distinct is deliberately NOT here — its round-1
+        # row was err:no_oracle; it re-runs in the front block.
+    }
+)
+
+
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from . import analytics  # noqa: F401
@@ -56,3 +86,10 @@ def load_all() -> None:
     from . import multimodal  # noqa: F401
     from . import streaming_queries  # noqa: F401
     from . import temporal  # noqa: F401
+
+    # Reorder so driver-unattested keys come first (see _ATTESTED_PRIOR_ROUNDS).
+    front = {k: v for k, v in QUERIES.items() if k not in _ATTESTED_PRIOR_ROUNDS}
+    back = {k: v for k, v in QUERIES.items() if k in _ATTESTED_PRIOR_ROUNDS}
+    QUERIES.clear()
+    QUERIES.update(front)
+    QUERIES.update(back)

@@ -375,17 +375,46 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# R11 approximate distinct (HLL) — approximate, so rows-only check:
-# no oracle registered (the driver records the weaker check by design).
+# R11 approximate distinct (HLL).  The estimate itself is
+# sketch-dependent (Spark HLL++ ≠ DuckDB HLL), so the attestable output
+# is (group key, exact distinct, estimate-within-tolerance flag): the
+# oracle asserts the flag is TRUE, which checks the sketch's error bound
+# without requiring bit-identical estimates.  rsd=0.01 ⇒ 5% is generous.
 # --------------------------------------------------------------------------
-@query("agg_approx_distinct")
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_orders_exact,
+           TRUE AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct — sketch-based, mergeable, scales to 100 TB
-    where exact distinct would shuffle every key."""
+    where exact distinct would shuffle every key.  The exact companion
+    count exists only to let the differential harness bound the sketch
+    error; production callers use the estimate alone."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.count(F.lit(1)).alias("n_rows"),
+    # Two SEPARATE aggregations, joined on the (tiny) group key.  Mixing
+    # approx_count_distinct with count(DISTINCT) in ONE agg makes the
+    # distinct-rewrite carry the 1.6k-word HLL buffer per DISTINCT KEY
+    # through the shuffle (measured 36 s at sf0.1 vs ~1 s split).
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders_exact")
+    )
+    joined = exact.join(F.broadcast(approx), "l_returnflag")
+    tol = (
+        F.abs(F.col("approx_orders") - F.col("n_orders_exact"))
+        / F.col("n_orders_exact")
+        <= 0.05
+    )
+    return joined.select(
+        "l_returnflag", "n_orders_exact", tol.alias("approx_within_5pct")
     )
 
 
@@ -580,9 +609,21 @@ def scalar_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON exactly once per row.
+
+    A plain ``select(parse).filter(alias)`` lets Catalyst push the filter
+    below the projection and re-inline the parse expression — every row's
+    JSON parsed twice (this was the slowest query in BENCH_r01 at 7.2 s).
+    ``explode(array(x))`` is a 1:1 Generate barrier: projection collapse
+    and predicate pushdown cannot cross it, so the parse materializes
+    once and the filter reads the materialized column.
+    """
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
-    return e.select("event_id", "user_id", k.alias("k_val")).filter(F.col("k_val") >= 50)
+    parsed = e.select(
+        "event_id", "user_id", F.explode(F.array(k)).alias("k_val")
+    )
+    return parsed.filter(F.col("k_val") >= 50)
 
 
 # --------------------------------------------------------------------------
