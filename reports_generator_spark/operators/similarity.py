@@ -50,13 +50,21 @@ def cosine_topk(
 
     Ranking uses the 4-dp-rounded score with id tiebreak so the top-k
     set is deterministic under float reassociation.
+
+    ``query_ids`` is required: the query side is broadcast, so an
+    unbounded query set (the whole corpus) would OOM the executors at
+    scale. For all-pairs similarity use ``embedding_neardup_blocked``,
+    which never broadcasts or materializes the pair space.
     """
+    if query_ids is None:
+        raise ValueError(
+            "cosine_topk requires an explicit bounded query_ids list — the "
+            "query side is broadcast; for all-pairs use embedding_neardup_blocked"
+        )
     base = with_norm(emb, vec_col)
     q = base.select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("v_norm").alias("q_norm")
-    )
-    if query_ids is not None:
-        q = q.filter(F.col("query_id").isin(query_ids))
+    ).filter(F.col("query_id").isin(query_ids))
     c = base.select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("v_norm").alias("c_norm")
     )
@@ -155,6 +163,28 @@ def cosine_topk_lsh(
     )
 
 
+def _scored_cells(cells_arr: Column, round_dp: int | None = None) -> Column:
+    """Per-row array of (cscore, -cell) structs over a broadcast
+    centroid array — the shuffle-free cell-assignment kernel.
+
+    ``array_max`` of the result is argmax by (score desc, cell asc):
+    struct comparison is lexicographic, and negating the cell makes the
+    tie-break pick the SMALLEST cell. ``reverse(array_sort(...))`` gives
+    the same ordering for multi-probe. Everything is a map-side
+    expression over broadcast literals — the corpus never shuffles for
+    assignment (the previous explode-n_cells×-then-window form shuffled
+    n_cells× the corpus just to compute a per-row argmax).
+    """
+
+    def entry(c: Column) -> Column:
+        s = _dot(F.col("v"), c["cv"]) / (F.col("v_norm") * c["cnrm"])
+        if round_dp is not None:
+            s = F.round(s, round_dp)
+        return F.struct(s.alias("cscore"), (-c["cell"]).alias("negcell"))
+
+    return F.transform(cells_arr, entry)
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     query_ids: list[int],
@@ -175,10 +205,11 @@ def cosine_topk_ivf(
     centroid's cell; a query probes its n_probe nearest cells and
     exact-scores only those candidates.
 
-    Scale shape: centroids are O(n_cells·dim) — always broadcastable;
-    cell assignment is one map-side broadcast join + per-id top-1
-    window; the probe join is equi-key on `cell` so candidate volume is
-    ~ (n_probe / n_cells) of the corpus per query.
+    Scale shape: centroids are O(n_cells·dim) — always broadcastable,
+    packed into ONE array row; cell assignment is a map-side array
+    argmax over that broadcast array (`_scored_cells` — zero shuffle of
+    the corpus); the probe join is equi-key on `cell` so candidate
+    volume is ~ (n_probe / n_cells) of the corpus per query.
     """
     base = with_norm(emb, vec_col)
     w_cent = Window.orderBy(F.xxhash64(F.lit(seed), F.col(id_col)))
@@ -189,27 +220,31 @@ def cosine_topk_ivf(
             # row_number over the same hash order: a stable dense cell id
             # (the window runs over only n_cells rows post-limit)
             (F.row_number().over(w_cent) - 1).alias("cell"),
-            F.col("v").alias("cv_cent"),
-            F.col("v_norm").alias("cent_norm"),
+            F.col("v").alias("cv"),
+            F.col("v_norm").alias("cnrm"),
         )
     )
-    cent_score = _dot(F.col("v"), F.col("cv_cent")) / (
-        F.col("v_norm") * F.col("cent_norm")
+    cent_arr = cents.agg(
+        F.collect_list(F.struct("cell", "cv", "cnrm")).alias("cents")
     )
-    ranked = (
+    scored = (
         base.select(id_col, "v", "v_norm")
-        .crossJoin(F.broadcast(cents))
-        .select(id_col, "v", "v_norm", "cell", cent_score.alias("cscore"))
+        .join(F.broadcast(cent_arr))  # 1-row broadcast: adds `cents`
+        .withColumn("scored", _scored_cells(F.col("cents")))
     )
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.col("cscore").desc(), F.col("cell").asc()
+    best = F.array_max(F.col("scored"))
+    cells = scored.select(
+        id_col, "v", "v_norm", (-best["negcell"]).alias("cell")
     )
-    assigned = ranked.withColumn("crank", F.row_number().over(w_assign))
-    cells = assigned.filter(F.col("crank") == 1).select(id_col, "v", "v_norm", "cell")
     probes = (
-        assigned.filter(F.col(id_col).isin(query_ids))
-        .filter(F.col("crank") <= n_probe)
-        .select(F.col(id_col).alias("query_id"), "cell")
+        scored.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort("scored")), 1, n_probe)
+            ).alias("probe"),
+        )
+        .select("query_id", (-F.col("probe.negcell")).alias("cell"))
     )
     qv = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("v_norm").alias("q_norm")
@@ -336,6 +371,100 @@ def embedding_neardup_blocked(
     return block_pairs.mapInPandas(score_blocks, out_schema)
 
 
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.38,
+    n_planes: int = 5,
+    n_tables: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold with a sign-LSH prefilter — the
+    100 TB path of `embedding_neardup_blocked`.
+
+    Default 5 planes × 6 tables: for a cosine-0.8 pair the per-plane
+    agreement is p = 1 − arccos(0.8)/π ≈ 0.795, so miss probability is
+    (1 − p⁵)⁶ ≈ 0.10 — ~0.9 worst-case recall at the usual dedup
+    thresholds, while candidates still shrink by ~bucket-count per
+    table.
+
+    Candidate pairs must share a bucket in ≥1 of n_tables hash tables
+    (n_planes hyperplanes each); every (table, bucket) group is scored
+    by the same vectorized numpy matmul kernel. Shuffle volume is
+    n_tables × corpus rows keyed by (tbl, bucket) — versus B× for the
+    all-pairs blocked variant — and candidate volume drops from O(n²)
+    to Σ bucket². Recall follows the LSH S-curve (miss probability
+    (1 - p^P)^L for per-plane agreement p); raise n_tables or lower
+    n_planes to trade cost for recall. A pair colliding in several
+    tables scores identically in each (deterministic dround), so the
+    final distinct() is exact, not a heuristic.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    base = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                signlsh_bucket(
+                    F.col("v"), random_hyperplanes(dim, n_planes, seed + 1000 * t)
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    hashed = base.withColumn("tb", F.explode(buckets)).select(
+        "vid", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    packed = hashed.groupBy("tbl", "bucket").agg(
+        F.collect_list(F.struct("vid", "v")).alias("vecs")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score_buckets(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                vecs = row["vecs"]
+                if len(vecs) < 2:
+                    continue
+                ids = np.array([x["vid"] for x in vecs], dtype=np.int64)
+                mat = np.array([x["v"] for x in vecs], dtype=np.float64)
+                nrm = np.linalg.norm(mat, axis=1)
+                sim = (mat @ mat.T) / np.outer(nrm, nrm)
+                sim = np.floor(sim * 10000 + 0.5) / 10000  # dround(4)
+                ia, ib = np.nonzero(sim >= threshold)
+                keep = ids[ia] < ids[ib]  # ordered half, no diagonal
+                yield pd.DataFrame(
+                    {
+                        "id_a": ids[ia][keep],
+                        "id_b": ids[ib][keep],
+                        "cosine": sim[ia, ib][keep],
+                    }
+                )
+
+    return packed.mapInPandas(score_buckets, out_schema).distinct()
+
+
 def semantic_dedup(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -348,14 +477,16 @@ def semantic_dedup(
 
     Returns (cell, n_members, rep_id, rep_score). Everything except
     the final per-cell pick is the IVF assignment pass: centroids are
-    O(n_cells·dim) and broadcast; assignment is a map-side cross +
-    per-id top-1 window. Centroid choice is the n_cells vectors
-    minimizing (id·2654435761) mod 1000003 — a fixed multiplicative
-    hash both engines can compute (unlike xxhash64), so the whole
-    operator is oracle-checkable. At corpus scale n_cells grows ~√N so
-    the per-cell window never concentrates (documented upgrade:
-    k-means centroids refreshed per ingest batch; the plan shape is
-    unchanged).
+    O(n_cells·dim), packed into one broadcast array row; assignment is
+    a map-side array argmax (`_scored_cells` — zero shuffle of the
+    corpus). The per-cell representative is a groupBy with map-side
+    partial `max_by`, so the only shuffle in the whole operator moves
+    n_cells × n_partitions partial rows, not the corpus. Centroid
+    choice is the n_cells vectors minimizing (id·2654435761) mod
+    1000003 — a fixed multiplicative hash both engines can compute
+    (unlike xxhash64), so the whole operator is oracle-checkable. At
+    corpus scale n_cells grows ~√N (documented upgrade: k-means
+    centroids refreshed per ingest batch; the plan shape is unchanged).
     """
     base = with_norm(emb, vec_col)
     hkey = (F.col(id_col) * F.lit(2654435761)) % F.lit(1000003)
@@ -369,35 +500,27 @@ def semantic_dedup(
             F.col("v_norm").alias("cnrm"),
         )
     )
-    cscore = F.round(
-        _dot(F.col("v"), F.col("cv")) / (F.col("v_norm") * F.col("cnrm")), 6
+    cent_arr = cents.agg(
+        F.collect_list(F.struct("cell", "cv", "cnrm")).alias("cents")
     )
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.col("cscore").desc(), F.col("cell").asc()
-    )
-    best = (
+    best = F.array_max(_scored_cells(F.col("cents"), round_dp=6))
+    assigned = (
         base.select(id_col, "v", "v_norm")
-        .crossJoin(F.broadcast(cents))
-        .select(id_col, "cell", cscore.alias("cscore"))
-        .withColumn("crank", F.row_number().over(w_assign))
-        .filter(F.col("crank") == 1)
-    )
-    w_cell = Window.partitionBy("cell").orderBy(
-        F.col("cscore").desc(), F.col(id_col).asc()
-    )
-    return (
-        best.select(
-            "cell",
-            F.col(id_col),
-            "cscore",
-            F.count(F.lit(1)).over(Window.partitionBy("cell")).alias("n_members"),
-            F.row_number().over(w_cell).alias("rk"),
-        )
-        .filter(F.col("rk") == 1)
+        .join(F.broadcast(cent_arr))  # 1-row broadcast: adds `cents`
+        # explode(array(x)) barrier: unpacking two fields from the argmax
+        # struct would otherwise inline the 16-dot-product transform twice
+        .select(F.col(id_col), F.explode(F.array(best)).alias("best"))
         .select(
-            "cell",
-            "n_members",
-            F.col(id_col).alias("rep_id"),
-            F.col("cscore").alias("rep_score"),
+            F.col(id_col),
+            (-F.col("best.negcell")).alias("cell"),
+            F.col("best.cscore").alias("cscore"),
         )
+    )
+    # rep = member maximizing (cscore, -id): cscore desc, id asc —
+    # partial-aggregable, unlike a per-cell window over all members.
+    ordkey = F.struct(F.col("cscore"), (-F.col(id_col)).alias("negid"))
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by(F.col(id_col), ordkey).alias("rep_id"),
+        F.max(F.col("cscore")).alias("rep_score"),
     )

@@ -96,6 +96,19 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_neardup_lsh")
+def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH-prefiltered near-dup pairs — the 100 TB path of
+    embedding_neardup (recall vs the exact variant tested in
+    tests/test_similarity.py; rows-only here: bucket membership depends
+    on the seeded hyperplanes, which SQL can't reproduce)."""
+    from ..operators.similarity import embedding_neardup_lsh
+
+    return embedding_neardup_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_THRESHOLD
+    )
+
+
 # --------------------------------------------------------------------------
 # int8 symmetric quantization — the storage/serving-side companion of
 # the ANN ops: 4× smaller vectors, one shuffle-free pass.

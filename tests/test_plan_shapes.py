@@ -190,3 +190,26 @@ def test_quantize_is_shuffle_free(spark):
     df = registry.QUERIES["embedding_quantize"](spark, SF_DIR)
     plan = plan_str(df, "simple")
     assert "Exchange" not in plan, plan
+
+
+def test_ivf_assignment_never_shuffles_corpus(spark):
+    """IVF cell assignment is a map-side array argmax over broadcast
+    centroids: the corpus must never hash-partition by vector id (the
+    old explode-n_cells×-then-window form did exactly that)."""
+    df = registry.QUERIES["similarity_topk_ivf"](spark, SF_DIR)
+    plan = plan_str(df)
+    ex_lines = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert not any("vec_id" in ln for ln in ex_lines), plan
+
+
+def test_semantic_dedup_is_argmax_plus_partial_agg(spark):
+    """SemDeDup assignment must be shuffle-free (no per-id window) and
+    the per-cell representative a partial-aggregable max_by — the only
+    wide op is the final n_cells-row groupBy."""
+    df = registry.QUERIES["semantic_dedup"](spark, SF_DIR)
+    plan = plan_str(df)
+    # no window over the corpus (the 16-row centroid ranking window is fine)
+    assert "windowspecdefinition(vec_id" not in plan, plan
+    ex_lines = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert not any("vec_id" in ln for ln in ex_lines), plan
+    assert "partial_max_by" in plan

@@ -106,6 +106,42 @@ def test_ivf_recall_on_planted_clusters(spark):
     assert recall >= 0.8, f"IVF recall@5 too low: {recall}"
 
 
+def test_neardup_lsh_recall_on_planted_clusters(spark):
+    """LSH-prefiltered near-dup must recover most of the exact
+    above-threshold pairs on planted clusters (same-cluster vectors
+    agree on most hyperplane signs)."""
+    from reports_generator_spark.operators.similarity import embedding_neardup_lsh
+
+    rng = random.Random(11)
+    rows = []
+    vid = 0
+    for _ in range(8):
+        centroid = [rng.gauss(0, 1) for _ in range(64)]
+        n = math.sqrt(sum(x * x for x in centroid))
+        centroid = [x / n for x in centroid]
+        for _ in range(10):
+            noise = [rng.gauss(0, 0.05) for _ in range(64)]
+            rows.append((vid, [c + n2 for c, n2 in zip(centroid, noise)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup(emb, threshold=0.8).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_lsh(emb, threshold=0.8, dim=64).collect()
+    }
+    assert exact, "fixture must plant above-threshold pairs"
+    recall = len(exact.keys() & approx.keys()) / len(exact)
+    assert recall >= 0.8, f"LSH near-dup recall too low: {recall}"
+    # no false positives, identical scores where found
+    assert set(approx) <= set(exact)
+    for pair, score in approx.items():
+        assert score == exact[pair]
+
+
 def test_neardup_symmetric_pairs(spark):
     rows = [
         (0, _vec(1.0, 0.0)),
