@@ -221,8 +221,13 @@ def ingest_reports(spark: SparkSession, cfg: ReportConfig) -> DataFrame:
 def ingest_report_lines(lines: DataFrame, cfg: ReportConfig) -> DataFrame:
     """E1 transform stages (P1-P13) over an already-built line frame —
     the batch/streaming-shared core of `ingest_reports`."""
-    blocks = parse_blocks(lines, cfg)
+    return project_blocks(parse_blocks(lines, cfg), cfg)
 
+
+def project_blocks(blocks: DataFrame, cfg: ReportConfig) -> DataFrame:
+    """P6-P13 over an assembled (and completeness-filtered) block frame
+    — shared by the plain ingest and the quarantine router, so both
+    build on the SAME parsed-block plan."""
     # P6 — positional projection (1-based element_at; skip 9/10)
     fields = {
         name: F.element_at(F.col("vals"), pos) for pos, name in BLOCK_POSITIONS.items()
@@ -259,11 +264,15 @@ def ingest_report_lines(lines: DataFrame, cfg: ReportConfig) -> DataFrame:
     # ISU (ISU.scala:3-37) = ERP row + the zip block after the date
     # column. Zip values arrive by key (see ZIP_KEYS) — absent keys
     # surface as empty strings, matching the all-string contract.
+    # MAIN (Main.scala:44-63,109-112) = the 20-column prototype: bare
+    # positional fields only, no enrichment columns.
     field_order = list(ERP_FIELD_ORDER)
     if cfg.module == "ISU":
         field_order[4:4] = ZIP_KEYS
         for zf in ZIP_KEYS:
             fields[zf] = F.coalesce(F.trim(F.col(f"zip_{zf}")), F.lit(""))
+    elif cfg.module == "MAIN":
+        field_order = [name for _, name in sorted(BLOCK_POSITIONS.items())]
 
     public = [
         fields[logical].cast("string").alias(public_name)
@@ -280,21 +289,25 @@ def ingest_report_lines(lines: DataFrame, cfg: ReportConfig) -> DataFrame:
 
 
 def ingest_with_quarantine(
-    lines: DataFrame, cfg: ReportConfig
+    lines: DataFrame, cfg: ReportConfig, materialize: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """P12 done right: (good, quarantined).
 
     The reference swallows a failing file with a printStackTrace and
     moves on (Proof.scala:71-87) — errors vanish. Here malformed
     blocks are *routed*, not dropped: the good side is the normal
-    `ingest_report_lines` output; the quarantine side is one row per
-    rejected block with the source path, block id, a reject reason
-    (`no_terminator` | `short_block`), the observed length, and the
-    raw values for replay. Both sides come off the same parsed-block
-    plan — no second scan of the input."""
+    ingest output; the quarantine side is one row per rejected block
+    with the source path, block id, a reject reason (`no_terminator` |
+    `short_block`), the observed length, and the raw values for
+    replay. Both sides branch off the same parsed-block frame; with
+    ``materialize=True`` (default) the assembled blocks are eagerly
+    localCheckpoint-ed so writing BOTH sides parses the input once —
+    without it, each side's action would re-scan and re-parse."""
     blocks = parse_blocks_raw(lines, cfg)
+    if materialize:
+        blocks = blocks.localCheckpoint()
     good_pred = (F.col("has_term") == 1) & (F.size("vals") >= BLOCK_LEN)
-    good = ingest_report_lines(lines, cfg)
+    good = project_blocks(blocks.filter(good_pred), cfg)
     quarantined = blocks.filter(~good_pred).select(
         "report_path",
         "block_id",

@@ -13,8 +13,6 @@ Reference behavior and its two defects we fix:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 REPORT_PATH_COL = "RUTA_DE_REPORTE"
 
@@ -22,6 +20,18 @@ REPORT_PATH_COL = "RUTA_DE_REPORTE"
 def write_csv(df: DataFrame, path: str, mode: str = "append") -> None:
     """K1: header + quote-all CSV (Proof.scala:140-145 options)."""
     df.write.mode(mode).option("header", True).option("quoteAll", True).csv(path)
+
+
+def dataset_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit Hadoop-FS existence probe (mirrors Proof.scala:51-53's
+    output probe). An existence check must never be inferred from a
+    read failure: an AnalysisException can also mean schema mismatch or
+    corrupt metadata, and treating those as 'missing' would silently
+    overwrite the dataset."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def write_parquet_idempotent(
@@ -36,12 +46,20 @@ def write_parquet_idempotent(
     First write creates the dataset (the reference's overwrite-first
     probe, Proof.scala:51-53, without the mutable driver flag). Returns
     the DataFrame of rows actually written.
+
+    Scale notes: the processed-key history is unbounded over years of
+    appends, so the anti-join carries NO broadcast hint (AQE picks
+    broadcast while it is small, shuffles when it is not), and the key
+    set is eagerly materialized (localCheckpoint) BEFORE the append so
+    the write never scans the directory it is appending to. Any read
+    error other than true absence (schema mismatch, corrupt footer)
+    propagates instead of silently switching to overwrite.
     """
-    try:
-        existing = spark.read.parquet(path).select(key_col).distinct()
-        fresh = df.join(F.broadcast(existing), key_col, "left_anti")
+    if dataset_exists(spark, path):
+        existing = spark.read.parquet(path).select(key_col).distinct().localCheckpoint()
+        fresh = df.join(existing, key_col, "left_anti")
         mode = "append"
-    except AnalysisException:
+    else:
         fresh = df
         mode = "overwrite"
     out = fresh.coalesce(1) if single_file else fresh

@@ -32,6 +32,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -59,13 +60,23 @@ def asof_join(
         c: (c + suffix if c in left.columns else c) for c in right_payload
     }
 
+    # All right payload columns ride in ONE struct carried by ONE
+    # last(ignorenulls=True): carrying each column independently would
+    # backfill a NULL payload field from an OLDER right row — mixing
+    # columns of different right rows (row-level as-of semantics demand
+    # the whole payload come from the single latest right row, nulls
+    # included). The struct is NULL on left rows and non-null on every
+    # right row, so `last` skips exactly the left rows.
+    payload_type = StructType(
+        [StructField(out_names[c], right.schema[c].dataType) for c in right_payload]
+    )
     l_tagged = left.select(
         F.col(lkey).alias("__key"),
         F.col(lts).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast("long").alias("__tb"),
         *[F.col(c) for c in left.columns],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c]) for c in right_payload],
+        F.lit(None).cast(payload_type).alias("__rp"),
     )
     r_tagged = right.select(
         F.col(rkey).alias("__key"),
@@ -73,7 +84,9 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("__tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
-        *[F.col(c).alias(out_names[c]) for c in right_payload],
+        F.struct(
+            *[F.col(c).alias(out_names[c]) for c in right_payload]
+        ).alias("__rp"),
     )
 
     w = (
@@ -84,9 +97,9 @@ def asof_join(
     carried = l_tagged.unionByName(r_tagged).select(
         "__is_left",
         *[F.col(c) for c in left.columns],
-        *[
-            F.last(out_names[c], ignorenulls=True).over(w).alias(out_names[c])
-            for c in right_payload
-        ],
+        F.last("__rp", ignorenulls=True).over(w).alias("__rp"),
     )
-    return carried.filter(F.col("__is_left") == 1).drop("__is_left")
+    return carried.filter(F.col("__is_left") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__rp.{out_names[c]}").alias(out_names[c]) for c in right_payload],
+    )

@@ -113,9 +113,12 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF: tf * (ln((1+N)/(1+df)) + 1).
 
-    The doc-frequency side is tiny (vocabulary-sized) and is broadcast;
-    the corpus count N joins as a broadcast scalar. At 100 TB the only
-    full-data shuffle is the (doc_id, token) partial-aggregated count.
+    The doc-frequency join carries NO broadcast hint: vocabulary is
+    heavy-tailed (billions of tokens on a web-scale corpus), so a
+    forced broadcast would OOM; AQE converts it to a broadcast join at
+    runtime when the df side is actually small. The corpus count N is a
+    provably-1-row aggregate and stays broadcast. The only full-data
+    shuffles are the two token aggregations, both partial-aggregated.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens_col("text")).alias("token"))
@@ -124,7 +127,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
     return (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df, "token")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "token", dround(F.col("tf") * idf, 6).alias("tfidf"))
     )

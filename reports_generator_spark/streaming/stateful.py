@@ -85,6 +85,10 @@ def _sessionize_group(
         cents = int(round(float(value) * 100))
         if sessions and ts_us - sessions[-1][1] <= gap_us:
             cur = sessions[-1]
+            # a cross-batch late event may precede the open session's
+            # start: the session must extend backwards too, or the
+            # emitted [start, end] interval excludes a counted event
+            cur[0] = min(cur[0], ts_us)
             cur[1] = max(cur[1], ts_us)
             cur[2] += 1
             cur[3] += cents

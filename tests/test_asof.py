@@ -51,3 +51,22 @@ def test_asof_collision_suffix(spark):
     right = spark.createDataFrame([Row(k=1, t=0, v="R")])
     row = asof_join(left, right, on="k", ts="t", right_payload=["v"]).collect()[0]
     assert row["v"] == "L" and row["v_r"] == "R"
+
+
+def test_asof_null_payload_not_backfilled(spark):
+    """Row-level semantics: if the LATEST right row has a NULL payload
+    field, the left row must see that NULL — not a value backfilled
+    from an older right row (payload columns must never mix rows)."""
+    left = spark.createDataFrame([Row(lid=1, k=1, t=10)])
+    right = spark.createDataFrame(
+        [
+            Row(rid=1, k=1, t=5, a="old_a", b="old_b"),
+            Row(rid=2, k=1, t=8, a=None, b="new_b"),  # latest: a is NULL
+        ]
+    )
+    row = asof_join(
+        left, right, on="k", ts="t", right_payload=["rid", "a", "b"], tiebreak="rid"
+    ).collect()[0]
+    assert row["rid"] == 2
+    assert row["a"] is None          # NOT "old_a"
+    assert row["b"] == "new_b"

@@ -77,3 +77,49 @@ def test_session_merges_across_micro_batches(spark, tmp_path):
     assert first["session_value"] == 7.0
     assert second["n_events"] == 1
     assert second["session_start"] == _mins(200)
+
+
+def test_late_event_extends_session_start(spark, tmp_path):
+    """A cross-batch out-of-order event OLDER than the open session's
+    start must extend session_start backwards — the emitted interval
+    has to cover every event it counted."""
+    src = tmp_path / "late_stream"
+    src.mkdir()
+    schema = "user_id long, event_id long, ts timestamp, value double"
+
+    b1 = [(1, 1, _mins(10), 1.0)]
+    b2 = [(1, 2, _mins(5), 2.0)]  # late: before the open session's start
+    p1, p2 = str(src / "b1.parquet"), str(src / "b2.parquet")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(p1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(p2)
+    past = dt.datetime.now().timestamp() - 1000
+    for root, _, files in os.walk(p1):
+        for f_ in files:
+            os.utime(os.path.join(root, f_), (past, past))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    name = f"late_{uuid.uuid4().hex[:10]}"
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = (
+        spark.table(name)
+        .orderBy(F.col("session_end").desc(), F.col("n_events").desc())
+        .collect()
+    )
+    final = rows[0]
+    assert final["n_events"] == 2
+    assert final["session_start"] == _mins(5)   # extended backwards
+    assert final["session_end"] == _mins(10)
