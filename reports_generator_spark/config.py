@@ -62,10 +62,38 @@ ISU_HEADERS: tuple[str, ...] = (
     ERP_HEADERS[:4] + ISU_EXTRA_HEADERS + ERP_HEADERS[4:]
 )
 
+#: Main.scala:44-63 — the 20-column PROTOTYPE grammar (the evolutionary
+#: ancestor of the 27-column ERP contract): the bare positional fields
+#: f(1)-f(8), f(11)-f(22) of splitInfo (Main.scala:109-112), no
+#: enrichment columns. Preserved verbatim, parentheses included.
+MAIN_PROTO_HEADERS: tuple[str, ...] = (
+    "ARCHIVO_PROCESADO",
+    "NOMBRE_DE_TABLA_ASIGNADO_EN_LANDING_RAW_POR_ARCHIVO",
+    "NOMBRE_DE_TABLA_ASIGNADO_EN_LOS_PARAMETROS",
+    "CABECERA_ASIGNADA",
+    "CONTEO_CABECERA_ASIGNADO_ENVIADO_POR_EL_SISTEMA",
+    "CONTEO_CABECERA_POR_ARCHIVO",
+    "CABECERA_IDENTIFICADA_EN_EL_ARCHIVO",
+    "CABECERAS_IGUALES",
+    "NOMBRE_DE_DIRECTORIO",
+    "RUTA_EN_LANDING_RAW_ARCHIVO_SIN_TRANSFORMAR",
+    "TAMANO_DE_ARCHIVO_(BYTES)",
+    "VALIDACION_SHA",
+    "FORMATO_DE_ALMACENAMIENTO_DE_ARCHIVO_TRANSFORMADO",
+    "NOMBRE_TABLA",
+    "RUTA_EN_LANDINGRAW",
+    "TOTAL_COLUMNAS_PREPARACION_DE_MARCO_DE_DATOS",
+    "TOTAL_REGISTROS_PREPARACION_DE_MARCO_DE_DATOS",
+    "TOTAL_COLUMNAS_OFICIAL",
+    "TOTAL_REGISTROS_OFICIAL",
+    "ESTADO_DEL_PROCESO",
+)
+
 #: module name -> ordered public column names
 MODULE_HEADERS: dict[str, tuple[str, ...]] = {
     "ERP": ERP_HEADERS,
     "ISU": ISU_HEADERS,
+    "MAIN": MAIN_PROTO_HEADERS,
 }
 
 

@@ -39,11 +39,15 @@ def _materialize(df: DataFrame) -> DataFrame:
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition to the session's default parallelism before an
-    explode-heavy stage. Single-file local fixtures arrive as ONE
-    partition; without this, shingling/hashing serializes on one task.
-    (At production scale the source already has many partitions and
-    this is a cheap round-robin of doc rows.)"""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    explode-heavy stage — but ONLY when the input is under-partitioned
+    (single-file local fixtures arrive as ONE partition; without this,
+    shingling/hashing serializes on one task). A production read
+    already carries ≥ defaultParallelism partitions and must NOT pay a
+    gratuitous full round-robin shuffle of the corpus."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def dedup_exact(df: DataFrame, key_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -253,19 +257,35 @@ def dedup_ngram_jaccard(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over k-word shingle sets for pairs sharing ≥1
     shingle. |A∩B| from the shingle equi-join; |A∪B| = |A|+|B|−|A∩B|.
 
-    The shingle join is the only large shuffle; hot shingles can be
-    frequency-capped upstream (drop shingles with df > cap) — standard
-    practice at corpus scale.
+    The shingle join is the only large shuffle. ``max_shingle_df`` is
+    the corpus-scale knob: shingles appearing in more than that many
+    docs (boilerplate — headers, license blurbs) are dropped BEFORE the
+    self-join, since one shingle shared by f docs alone generates
+    O(f²) candidate pairs. Doc shingle-set sizes are computed AFTER
+    the cap, so the reported Jaccard stays internally consistent (it
+    is the Jaccard of the capped sets). None = exact semantics.
     """
-    sh = _materialize(
+    sh = (
         with_token_array(_spread(df), text_col)
         .select(F.col(id_col), F.explode(shingles_col(F.col("toks"), shingle_k)).alias("sh"))
         .distinct()
-    )  # referenced by sizes + both join sides
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        # the hot set is tiny by construction (only above-cap shingles);
+        # AQE turns this anti-join into a broadcast at runtime
+        sh = sh.join(hot, "sh", "left_anti")
+    sh = _materialize(sh)  # referenced by sizes + both join sides
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")

@@ -82,6 +82,44 @@ def test_ngram_jaccard_planted(docs):
     assert (0, 3) not in pairs
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """Shingles above the df cap are dropped before the self-join: a
+    pair related ONLY through boilerplate disappears, while a genuine
+    near-dup pair (many rare shared shingles) survives."""
+    boiler = "all rights reserved by the example corporation of earth"
+    rows = [
+        (0, BASE + " " + boiler),
+        (1, NEAR + " " + boiler),          # near-dup of 0 via BASE shingles
+        (2, OTHER + " " + boiler),         # related to 0/1 ONLY via boiler
+        (3, "unique content entirely " + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_ngram_jaccard(df, threshold=0.05, max_shingle_df=3).collect()
+    }
+    assert (0, 1) in capped                 # genuine pair survives
+    assert not any(2 in p or 3 in p for p in capped)  # boiler-only pairs gone
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_ngram_jaccard(df, threshold=0.05).collect()
+    }
+    assert any(2 in p for p in uncapped)    # cap was what removed them
+
+
+def test_spread_skips_well_partitioned_input(spark):
+    """_spread must be a no-op when the source already has enough
+    partitions — a production read must not pay a gratuitous full
+    round-robin shuffle before shingling."""
+    from reports_generator_spark.operators.dedup import _spread
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000).repartition(par * 2)
+    assert _spread(wide) is wide
+    narrow = spark.range(0, 1000).coalesce(1)
+    assert _spread(narrow).rdd.getNumPartitions() == par
+
+
 def test_pack_sequences_edges(spark):
     """Greedy next-fit: exact-fit stays, overflow opens a bin, an
     oversized doc occupies a bin alone."""

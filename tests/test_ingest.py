@@ -14,7 +14,12 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from reports_generator_spark.config import ERP_HEADERS, ISU_HEADERS, ReportConfig
+from reports_generator_spark.config import (
+    ERP_HEADERS,
+    ISU_HEADERS,
+    MAIN_PROTO_HEADERS,
+    ReportConfig,
+)
 from reports_generator_spark.ingest import ingest_reports, write_parquet_idempotent
 from reports_generator_spark.ingest.fixtures import block_values, write_report_files
 from reports_generator_spark.schemas import typed_view
@@ -140,6 +145,32 @@ def test_isu_headers_contract(spark, report_dir):
     r = df.limit(1).collect()[0]
     assert r["MODULO"] == "ISU"
     assert r["NOMBRE_ZIP"] == ""  # no zip lines in the ERP fixtures
+
+
+def test_main_prototype_grammar(spark, report_dir):
+    """Main.scala:44-63,109-112's 20-column prototype registers as a
+    plain config variant: bare positional fields (skip 9/10), no
+    enrichment columns — proving the schema layer is config-driven."""
+    cfg = ReportConfig(
+        input_dir=report_dir,
+        output_parquet="",
+        output_csv="",
+        module="MAIN",
+        generation_date=GEN_DATE,
+    )
+    df = ingest_reports(spark, cfg)
+    assert [f.name for f in df.schema.fields] == list(MAIN_PROTO_HEADERS)
+    assert df.count() == 12
+    vals = block_values(0, 0)
+    row = df.filter(F.col("ARCHIVO_PROCESADO") == vals["file"]).collect()[0]
+    assert row["NOMBRE_DE_TABLA_ASIGNADO_EN_LANDING_RAW_POR_ARCHIVO"] == vals["tableNameFromFile"]
+    assert row["CABECERAS_IGUALES"] in ("SI", "NO")  # P4 still applies
+    assert row["TAMANO_DE_ARCHIVO_(BYTES)"] == vals["fileSize"]
+    # prototype carries the RAW official counts in the last block —
+    # no diff arithmetic, no swap quirk (that arrived with ERP)
+    assert row["TOTAL_COLUMNAS_OFICIAL"] == vals["fileColForCountColumns"]
+    assert row["TOTAL_REGISTROS_OFICIAL"] == vals["fileColForCountRows"]
+    assert row["ESTADO_DEL_PROCESO"] == vals["status"]
 
 
 def test_isu_zip_fields_keyed(spark, tmp_path):
