@@ -364,3 +364,265 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape: order-priority count over an EXISTS semi-join
+# --------------------------------------------------------------------------
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS decorrelates to a left-semi join on the order
+    key (one hash shuffle; the non-equi shipdate predicate rides along
+    as the join condition's residual)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape: two-class CASE WHEN counting per group
+# --------------------------------------------------------------------------
+@query(
+    "q12_priority_class",
+    oracle="""
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional two-class counting after an equi-join;
+    the date filter prunes the fact side before the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share (conditional ratio)
+# --------------------------------------------------------------------------
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT floor(100.0 * sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV} ELSE 0 END)
+                 / sum({_REV}) * 1000000 + 0.5) / 1000000 AS promo_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-08-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: global conditional ratio. Exact DECIMAL numerator and
+    denominator, one rounding at the output boundary; part joins
+    broadcast (dim side)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-08-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    vol = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            dround(
+                (F.lit(100.0) * F.sum(promo) / F.sum(vol)).cast("double"), 6
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape: OR-of-ANDs bracket predicate (pushdown stress)
+# --------------------------------------------------------------------------
+@query(
+    "q19_bracket_or",
+    oracle=f"""
+    SELECT CAST(sum({_REV}) AS DOUBLE) AS revenue, count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_bracket_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunction of conjunctive brackets across both join
+    sides. Catalyst extracts the common single-side conjuncts (brand OR
+    brand OR brand; quantity envelope) below the join; the cross-side
+    residual evaluates post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    qty = F.col("l_quantity")
+    bracket = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & qty.between(1, 20))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30) & qty.between(10, 35))
+        | ((F.col("p_brand") == "Brand#33") & F.col("p_size").between(20, 50) & qty.between(20, 50))
+    )
+    return j.filter(bracket).agg(
+        F.sum(_revenue()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event funnel: view -> click -> purchase conversion per user
+# --------------------------------------------------------------------------
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH stage AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+             min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(*) FILTER (WHERE t_view IS NOT NULL) AS viewed,
+           count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view)
+             AS clicked_after_view,
+           count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                            AND t_purchase > t_click) AS purchased_after_click
+    FROM stage
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion: first-touch timestamps per stage in
+    ONE pass (conditional min aggregation), then stage predicates —
+    no per-stage self-joins, so the event table is scanned once and
+    shuffled once on user_id."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stage = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(viewed.cast("long")).alias("viewed"),
+        F.sum(clicked.cast("long")).alias("clicked_after_view"),
+        F.sum(purchased.cast("long")).alias("purchased_after_click"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekly retention cohorts (cohort week x activity-week offset)
+# --------------------------------------------------------------------------
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(datediff('week', c.cohort_week,
+                         date_trunc('week', e.ts)) AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN cohort c ON e.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix. The cohort table is one row per
+    user (broadcastable at dim scale; AQE decides), the offset is pure
+    date arithmetic, and the matrix is a single distinct-count
+    aggregation — no per-week self-joins."""
+    e = load_table(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    joined = e.join(cohort, "user_id")
+    offset = (
+        F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+    ).cast("bigint")
+    return (
+        joined.groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-group z-score outliers (data-quality sweep)
+# --------------------------------------------------------------------------
+@query(
+    "outlier_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_pop(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           floor((e.value - s.mu) / s.sigma * 10000 + 0.5) / 10000 AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mu) / s.sigma) > 2.5
+    """,
+)
+def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers. Group stats are a tiny aggregate
+    joined back (AQE broadcasts); the z-score and threshold evaluate
+    in one codegen stage — the pattern for distributed data-quality
+    sweeps over any 100 TB fact table."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(stats, "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", dround(z, 4).alias("zscore"))
+    )

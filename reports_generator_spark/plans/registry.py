@@ -73,6 +73,18 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
 )
 
 
+#: Keys first registered in the CURRENT round.  They sort after the
+#: older unattested backlog so a truncated driver window never starves
+#: a key that has already waited a round.
+_ADDED_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "q4_order_priority", "q12_priority_class", "q14_promo_revenue",
+        "q19_bracket_or", "funnel_conversion", "retention_cohorts",
+        "outlier_zscore", "ngram_topk", "embedding_neardup_lsh",
+    }
+)
+
+
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from . import analytics  # noqa: F401
@@ -87,9 +99,18 @@ def load_all() -> None:
     from . import streaming_queries  # noqa: F401
     from . import temporal  # noqa: F401
 
-    # Reorder so driver-unattested keys come first (see _ATTESTED_PRIOR_ROUNDS).
-    front = {k: v for k, v in QUERIES.items() if k not in _ATTESTED_PRIOR_ROUNDS}
-    back = {k: v for k, v in QUERIES.items() if k in _ATTESTED_PRIOR_ROUNDS}
+    # Reorder for the driver's bounded attestation window (round 1 cut off
+    # at exactly 50 entries): oldest-unattested keys first, keys added in
+    # the current round next, already-attested keys last.  If the window
+    # truncates, it drops the newest work (attestable next round), never a
+    # key that has been waiting since a prior round.
+    def tier(k: str) -> int:
+        if k in _ATTESTED_PRIOR_ROUNDS:
+            return 2
+        if k in _ADDED_THIS_ROUND:
+            return 1
+        return 0
+
+    ordered = sorted(QUERIES.items(), key=lambda kv: tier(kv[0]))
     QUERIES.clear()
-    QUERIES.update(front)
-    QUERIES.update(back)
+    QUERIES.update(ordered)

@@ -629,3 +629,41 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("sh").alias("n_shared_ngrams"))
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus n-gram statistics: top-k bigrams (LM-style corpus profiling)
+# --------------------------------------------------------------------------
+@query(
+    "ngram_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ),
+    bigrams AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+      WHERE len(t) >= 2
+    )
+    SELECT bigram, count(*) AS n_occurrences
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams: tokenize once behind the Generate barrier,
+    shingle with the same element_at construction the dedup family
+    uses, one partial-aggregated count, TakeOrdered top-k (no global
+    sort). The id-ordered tiebreak makes the cut deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = with_token_array(d.select("doc_id", "text"))
+    bi = toks.select(F.explode(shingles_col(F.col("toks"), 2)).alias("bigram"))
+    return (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
