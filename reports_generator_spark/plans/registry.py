@@ -81,6 +81,11 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "q4_order_priority", "q12_priority_class", "q14_promo_revenue",
         "q19_bracket_or", "funnel_conversion", "retention_cohorts",
         "outlier_zscore", "ngram_topk", "embedding_neardup_lsh",
+        "q2_min_cost_supplier", "q6_forecast_revenue", "q9_product_profit",
+        "q11_important_parts", "q13_order_distribution", "q15_top_supplier",
+        "q16_part_supplier_variety", "q17_small_qty_revenue",
+        "q18_large_volume", "q20_promotion_suppliers", "q21_late_shippers",
+        "q22_idle_customers",
     }
 )
 

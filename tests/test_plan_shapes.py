@@ -144,6 +144,10 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         "text_tfidf",
         # bm25 broadcasts its 1-row (n_docs, avgdl) corpus-stats frame
         "text_bm25",
+        # scalar-threshold queries attach a 1-row aggregate via broadcast
+        # cross-join (map-side, zero shuffle of the big side) — the
+        # inequality against the scalar leaves no equi-key to hash on
+        "q11_important_parts", "q22_idle_customers",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
