@@ -85,7 +85,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "q11_important_parts", "q13_order_distribution", "q15_top_supplier",
         "q16_part_supplier_variety", "q17_small_qty_revenue",
         "q18_large_volume", "q20_promotion_suppliers", "q21_late_shippers",
-        "q22_idle_customers",
+        "q22_idle_customers", "stream_stream_join", "corpus_shuffle_shard",
+        "sample_reservoir_per_key", "corpus_clean_pipeline",
+        "agg_approx_percentile",
     }
 )
 

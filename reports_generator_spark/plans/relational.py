@@ -983,3 +983,46 @@ def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate percentiles with a tolerance attestation
+# --------------------------------------------------------------------------
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT event_type,
+           floor(quantile_cont(value, 0.5)  * 10000 + 0.5) / 10000 AS p50_exact,
+           floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000 AS p95_exact,
+           TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles — the mergeable-sketch
+    path that replaces exact sort-based quantiles at 100 TB. Same
+    attestation pattern as agg_approx_distinct: the exact companion is
+    oracle-checked and the sketch must land within 5% of it; separate
+    aggregations keep the GK buffer out of the exact agg's shuffle.
+    """
+    e = _t(spark, sf_dir, "events")
+    exact = e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50_e"),
+        F.percentile("value", 0.95).alias("p95_e"),
+    )
+    approx = e.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_a"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_a"),
+    )
+    j = exact.join(F.broadcast(approx), "event_type")
+    within = (
+        (F.abs(F.col("p50_a") - F.col("p50_e")) <= 0.05 * F.abs(F.col("p50_e")) + 1e-6)
+        & (F.abs(F.col("p95_a") - F.col("p95_e")) <= 0.05 * F.abs(F.col("p95_e")) + 1e-6)
+    )
+    return j.select(
+        "event_type",
+        dround(F.col("p50_e"), 4).alias("p50_exact"),
+        dround(F.col("p95_e"), 4).alias("p95_exact"),
+        within.alias("approx_within_5pct"),
+    )

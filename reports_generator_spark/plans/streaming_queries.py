@@ -145,3 +145,29 @@ def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
     return _run_to_memory(agg, "complete")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_event_id,
+           p.event_id AS purchase_event_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join ≡ the batch interval
+    join over the same bounded input (availableNow processes all
+    fixture rows before any watermark eviction)."""
+    from ..streaming import stream_stream_interval_join
+
+    return stream_stream_interval_join(spark, sf_dir)

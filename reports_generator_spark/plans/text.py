@@ -667,3 +667,136 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic corpus shuffle + sharding (training-order assignment)
+# --------------------------------------------------------------------------
+_ORD_KEY_SQL = "(doc_id * 2654435761) % 4294967296"
+
+
+@query(
+    "corpus_shuffle_shard",
+    oracle=f"""
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY ord_key, doc_id) AS BIGINT) AS pos
+    FROM (SELECT doc_id,
+                 {_ORD_KEY_SQL} AS ord_key,
+                 ({_ORD_KEY_SQL}) % 8 AS shard
+          FROM documents)
+    """,
+)
+def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-order assignment:
+    a Knuth multiplicative hash of doc_id gives a reproducible
+    pseudo-random order, sharded so each output file sorts
+    independently.
+
+    Physical plan: ONE hash shuffle on shard + a per-shard sort — the
+    row_number window partitioned by shard is exactly
+    repartition(shard) + sortWithinPartitions. At 100 TB you raise
+    n_shards to ≥ the cluster's write parallelism (it only changes the
+    modulus); nothing here is a global sort or single partition.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return (
+        d.select(
+            "doc_id", key.alias("ord_key"), (key % 8).alias("shard")
+        )
+        .select(
+            "doc_id", "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-key reservoir sample (top-n by hash order)
+# --------------------------------------------------------------------------
+@query(
+    "sample_reservoir_per_key",
+    oracle=f"""
+    SELECT source, doc_id, rn
+    FROM (SELECT source, doc_id,
+                 CAST(row_number() OVER (PARTITION BY source
+                                         ORDER BY {_ORD_KEY_SQL}, doc_id)
+                      AS BIGINT) AS rn
+          FROM documents)
+    WHERE rn <= 3
+    """,
+)
+def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key fixed-size sample, reservoir semantics made
+    deterministic: rank by a multiplicative hash of the id and keep
+    the first n per key. Unlike rand()-based sampling this is
+    reproducible across runs/engines AND stable under re-partitioning;
+    one shuffle on the key, partial TopK per partition via the window.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).cast("bigint").alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus cleaning (quality filter -> exact dedup keep-first)
+# --------------------------------------------------------------------------
+@query(
+    "corpus_clean_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             0.4 * least(length(text) / 200.0, 1.0)
+             + 0.4 * (len(list_distinct({_SQL_TOKS})) * 1.0
+                      / greatest(len({_SQL_TOKS}), 1))
+             + 0.2 * (len(list_filter({_SQL_TOKS}, x -> x IN ({_STOP_SQL}))) * 1.0
+                      / greatest(len({_SQL_TOKS}), 1)) AS q,
+             md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fp
+      FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE q >= 0.55)
+    SELECT doc_id, source, floor(q * 10000 + 0.5) / 10000 AS quality
+    FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM kept)
+    WHERE rn = 1
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-cleanup pass: quality-score every doc,
+    drop the low-quality tail, exact-dedup the survivors on the
+    normalized-token fingerprint keeping the lowest doc_id.
+
+    One scan computes score + fingerprint in codegen; the dedup is a
+    single groupBy(fp) with min_by — partial-aggregable, so the
+    shuffle carries at most one candidate row per (partition, fp).
+    This is the integration query that proves the text layer composes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n = F.greatest(F.size(toks), F.lit(1))
+    q = (
+        0.4 * F.least(F.length("text") / 200.0, F.lit(1.0))
+        + 0.4 * (F.size(F.array_distinct(toks)) / n)
+        + 0.2 * (F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS))) / n)
+    )
+    scored = d.select(
+        "doc_id", "source", q.alias("q"), fingerprint_col(toks).alias("fp")
+    ).filter(F.col("q") >= 0.55)
+    best = scored.groupBy("fp").agg(
+        F.min_by(F.struct("doc_id", "source", "q"), "doc_id").alias("r")
+    )
+    return best.select(
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.source").alias("source"),
+        dround(F.col("r.q"), 4).alias("quality"),
+    )

@@ -1,3 +1,11 @@
-from .windowed import stream_dedup_keys, stream_tumbling_agg
+from .windowed import (
+    stream_dedup_keys,
+    stream_stream_interval_join,
+    stream_tumbling_agg,
+)
 
-__all__ = ["stream_tumbling_agg", "stream_dedup_keys"]
+__all__ = [
+    "stream_tumbling_agg",
+    "stream_dedup_keys",
+    "stream_stream_interval_join",
+]

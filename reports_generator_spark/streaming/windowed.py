@@ -100,3 +100,51 @@ def stream_dedup_keys(
         .select("user_id", "event_type")
     )
     return _run_to_memory(dd, "append")
+
+
+def stream_stream_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval bound:
+    each view joins purchases by the same user landing within
+    ``horizon`` after the view.
+
+    Both sides carry a watermark and the join condition bounds
+    purchase_ts to [view_ts, view_ts + horizon], so the state store
+    can evict a buffered row as soon as the other side's watermark
+    passes its join window — the canonical bounded-state design for a
+    24/7 two-stream correlation at scale.  Under availableNow on the
+    fixture the output equals the batch interval join, which is what
+    the oracle checks.
+    """
+    views = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("user_id", "view_event_id", "purchase_event_id", "view_ts", "purchase_ts")
+    return _run_to_memory(joined, "append")

@@ -135,6 +135,7 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         "join_theta_range",
         "stream_tumbling_agg", "stream_dedup_watermark", "stream_static_join",
         "stream_sessionize_stateful", "stream_report_ingest",
+        "stream_stream_join",
         # intentional broadcast-cross shapes: brute-force/IVF similarity
         # broadcast a tiny side (query vectors / centroids) against the
         # corpus — that IS the scale plan; tfidf broadcasts a 1-row
