@@ -218,3 +218,46 @@ def test_semantic_dedup_is_argmax_plus_partial_agg(spark):
     ex_lines = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert not any("vec_id" in ln for ln in ex_lines), plan
     assert "partial_max_by" in plan
+
+
+def test_q6_predicates_reach_parquet_scan(spark):
+    """Q6 is pure scan+agg: its date/discount/quantity predicates must
+    all push into the parquet reader, and the only exchange is the
+    1-row final combine."""
+    df = registry.QUERIES["q6_forecast_revenue"](spark, SF_DIR)
+    plan = plan_str(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    line = pushed[0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in line, line
+
+
+def test_corpus_shuffle_shard_single_exchange(spark):
+    """The deterministic shuffle must cost exactly ONE hash exchange
+    (on shard) — no global sort, no extra repartition."""
+    df = registry.QUERIES["corpus_shuffle_shard"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_corpus_clean_dedup_is_partial_agg(spark):
+    """The fingerprint dedup must partial-aggregate (min_by combines
+    map-side) so the shuffle carries at most one candidate per
+    (partition, fp) — never a collect-all-rows-per-key pattern."""
+    df = registry.QUERIES["corpus_clean_pipeline"](spark, SF_DIR)
+    phys = plan_str(df, "simple")
+    # min_by's struct buffer plans as SortAggregate; what matters is the
+    # partial (map-side) phase before the fp exchange
+    assert "partial_min_by" in phys, phys
+
+
+def test_q9_dims_broadcast_fact_shuffles_once(spark):
+    """Q9's three dimension joins must all broadcast; the lineitem side
+    shuffles only for the final group-by."""
+    df = registry.QUERIES["q9_product_profit"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
