@@ -14,10 +14,10 @@ grow with iterations.
 Scale posture: rounds = component diameter; near-dup clusters are
 small and dense, so 2–4 rounds in practice. Each round is one
 equi-join + one groupBy-min — shuffle-bounded on the node id. For
-web-scale graphs with giant components you'd switch to the
-large-star/small-star algorithm (Kiveris et al., "Connected
-Components in MapReduce and Beyond") — same DataFrame primitives,
-fewer rounds; the semantics pinned here don't change.
+web-scale graphs with giant/long components use
+:func:`connected_components_star` (large-star/small-star, Kiveris et
+al.) below — O(log n) rounds on any topology, same output contract
+(equivalence pinned in tests/test_dedup.py).
 """
 
 from __future__ import annotations
@@ -72,3 +72,90 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the web-scale path: O(log n) rounds on any topology, where
+    min-label propagation needs O(diameter) rounds and struggles on
+    long chains / giant components.
+
+    Same output contract as :func:`connected_components`:
+    (node, cluster_id = min node id in the component).
+
+    Each half-round is ONE window-min over a hash partition of the
+    edge list + a distinct — no adjacency lists are ever collected,
+    so a skewed high-degree node costs a partition sort, not a
+    driver-side materialization.  Edges stay in canonical big→small
+    orientation, which is what the small-star step requires and makes
+    the converged state (every node points at its component min) the
+    label map itself.
+    """
+    from pyspark.sql import Window
+
+    # canonical orientation u > v (self-loops dropped)
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col(src) != F.col(dst)
+    )
+    cur = (
+        e0.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = (
+        cur.select(F.col("u").alias("node"))
+        .union(cur.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    prev_sig = None
+    for _ in range(max_iter):
+        # -- large-star: over the SYMMETRIC adjacency, hook every
+        #    larger neighbor v > u onto m = min(N(u) ∪ {u})
+        und = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        w = Window.partitionBy("u")
+        m_l = F.least(F.min("v").over(w), F.col("u"))
+        cur = (
+            und.withColumn("m", m_l)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # -- small-star: edges already point big→small; hook every
+        #    smaller neighbor (and u itself) onto m = min(N⁻(u))
+        m_s = F.min("v").over(w)
+        with_m = cur.withColumn("m", m_s)
+        cur = (
+            with_m.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(with_m.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        ).collect()[0]
+        if prev_sig == (sig.n, sig.su, sig.sv):
+            break
+        prev_sig = (sig.n, sig.su, sig.sv)
+
+    # converged: every non-center node carries exactly one edge to its
+    # component min (groupBy-min is belt and braces for the last round)
+    point = cur.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
+        F.col("u").alias("node"), "cluster_id"
+    )
+    return (
+        all_nodes.join(point, "node", "left")
+        .select("node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id"))
+    )

@@ -140,3 +140,38 @@ def test_pack_sequences_edges(spark):
         for r in pack_sequences(df, capacity=100, shard_col="lang").collect()
     }
     assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3}
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """large-star/small-star must produce identical components to
+    min-label propagation on adversarial topologies: a long chain
+    (worst case for propagation), a star, disjoint cliques, and a
+    deterministic random graph."""
+    import random
+
+    from reports_generator_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    chain = [(i, i + 1) for i in range(0, 40)]
+    star = [(100, 100 + i) for i in range(1, 10)]
+    cliques = [
+        (200 + a, 200 + b) for a in range(5) for b in range(a + 1, 5)
+    ] + [(300 + a, 300 + b) for a in range(4) for b in range(a + 1, 4)]
+    rand = [(rng.randrange(400, 460), rng.randrange(400, 460)) for _ in range(80)]
+    edges = [e for e in chain + star + cliques + rand if e[0] != e[1]]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    a = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(df, max_iter=50).collect()
+    }
+    b = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components_star(df).collect()
+    }
+    assert a == b
+    # chain component must collapse to min label 0
+    assert (40, 0) in b
