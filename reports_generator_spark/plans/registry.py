@@ -87,7 +87,8 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "q18_large_volume", "q20_promotion_suppliers", "q21_late_shippers",
         "q22_idle_customers", "stream_stream_join", "corpus_shuffle_shard",
         "sample_reservoir_per_key", "corpus_clean_pipeline",
-        "agg_approx_percentile",
+        "agg_approx_percentile", "unpivot_metrics", "sql_lateral_topn",
+        "time_spine_gapfill",
     }
 )
 

@@ -1026,3 +1026,70 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("p95_e"), 4).alias("p95_exact"),
         within.alias("approx_within_5pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unpivot / melt (wide metrics -> long)
+# --------------------------------------------------------------------------
+@query(
+    "unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity      AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(sum(CAST(l_discount      AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+             CAST(sum(CAST(l_tax           AS DECIMAL(18,2))) AS DOUBLE) AS sum_tax
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, 'sum_qty'   AS metric, sum_qty   AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc'  AS metric, sum_disc  AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_tax'   AS metric, sum_tax   AS value FROM wide
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping with the native unpivot operator: ONE
+    Expand over the aggregated frame, where the oracle's UNION ALL
+    spelling scans it four times. The inverse of pivot_event_matrix."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double").alias("sum_disc"),
+        F.sum(F.col("l_tax").cast("decimal(18,2)")).cast("double").alias("sum_tax"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc", "sum_tax"],
+        "metric",
+        "value",
+    )
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated top-n subquery (SQL surface)
+# --------------------------------------------------------------------------
+_LATERAL_SQL = """
+SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+FROM orders o, LATERAL (
+  SELECT l_linenumber, l_extendedprice FROM lineitem li
+  WHERE li.l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber
+  LIMIT 2) l
+WHERE o.o_totalprice > 450000
+"""
+
+
+@query("sql_lateral_topn", oracle=_LATERAL_SQL)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT —
+    the literal SQL text runs unchanged on both engines. Catalyst
+    decorrelates it to a ranked window over one join, not a per-row
+    re-execution."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)

@@ -236,3 +236,60 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------------
+# Calendar spine gap-fill (dense daily series per event type)
+# --------------------------------------------------------------------------
+@query(
+    "time_spine_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(date_trunc('day', ts)) AS d0, max(date_trunc('day', ts)) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type, s.day, coalesce(d.n, 0) AS n_events
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+    """,
+)
+def time_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily time series: a generated calendar spine (sequence +
+    explode over the 1-row min/max bounds) crossed with the distinct
+    type dimension, left-joined against the real daily counts so
+    missing days appear as zeros — the standard shape feeding
+    forecasting / monitoring off an event log.
+
+    Scale: both spine (days) and type dimension are provably tiny
+    derived frames; the only full-data work is the daily aggregate.
+    The broadcast cross of the two tiny frames is the intended plan
+    (sweep skip-listed)."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0"),
+        F.max(F.date_trunc("day", "ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("n", F.lit(0)).alias("n_events")
+        )
+    )

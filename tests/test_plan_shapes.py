@@ -149,6 +149,10 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # cross-join (map-side, zero shuffle of the big side) — the
         # inequality against the scalar leaves no equi-key to hash on
         "q11_important_parts", "q22_idle_customers",
+        # calendar-spine cross type-dimension: both sides are provably
+        # tiny derived frames (days × event types); the broadcast cross
+        # is the intended plan
+        "time_spine_gapfill",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
