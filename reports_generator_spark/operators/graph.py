@@ -43,34 +43,38 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # fused first round: every node's label starts at
+    # min(node, min(neighbors)) — one groupBy instead of a join round
     labels = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("m"))
+        .select("node", F.least(F.col("node"), F.col("m")).alias("label"))
+        .localCheckpoint(eager=False)
     )
     # labels are monotonically non-increasing (a node's old label is in
     # the min), so convergence == the label sum stops decreasing — one
-    # aggregation per round instead of a self-join change count
+    # aggregation per round instead of a self-join change count.  The
+    # checkpoints are LAZY: the convergence aggregation is the action
+    # that materializes each round's frame, so a round costs one job,
+    # not two, while lineage still truncates.
     prev_sum = None
     for _ in range(max_iter):
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
         nbr = und.join(labels, und.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
-        new_labels = (
+        labels = (
             labels.select("node", "label")
             .union(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        cur_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
-        labels = new_labels
-        if prev_sum is not None and cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
