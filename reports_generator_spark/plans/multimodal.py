@@ -86,3 +86,64 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_payload(docs), frame_bytes=256, frame_stride=2)
+
+
+# --------------------------------------------------------------------------
+# binaryFile source: opaque-payload ingestion from a file tree
+# --------------------------------------------------------------------------
+def _binary_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """One payload file per document (content = the doc's UTF-8 bytes),
+    built once per sf into a tmp cache. The build is executor-parallel
+    (foreachPartition), not a driver loop — the same pattern that
+    would lay fixture objects onto a shared store on a cluster."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"rg_binfiles_{tag}")
+    marker = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+
+        def write_part(rows):
+            for r in rows:
+                with open(os.path.join(d, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+                    fh.write(r["text"].encode("utf-8"))
+
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).foreachPartition(write_part)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return d
+
+
+@query(
+    "scan_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingest path: `binaryFile` datasource over a payload
+    tree (pathGlobFilter-pruned), id parsed from the file name, bytes
+    hashed JVM-side. This is how image/audio blobs enter the engine as
+    opaque binary columns at scale — one task per file group, no
+    Python in the scan. (ASCII fixture ⇒ md5(bytes) == md5(text).)"""
+    d = _binary_fixture_dir(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+    )
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_hash"),
+    )
