@@ -88,7 +88,7 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "q22_idle_customers", "stream_stream_join", "corpus_shuffle_shard",
         "sample_reservoir_per_key", "corpus_clean_pipeline",
         "agg_approx_percentile", "unpivot_metrics", "sql_lateral_topn",
-        "time_spine_gapfill", "scan_binaryfile",
+        "time_spine_gapfill", "scan_binaryfile", "text_gopher_rules",
     }
 )
 

@@ -800,3 +800,74 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.source").alias("source"),
         dround(F.col("r.q"), 4).alias("quality"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rules (per-doc, shuffle-free)
+# --------------------------------------------------------------------------
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             list_sum(list_transform(toks, x -> length(x))) * 1.0
+               / greatest(len(toks), 1) AS mwl,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) * 1.0
+               / greatest(len(toks), 1) AS alpha_frac,
+             len(list_distinct(list_filter(toks, x -> x IN ({_STOP_SQL}))))
+               AS n_stopwords
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           floor(mwl * 10000 + 0.5) / 10000 AS mean_word_len,
+           floor(alpha_frac * 10000 + 0.5) / 10000 AS alpha_word_frac,
+           CAST(n_stopwords AS BIGINT) AS n_stopwords,
+           (n_words >= 50 AND n_words <= 100000
+            AND mwl >= 3 AND mwl <= 10
+            AND alpha_frac > 0.8
+            AND n_stopwords >= 2) AS passes_gopher
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021) document quality rules: word
+    count bounds, mean word length 3–10, ≥80% alphabetic words, ≥2
+    distinct stopwords. Every measure is a higher-order array
+    expression over the tokenized column — per-row codegen, ZERO
+    shuffle; at 100 TB this filter runs at scan speed. Thresholds use
+    int-sum/int-count double arithmetic so the pass flag is
+    bit-deterministic cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n = F.size(toks)
+    safe_n = F.greatest(n, F.lit(1))
+    mwl = (
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        )
+        * 1.0
+        / safe_n
+    )
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) * 1.0 / safe_n
+    n_stop = F.size(
+        F.array_distinct(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    )
+    passes = (
+        (n >= 50) & (n <= 100000)
+        & (mwl >= 3) & (mwl <= 10)
+        & (alpha > 0.8)
+        & (n_stop >= 2)
+    )
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        dround(mwl, 4).alias("mean_word_len"),
+        dround(alpha, 4).alias("alpha_word_frac"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        passes.alias("passes_gopher"),
+    )

@@ -265,3 +265,11 @@ def test_q9_dims_broadcast_fact_shuffles_once(spark):
     plan = plan_str(df, "simple")
     assert plan.count("BroadcastHashJoin") == 3, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_gopher_rules_shuffle_free(spark):
+    """Quality rules are per-row array expressions — any Exchange
+    would mean the filter no longer runs at scan speed."""
+    df = registry.QUERIES["text_gopher_rules"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert "Exchange" not in plan, plan
