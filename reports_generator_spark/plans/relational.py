@@ -1093,3 +1093,95 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "lineitem"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Null-safe equi-join (IS NOT DISTINCT FROM / <=>)
+# --------------------------------------------------------------------------
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS k
+               FROM orders WHERE o_orderkey % 100 = 0),
+         b AS (SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS k
+               FROM orders WHERE o_orderkey % 100 = 50)
+    SELECT count(*) AS n_pairs,
+           count(*) FILTER (WHERE a.k IS NULL) AS n_null_pairs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-matching equi-join via <=> (EqualNullSafe). Catalyst still
+    plans a HASH join — the null-safe operator is an equi-key over
+    coalesced hashes, not a fallback to nested-loop, which is why this
+    works at fact-table scale where an OR (both-null) predicate would
+    degenerate to BNLJ."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    a = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("a_key"), k.alias("ak")
+    )
+    b = o.filter(F.col("o_orderkey") % 100 == 50).select(
+        F.col("o_orderkey").alias("b_key"), k.alias("bk")
+    )
+    return (
+        a.join(b, a.ak.eqNullSafe(b.bk))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("ak").isNull().cast("long")).alias("n_null_pairs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval (point-in-range) join via bucketized equi-join
+# --------------------------------------------------------------------------
+@query(
+    "join_range_binned",
+    oracle="""
+    WITH bands AS (
+      SELECT p_partkey AS band_id, p_retailprice - 2 AS lo, p_retailprice + 2 AS hi
+      FROM part WHERE p_size = 25
+    )
+    SELECT b.band_id, count(*) AS n_matches
+    FROM lineitem l
+    JOIN bands b ON l.l_extendedprice / l.l_quantity BETWEEN b.lo AND b.hi
+    GROUP BY 1
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join on the SCALE path: each interval explodes
+    to the fixed-width buckets it covers, each probe point hashes to
+    exactly ONE bucket, and the join becomes a bucket equi-join with
+    the BETWEEN as residual — no BroadcastNestedLoopJoin, no cartesian
+    (contrast join_theta_range, which keeps the naive plan on purpose).
+    A point lands in one bucket, so no post-join dedup is needed.
+    Bucket width ~ median interval width; here w=2."""
+    w = 2.0
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 25)
+    bands = p.select(
+        F.col("p_partkey").alias("band_id"),
+        (F.col("p_retailprice") - 2).alias("lo"),
+        (F.col("p_retailprice") + 2).alias("hi"),
+    )
+    exploded = bands.select(
+        "band_id", "lo", "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / w).cast("long"),
+                F.floor(F.col("hi") / w).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice") / F.col("l_quantity")
+    probe = li.select(
+        price.alias("unit_price"),
+        F.floor(price / w).cast("long").alias("bucket"),
+    )
+    return (
+        probe.join(F.broadcast(exploded), "bucket")
+        .filter(F.col("unit_price").between(F.col("lo"), F.col("hi")))
+        .groupBy("band_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )

@@ -273,3 +273,13 @@ def test_gopher_rules_shuffle_free(spark):
     df = registry.QUERIES["text_gopher_rules"](spark, SF_DIR)
     plan = plan_str(df, "simple")
     assert "Exchange" not in plan, plan
+
+
+def test_range_binned_join_is_hash_join(spark):
+    """The binned interval join must plan as a bucket equi-join —
+    the whole point is avoiding the nested-loop fallback."""
+    df = registry.QUERIES["join_range_binned"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan, plan
