@@ -89,7 +89,8 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "sample_reservoir_per_key", "corpus_clean_pipeline",
         "agg_approx_percentile", "unpivot_metrics", "sql_lateral_topn",
         "time_spine_gapfill", "scan_binaryfile", "text_gopher_rules",
-        "join_null_safe", "join_range_binned",
+        "join_null_safe", "join_range_binned", "embedding_normalize",
+        "embedding_centroid_per_label",
     }
 )
 

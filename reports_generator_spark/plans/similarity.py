@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import dround
 from ..operators.similarity import cosine_topk, cosine_topk_lsh, embedding_neardup
 from ..sources import load_table
 from .registry import query
@@ -210,3 +211,86 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup
 
     return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# L2 normalization (shuffle-free per-row array math)
+# --------------------------------------------------------------------------
+@query(
+    "embedding_normalize",
+    oracle="""
+    SELECT vec_id,
+           floor(sqrt(list_sum(list_transform(embedding,
+                                              x -> CAST(x AS DOUBLE) ** 2)))
+                 * 1000000 + 0.5) / 1000000
+             AS l2_norm,
+           floor(list_dot_product(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)
+                     / sqrt(list_sum(list_transform(embedding,
+                                     y -> CAST(y AS DOUBLE) ** 2)))),
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)
+                     / sqrt(list_sum(list_transform(embedding,
+                                     y -> CAST(y AS DOUBLE) ** 2)))))
+                 * 1000000 + 0.5) / 1000000
+             AS unit_dot
+    FROM embeddings
+    """,
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-L2 normalization as higher-order array expressions —
+    per-row index-ordered float reduction is bit-deterministic on both
+    engines, so the norm and the (≈1.0) self-dot of the normalized
+    vector are value-checkable. Shuffle-free: at 100 TB this is pure
+    scan-speed map work."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nrm = F.sqrt(sq_sum)
+    unit = F.transform("embedding", lambda x: x.cast("double") / nrm)
+    unit_dot = F.aggregate(
+        F.zip_with(unit, unit, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    return e.select(
+        "vec_id",
+        dround(nrm, 6).alias("l2_norm"),
+        dround(unit_dot, 6).alias("unit_dot"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-label centroids (class prototypes)
+# --------------------------------------------------------------------------
+@query(
+    "embedding_centroid_per_label",
+    oracle="""
+    SELECT label,
+           CAST(dim - 1 AS INT) AS dim,
+           CAST(floor(CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE)
+                      / count(*) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS centroid
+    FROM (SELECT label,
+                 unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings)
+    WHERE dim <= 8
+    GROUP BY 1, 2
+    """,
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class prototype vectors: posexplode to (label, dim, value),
+    exact-DECIMAL per-dimension sums (cross-engine deterministic where
+    float accumulation order would not be), one partial-aggregated
+    shuffle on (label, dim). Checked on the first 8 dims to keep the
+    oracle compact; the plan is dimension-count-independent."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "v")).filter(
+        F.col("dim") < 8
+    )
+    return ex.groupBy("label", "dim").agg(
+        dround(
+            (F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1))),
+            6,
+        ).cast("double").alias("centroid")
+    )
