@@ -90,7 +90,7 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "agg_approx_percentile", "unpivot_metrics", "sql_lateral_topn",
         "time_spine_gapfill", "scan_binaryfile", "text_gopher_rules",
         "join_null_safe", "join_range_binned", "embedding_normalize",
-        "embedding_centroid_per_label",
+        "embedding_centroid_per_label", "text_rare_token_stats",
     }
 )
 

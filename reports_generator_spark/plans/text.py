@@ -871,3 +871,47 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.cast("bigint").alias("n_stopwords"),
         passes.alias("passes_gopher"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rare-token statistics (perplexity proxy with exact arithmetic)
+# --------------------------------------------------------------------------
+@query(
+    "text_rare_token_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents
+    ),
+    dfreq AS (
+      SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    )
+    SELECT tok.doc_id,
+           count(*) AS n_tokens,
+           floor(sum(dfreq.df) * 1.0 / count(*) * 10000 + 0.5) / 10000
+             AS avg_token_df,
+           floor(count(*) FILTER (WHERE dfreq.df <= 2) * 1.0 / count(*)
+                 * 10000 + 0.5) / 10000 AS rare_token_frac
+    FROM tok JOIN dfreq ON tok.t = dfreq.t
+    GROUP BY tok.doc_id
+    """,
+)
+def text_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal with exact arithmetic: per-doc
+    mean corpus document-frequency of its tokens and the fraction of
+    rare (df ≤ 2) tokens. Integer sums / integer counts make the
+    scores bit-deterministic where a log-prob float sum would not be.
+    Same scale shape as tfidf: token df table joined back with NO
+    forced broadcast (heavy-tailed vocabulary — AQE decides)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = with_token_array(d.select("doc_id", "text")).select(
+        "doc_id", F.explode("toks").alias("t")
+    )
+    dfreq = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    j = tok.join(dfreq, "t")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        dround(F.sum("df") * 1.0 / F.count(F.lit(1)), 4).alias("avg_token_df"),
+        dround(
+            F.sum((F.col("df") <= 2).cast("long")) * 1.0 / F.count(F.lit(1)), 4
+        ).alias("rare_token_frac"),
+    )
