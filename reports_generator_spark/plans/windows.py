@@ -251,3 +251,49 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.percent_rank().over(w), 6).alias("pct_rank"),
         dround(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+# --------------------------------------------------------------------------
+# Native session_window (built-in merging session aggregation)
+# --------------------------------------------------------------------------
+@query(
+    "session_window_native",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS last_event_ts,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in session_window (dynamic-gap merging windows)
+    in BATCH mode — the same operator the streaming sessionizer uses,
+    so batch and stream share semantics. Boundary: an event exactly
+    gap-after the previous one starts a NEW session (window end is
+    exclusive), hence the oracle's >= where the cumsum sessionizer
+    (sessionize_events) uses >."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_event_ts", "n_events")
+    )
