@@ -453,8 +453,8 @@ def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 shape: global conditional ratio. Exact DECIMAL numerator and
-    denominator, one rounding at the output boundary; part joins
-    broadcast (dim side)."""
+    denominator, one rounding at the output boundary; the brand-pruned
+    part side is left to AQE (it scales with SF — no forced hint)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-08-01 00:00:00").cast("timestamp"))
@@ -463,7 +463,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _revenue()
     promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             dround(
                 (F.lit(100.0) * F.sum(promo) / F.sum(vol)).cast("double"), 6
@@ -495,7 +495,7 @@ def q19_bracket_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual evaluates post-join."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    j = li.join(p, p.p_partkey == li.l_partkey)
     qty = F.col("l_quantity")
     bracket = (
         ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & qty.between(1, 20))
@@ -775,15 +775,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 shape without ps_supplycost: revenue-profit per supplier
     nation per ship year for one product line. part filters before the
-    join (broadcast after the LIKE prune), so the fact table shuffles
-    once on the group keys."""
+    join; no forced broadcast — part/supplier scale with SF, so the
+    planner/AQE picks broadcast only while they fit. The fact table
+    shuffles once on the group keys."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -915,8 +916,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16 shape, partsupp derived from lineitem. The NOT IN list
     (complaint suppliers ≈ negative balance) is non-null, so it
-    decorrelates to a left-anti join; dims broadcast, the distinct
-    count is the only wide shuffle."""
+    decorrelates to a left-anti join; part/supplier sides carry no
+    forced hints (they scale with SF), the distinct count is the only
+    wide shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#11")
@@ -926,8 +928,8 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -973,7 +975,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(pa.withColumnRenamed("l_partkey", "pa_partkey"),
                 F.col("pa_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thr"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
@@ -1053,14 +1055,15 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20 shape, partsupp availability derived from shipped volume:
     IN decorrelates to a left-semi join; the inner aggregate prunes on
-    the part name (broadcast) before grouping."""
+    the part name before grouping (no forced hint — part scales with
+    SF)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
     sp = (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
         .filter(F.col("qty") > 50)
@@ -1119,7 +1122,7 @@ def q21_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per.join(ord_, "l_orderkey")
         .filter((F.col("n_suppliers") >= 2) & (F.col("supp_last") == F.col("order_last")))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

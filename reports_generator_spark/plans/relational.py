@@ -1180,7 +1180,7 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(price / w).cast("long").alias("bucket"),
     )
     return (
-        probe.join(F.broadcast(exploded), "bucket")
+        probe.join(exploded, "bucket")
         .filter(F.col("unit_price").between(F.col("lo"), F.col("hi")))
         .groupBy("band_id")
         .agg(F.count(F.lit(1)).alias("n_matches"))

@@ -138,7 +138,7 @@ def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windowed import _run_to_memory, _stream_events
 
     ev = _stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
-    dim = F.broadcast(load_table(spark, sf_dir, "customer"))
+    dim = load_table(spark, sf_dir, "customer")  # planner decides; customer scales with SF
     joined = ev.join(dim, ev.user_id == dim.c_custkey)
     agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n_purchases"),
