@@ -91,7 +91,7 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "time_spine_gapfill", "scan_binaryfile", "text_gopher_rules",
         "join_null_safe", "join_range_binned", "embedding_normalize",
         "embedding_centroid_per_label", "text_rare_token_stats",
-        "session_window_native",
+        "session_window_native", "embedding_pca_per_label",
     }
 )
 

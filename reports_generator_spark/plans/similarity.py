@@ -294,3 +294,18 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).cast("double").alias("centroid")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-label PCA (grouped-map Arrow + numpy; rows-only key)
+# --------------------------------------------------------------------------
+@query("embedding_pca_per_label")
+def embedding_pca_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal component per label via applyInPandas
+    (operators/ml.py) — the grouped-map Arrow pattern for per-class
+    feature statistics. Not SQL-expressible (no SVD in DuckDB):
+    rows-only driver check; unit-norm/determinism/variance properties
+    pinned in tests/test_corpus_ops.py."""
+    from ..operators.ml import pca_top_component
+
+    return pca_top_component(load_table(spark, sf_dir, "embeddings"))

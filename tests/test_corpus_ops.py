@@ -73,3 +73,45 @@ def test_gopher_rules_flag_consistent_with_measures(spark):
         if abs(r["mean_word_len"] - 3) > 1e-4 and abs(r["mean_word_len"] - 10) > 1e-4 \
            and abs(r["alpha_word_frac"] - 0.8) > 1e-4:
             assert r["passes_gopher"] == expect, dict(r.asDict())
+
+
+def test_pca_component_unit_norm_and_deterministic(spark):
+    import math
+
+    out = registry.QUERIES["embedding_pca_per_label"](spark, SF_DIR).collect()
+    by_label: dict[int, dict[int, float]] = {}
+    for r in out:
+        by_label.setdefault(r["label"], {})[r["dim"]] = r["component"]
+    assert len(by_label) == 10
+    for label, comp in by_label.items():
+        assert len(comp) == 64
+        nrm = math.sqrt(sum(v * v for v in comp.values()))
+        assert abs(nrm - 1.0) < 1e-9, (label, nrm)
+        # sign normalization: the largest-|coefficient| entry is positive
+        peak = max(comp.values(), key=abs)
+        assert peak > 0
+    again = registry.QUERIES["embedding_pca_per_label"](spark, SF_DIR).collect()
+    assert {(r["label"], r["dim"], round(r["component"], 12)) for r in out} == {
+        (r["label"], r["dim"], round(r["component"], 12)) for r in again
+    }
+
+
+def test_pca_component_maximizes_variance(spark):
+    """Projection variance along the learned component must beat the
+    variance along any single coordinate axis (sanity that it is a
+    principal direction, not an arbitrary unit vector)."""
+    import numpy as np
+
+    from reports_generator_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").toPandas()
+    comp_rows = registry.QUERIES["embedding_pca_per_label"](spark, SF_DIR).collect()
+    comps: dict[int, np.ndarray] = {}
+    for r in comp_rows:
+        comps.setdefault(r["label"], np.zeros(64))[r["dim"]] = r["component"]
+    for label, v in comps.items():
+        m = np.array(emb[emb.label == label]["embedding"].tolist(), dtype=np.float64)
+        m = m - m.mean(axis=0)
+        proj_var = np.var(m @ v)
+        axis_var = np.var(m, axis=0).max()
+        assert proj_var >= axis_var - 1e-9, (label, proj_var, axis_var)
