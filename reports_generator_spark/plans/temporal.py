@@ -293,3 +293,50 @@ def time_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "day", F.coalesce("n", F.lit(0)).alias("n_events")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental rollup maintenance (mergeable partial-aggregate states)
+# --------------------------------------------------------------------------
+@query(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(min(value) AS DOUBLE) AS min_value,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM events GROUP BY 1
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the rollup of the already-
+    materialized history (ts < split) MERGED with the delta rollup
+    (ts ≥ split) must equal the full recompute — which is exactly what
+    the oracle checks. count/sum/min/max partials merge by
+    sum/sum/min/max; at 100 TB you persist the history-side state and
+    only ever aggregate the new partition. The merge is a union of two
+    tiny grouped frames + one re-aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = rollup(e.filter(F.col("ts") < split))
+    delta = rollup(e.filter(F.col("ts") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").cast("double").alias("total_value"),
+            F.min("mn").cast("double").alias("min_value"),
+            F.max("mx").cast("double").alias("max_value"),
+        )
+    )
