@@ -65,3 +65,46 @@ def write_parquet_idempotent(
     out = fresh.coalesce(1) if single_file else fresh
     out.write.mode(mode).parquet(path)
     return fresh
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~target size (the operational fix for streaming/append sinks that
+    accumulate thousands of tiny files and throttle every later scan
+    on open/footer overhead).
+
+    File count is computed from the dataset's actual on-disk bytes via
+    the Hadoop FS API (no data pass); the rewrite is one
+    repartition(n) — a single round-robin shuffle, no driver
+    materialization. Returns before/after file counts + rows.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    summary = fs.getContentSummary(hpath)
+    total_bytes = summary.getLength()
+    files_before = sum(
+        1
+        for f in fs.listStatus(hpath)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n_files = max(1, int((total_bytes + target_bytes_per_file - 1) // target_bytes_per_file))
+    df = spark.read.parquet(in_path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    out_hpath = jvm.org.apache.hadoop.fs.Path(out_path)
+    files_after = sum(
+        1
+        for f in fs.listStatus(out_hpath)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n_rows = spark.read.parquet(out_path).count()
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "n_rows": n_rows,
+    }

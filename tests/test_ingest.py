@@ -257,3 +257,22 @@ def test_quarantine_routes_malformed_blocks(spark, tmp_path):
     assert good.count() == 2
     reasons = {r["reject_reason"] for r in quar.collect()}
     assert reasons == {"short_block", "no_terminator"}
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Fragmented sink (64 tiny files) -> compaction to target size
+    must collapse the file count without touching a single row."""
+    from reports_generator_spark.ingest.sinks import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(src)
+
+    stats = compact_parquet(spark, src, dst, target_bytes_per_file=10 * 1024 * 1024)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < 8
+    assert stats["n_rows"] == 10000
+    before = {(r["id"], r["v"]) for r in spark.read.parquet(src).collect()}
+    after = {(r["id"], r["v"]) for r in spark.read.parquet(dst).collect()}
+    assert before == after
