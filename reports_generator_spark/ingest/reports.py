@@ -138,7 +138,27 @@ def lines_from_wholetext(raw: DataFrame) -> DataFrame:
 
 def read_report_lines(spark: SparkSession, cfg: ReportConfig) -> DataFrame:
     """S1+S2: one recursive scan of all report files → (report_path,
-    line_no, line). Executor-side IO; no driver listing loop."""
+    line_no, line). Executor-side IO; no driver listing loop.
+
+    The reference DECLARES a charset property but leaves it empty and
+    unused (Proof.scala:26); completed here like ISU/idempotency: a
+    non-UTF-8 charset routes through the binaryFile source + decode()
+    (the text source is UTF-8-only), so legacy ISO-8859-1 report dumps
+    ingest losslessly. Same executor-side parallel scan either way."""
+    cs = (cfg.charset or "UTF-8").upper().replace("-", "").replace("_", "")
+    if cs != "UTF8":
+        raw = (
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", f"*{cfg.ext_file}")
+            .load(cfg.input_dir)
+        )
+        return raw.select(
+            F.col("path").alias("report_path"),
+            F.posexplode(
+                F.split(F.decode(F.col("content"), cfg.charset), r"\r?\n")
+            ).alias("line_no", "line"),
+        )
     raw = (
         spark.read.option("recursiveFileLookup", "true")
         .option("pathGlobFilter", f"*{cfg.ext_file}")

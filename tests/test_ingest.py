@@ -276,3 +276,26 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     before = {(r["id"], r["v"]) for r in spark.read.parquet(src).collect()}
     after = {(r["id"], r["v"]) for r in spark.read.parquet(dst).collect()}
     assert before == after
+
+
+def test_ingest_latin1_charset(spark, tmp_path):
+    """The reference declares (but never uses) a charset property
+    (Proof.scala:26); the completed path must ingest ISO-8859-1 report
+    dumps losslessly — bytes like 0xF3 ('ó') are invalid UTF-8 and
+    would mojibake through the text source."""
+    from reports_generator_spark.ingest.fixtures import INPUT_KEYS, report_file_name
+
+    d = str(tmp_path / "latin1")
+    os.makedirs(d, exist_ok=True)
+    vals = block_values(0, 0)
+    vals["fileDirectory"] = "/landing/generación"
+    lines = "\n".join(f"{k}: {vals[k]}" for k in INPUT_KEYS) + "\n"
+    with open(os.path.join(d, report_file_name(0)), "w", encoding="iso-8859-1") as fh:
+        fh.write(lines)
+
+    cfg = ReportConfig(input_dir=d, output_parquet="", output_csv="",
+                       charset="ISO-8859-1", generation_date=GEN_DATE)
+    df = ingest_reports(spark, cfg)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["NOMBRE_DE_DIRECTORIO"] == "/landing/generación"
