@@ -1185,3 +1185,68 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_id")
         .agg(F.count(F.lit(1)).alias("n_matches"))
     )
+
+
+# --------------------------------------------------------------------------
+# Correlation / covariance from exact power sums
+# --------------------------------------------------------------------------
+@query(
+    "agg_correlation",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag,
+           floor((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 1000000 + 0.5) / 1000000 AS corr_qty_price,
+           floor((sxy - sx * sy / n) / n * 1000000 + 0.5) / 1000000
+             AS covar_pop_qty_price,
+           TRUE AS builtin_matches
+    FROM m
+    """,
+)
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance per group, computed
+    from EXACT DECIMAL power sums (Σx, Σy, Σx², Σy², Σxy) combined in
+    double — bit-deterministic cross-engine, where the built-in
+    streaming co-moment aggregators (Spark's partition-merge order vs
+    DuckDB's sequential Welford) differ in low-order bits and can flip
+    a rounding boundary. The built-in F.corr runs alongside and must
+    land within 1e-6 of the exact value (attested flag) — production
+    callers use the built-in; the power-sum form is the attestation
+    path AND the map-side-combinable form you'd use in an incremental
+    rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.corr("l_quantity", "l_extendedprice").alias("corr_builtin"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / F.sqrt(
+        (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+    )
+    covar = (F.col("sxy") - sx * sy / n) / n
+    return m.select(
+        "l_returnflag",
+        dround(corr, 6).alias("corr_qty_price"),
+        dround(covar, 6).alias("covar_pop_qty_price"),
+        (F.abs(F.col("corr_builtin") - corr) < 1e-6).alias("builtin_matches"),
+    )
