@@ -92,7 +92,7 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "join_null_safe", "join_range_binned", "embedding_normalize",
         "embedding_centroid_per_label", "text_rare_token_stats",
         "session_window_native", "embedding_pca_per_label",
-        "incremental_rollup_merge", "agg_correlation",
+        "incremental_rollup_merge", "agg_correlation", "agg_boolean",
     }
 )
 

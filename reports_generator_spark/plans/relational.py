@@ -1250,3 +1250,30 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(covar, 6).alias("covar_pop_qty_price"),
         (F.abs(F.col("corr_builtin") - corr) < 1e-6).alias("builtin_matches"),
     )
+
+
+# --------------------------------------------------------------------------
+# Boolean / conditional aggregates
+# --------------------------------------------------------------------------
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           bool_and(l_quantity > 0)  AS all_positive_qty,
+           bool_or(l_tax > 0.07)     AS any_high_tax,
+           bool_and(l_discount < 0.2) AS all_modest_discount
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate surface: count_if, bool_and,
+    bool_or — all partial-aggregable (map-side combine), the cheap
+    building blocks of data-quality assertions at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.bool_and(F.col("l_discount") < 0.2).alias("all_modest_discount"),
+    )
