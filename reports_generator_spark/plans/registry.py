@@ -43,14 +43,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Keys the round-1 driver already attested green (CORRECTNESS_r01.json).
-#: The driver walks ``queries()`` in registration order under a bounded
-#: budget (round 1 stopped at entry #50), so keys WITHOUT a green row yet
-#: — plus any newly added key — must register first.  Keys in this set are
+#: Keys a prior round's driver already attested (green hash-match row in
+#: CORRECTNESS_r01/r02.json, or — for declared rows-only keys — a recorded
+#: rows-only row).  The driver walks ``queries()`` in registration order
+#: under a bounded 50-entry budget, so keys WITHOUT a recorded row yet —
+#: plus any newly added key — must register first.  Keys in this set are
 #: pushed to the back of the dict; everything else keeps its relative
 #: registration order at the front.
 _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
     {
+        # --- round 1 green (CORRECTNESS_r01.json) ---
         "q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items",
         "subquery_above_avg", "pivot_event_matrix", "agg_statistics",
         "agg_percentiles", "q7_nation_trade_volume", "q8_market_share",
@@ -67,32 +69,37 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "window_ranking", "window_analytic", "window_running_agg",
         "sessionize_events", "window_range_time", "window_distribution",
         "array_map_fns", "text_tokenize_stats",
-        # NOTE: agg_approx_distinct is deliberately NOT here — its round-1
-        # row was err:no_oracle; it re-runs in the front block.
+        # --- round 2 green (CORRECTNESS_r02.json) ---
+        "agg_approx_distinct", "asof_join", "corpus_mix_weighted",
+        "decontaminate_ngram", "dedup_cluster_cc", "dedup_exact",
+        "dedup_ngram_jaccard", "doc_chunk_sliding", "embedding_neardup",
+        "embedding_quantize", "funnel_conversion", "fuzzy_join_levenshtein",
+        "merge_upsert", "multimodal_columns", "multimodal_frame_sample",
+        "multimodal_resize", "outlier_zscore", "pack_sequences",
+        "partitioned_sink_roundtrip", "q14_promo_revenue", "q19_bracket_or",
+        "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
+        "retention_cohorts", "scd2_intervals", "semantic_dedup",
+        "similarity_topk", "stream_dedup_watermark",
+        "stream_sessionize_stateful", "stream_static_join",
+        "stream_tumbling_agg", "text_bm25", "text_fingerprint",
+        "text_lang_id", "text_quality_score", "text_redact_pii", "text_tfidf",
+        "text_token_count", "time_bucket_rollup", "udaf", "udf_scalar",
+        "udtf_expand",
+        # --- round 2 rows-only recorded (declared no-oracle keys) ---
+        "dedup_near_minhash", "dedup_simhash", "similarity_topk_lsh",
+        "similarity_topk_ivf", "report_ingest", "stream_report_ingest",
+        # NOTE: q12_priority_class is deliberately NOT here — its round-2
+        # row was a hash MISMATCH (HUGEINT oracle dtype, fixed this round);
+        # it re-runs in the front block.
     }
 )
 
 
 #: Keys first registered in the CURRENT round.  They sort after the
 #: older unattested backlog so a truncated driver window never starves
-#: a key that has already waited a round.
+#: a key that has been waiting since a prior round.
 _ADDED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "q4_order_priority", "q12_priority_class", "q14_promo_revenue",
-        "q19_bracket_or", "funnel_conversion", "retention_cohorts",
-        "outlier_zscore", "ngram_topk", "embedding_neardup_lsh",
-        "q2_min_cost_supplier", "q6_forecast_revenue", "q9_product_profit",
-        "q11_important_parts", "q13_order_distribution", "q15_top_supplier",
-        "q16_part_supplier_variety", "q17_small_qty_revenue",
-        "q18_large_volume", "q20_promotion_suppliers", "q21_late_shippers",
-        "q22_idle_customers", "stream_stream_join", "corpus_shuffle_shard",
-        "sample_reservoir_per_key", "corpus_clean_pipeline",
-        "agg_approx_percentile", "unpivot_metrics", "sql_lateral_topn",
-        "time_spine_gapfill", "scan_binaryfile", "text_gopher_rules",
-        "join_null_safe", "join_range_binned", "embedding_normalize",
-        "embedding_centroid_per_label", "text_rare_token_stats",
-        "session_window_native", "embedding_pca_per_label",
-        "incremental_rollup_merge", "agg_correlation", "agg_boolean",
     }
 )
 

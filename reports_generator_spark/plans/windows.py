@@ -168,7 +168,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (gap > 30 min ⇒ new session)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # unix_timestamp, not cast("long"): the stored type may be
+    # TIMESTAMP_NTZ (naive parquet micros), which refuses a numeric cast.
+    gap_s = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
     is_new = F.when(gap_s > SESSION_GAP_MIN * 60, 1).otherwise(0)
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = e.withColumn("session_id", F.sum(is_new).over(cum))

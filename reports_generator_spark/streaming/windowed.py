@@ -17,6 +17,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,7 +40,14 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = spark.read.parquet(src).schema
     raw = spark.readStream.schema(schema).parquet(d)
-    return normalize_nanos_ts(raw)
+    out = normalize_nanos_ts(raw)
+    # Event-time operators (withWatermark) require TIMESTAMP_LTZ; naive
+    # parquet micros infer as TIMESTAMP_NTZ. Under the engine's pinned
+    # UTC session timezone the cast is value-preserving, and it stays
+    # local to the streaming source so batch plans keep the stored type.
+    if isinstance(out.schema["ts"].dataType, TimestampNTZType):
+        out = out.withColumn("ts", F.col("ts").cast("timestamp"))
+    return out
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
