@@ -43,16 +43,23 @@ def asof_join(
     right_payload: Sequence[str],
     tiebreak: str | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gains the payload of the
-    latest right row with ``right.ts <= left.ts`` on the same key
-    (nulls when no such row — left-outer semantics).
+    """As-of join: each left row gains the payload of the nearest
+    right row on the same key (nulls when no such row — left-outer
+    semantics). ``direction="backward"`` (default) picks the latest
+    right row with ``right.ts <= left.ts``; ``"forward"`` picks the
+    earliest with ``right.ts >= left.ts`` — the same union-and-window
+    plan with the time ordering reversed, so both directions stay one
+    shuffle + one per-key sort.
 
     on / ts: column name shared by both sides, or (left_name,
     right_name). right_payload: right columns to carry (renamed with
     `suffix` if they collide with a left column). tiebreak: right
     column ordering equal-t right rows (greatest wins).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lkey, rkey = (on, on) if isinstance(on, str) else on
     lts, rts = (ts, ts) if isinstance(ts, str) else ts
 
@@ -89,9 +96,10 @@ def asof_join(
         ).alias("__rp"),
     )
 
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col("__tb").asc())
+        .orderBy(t_order, F.col("__is_left").asc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(

@@ -1172,3 +1172,77 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (skyline): non-dominated customers on (spend, orders)
+# --------------------------------------------------------------------------
+@query(
+    "skyline_pareto",
+    oracle="""
+    WITH pts AS (
+      SELECT o_custkey AS custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spend,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT p.custkey, p.total_spend, p.n_orders
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE (q.total_spend >= p.total_spend AND q.n_orders > p.n_orders)
+         OR (q.total_spend > p.total_spend AND q.n_orders >= p.n_orders)
+    )
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier: customers not dominated on (total
+    spend, order count). The oracle states the O(n²) NOT EXISTS; the
+    engine runs the two-phase prune: (1) a LOCAL frontier per spend
+    bucket — any point dominated within its bucket is dominated
+    globally, so survivors are a superset of the answer and the heavy
+    data never sees a global order; (2) the exact windowed frontier
+    (max-y-over-strictly-greater-x) on the tiny survivor set. Frontier
+    rule: keep iff y == max(y) among equal x AND y > max(y) among
+    strictly greater x."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+    def frontier(df: DataFrame, *partition: str) -> DataFrame:
+        # Per distinct x: the best y, and the best y among STRICTLY
+        # greater x (rows-frame over one-row-per-x, so "preceding" is
+        # exactly x' > x — a RANGE frame on the continuous spend axis
+        # could not express strictness). Keep a point iff its y is the
+        # best at its x AND beats every greater-x best.
+        grp = df.groupBy(*partition, "total_spend").agg(
+            F.max("n_orders").alias("_gy")
+        )
+        w = (
+            Window.partitionBy(*partition) if partition else Window.partitionBy()
+        ).orderBy(F.col("total_spend").desc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        keep_x = (
+            grp.withColumn("_m", F.max("_gy").over(w))
+            .filter(F.col("_m").isNull() | (F.col("_gy") > F.col("_m")))
+            .drop("_m")
+        )
+        return (
+            df.join(keep_x, [*partition, "total_spend"])
+            .filter(F.col("n_orders") == F.col("_gy"))
+            .drop("_gy")
+        )
+
+    # Phase 1: distributed bucket-local frontiers (coarse spend bands).
+    banded = pts.withColumn(
+        "_band", F.floor(F.col("total_spend") / 200000.0)
+    )
+    survivors = frontier(banded, "_band").drop("_band")
+    # Phase 2: exact frontier over the (tiny) survivor set.
+    return frontier(survivors)

@@ -100,6 +100,12 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
 #: a key that has been waiting since a prior round.
 _ADDED_THIS_ROUND: frozenset[str] = frozenset(
     {
+        "sql_recursive_cte", "json_variant_extract", "regexp_extract_all",
+        "map_fns", "sketch_rollup_hll", "agg_bitmap_distinct",
+        "dedup_lines_c4", "text_repetition_filter", "asof_join_nearest",
+        "interval_merge_islands", "time_weighted_avg",
+        "window_fill_forward", "cumulative_distinct_users",
+        "skyline_pareto",
     }
 )
 
@@ -117,6 +123,9 @@ def load_all() -> None:
     from . import multimodal  # noqa: F401
     from . import streaming_queries  # noqa: F401
     from . import temporal  # noqa: F401
+    from . import sketches  # noqa: F401
+    from . import sql_features  # noqa: F401
+    from . import corpus  # noqa: F401
 
     # Reorder for the driver's bounded attestation window (round 1 cut off
     # at exactly 50 entries): oldest-unattested keys first, keys added in

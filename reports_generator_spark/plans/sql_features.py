@@ -1,0 +1,148 @@
+"""Modern SQL-surface operators: recursive CTEs, VARIANT-typed JSON,
+multi-match regex extraction, and map construction/transformation.
+
+The reference's entire SQL surface is ``spark.read``/``write`` (no
+queries exist in it at all, SURVEY.md §2.2); this module rounds out
+the engine's dialect with the Spark-4 features a user migrating a
+modern warehouse workload expects, each checked against DuckDB's
+spelling of the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround, sql_dround
+from ..sources import load_table
+from .registry import query
+
+# Identical text runs on both engines (the sql_surface pattern,
+# plans/relational.py:813): the portable-recursion subset — UNION ALL,
+# integer arithmetic, || concat.  The seed/step tree is a binary heap
+# over nation keys (parent(k) = floor((k-1)/2)), so the recursion is
+# data-driven and its depth (log2 n) is the number of self-join rounds
+# Spark's recursive-CTE executor runs.
+_RECURSIVE_SQL = """
+WITH RECURSIVE tree AS (
+  SELECT n_nationkey AS key, n_name AS name, 0 AS depth, n_name AS path
+  FROM {nation} WHERE n_nationkey = 0
+  UNION ALL
+  SELECT n.n_nationkey AS key, n.n_name AS name, t.depth + 1 AS depth,
+         t.path || '/' || n.n_name AS path
+  FROM {nation} n JOIN tree t
+    ON CAST(floor((n.n_nationkey - 1) / 2.0) AS BIGINT) = t.key
+  WHERE n.n_nationkey > 0
+)
+SELECT key, name, depth, path FROM tree
+"""
+
+
+@query("sql_recursive_cte", oracle=_RECURSIVE_SQL.format(nation="nation"))
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 recursive CTE): hierarchy expansion —
+    per-row depth and root path over a parent-child tree derived from
+    the nation table. Each recursion round is one distributed
+    hash-join of the frontier against the (broadcastable) parent
+    table, so a 100 TB hierarchy walk is O(depth) joins, not a
+    driver-side loop."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("rg_rec_nation")
+    return spark.sql(_RECURSIVE_SQL.format(nation="rg_rec_nation"))
+
+
+@query(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed JSON path access (Spark 4): parse_json once into
+    a binary VARIANT column, then typed variant_get extraction and a
+    filter on the extracted value. Contrast json_extract
+    (plans/relational.py:622), which re-parses with get_json_object:
+    VARIANT parses each row once into a navigable binary — the scale
+    answer for multi-path access over 100 TB of event JSON."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_id", k.alias("k"))
+        .filter(F.col("k") % 7 == 0)
+    )
+
+
+@query(
+    "regexp_extract_all",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\b(?:table|query|scan)\b')) AS n_hits,
+           coalesce(array_to_string(
+             list_sort(list_distinct(
+               regexp_extract_all(text, '\b(?:table|query|scan)\b'))),
+             ','), '') AS distinct_hits
+    FROM documents
+    """,
+)
+def regexp_extract_all_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-match regex extraction: every occurrence of a term set
+    per document, as count + sorted-distinct CSV. All JVM-codegen
+    (regexp_extract_all + array exprs) — one scan, zero shuffles,
+    zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = F.regexp_extract_all("text", F.lit(r"\b(?:table|query|scan)\b"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(hits).alias("n_hits"),
+        F.array_join(F.array_sort(F.array_distinct(hits)), ",").alias(
+            "distinct_hits"
+        ),
+    )
+
+
+@query(
+    "map_fns",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.user_id, c.event_type, c.n,
+           {sql_dround("c.n / CAST(t.tot AS DOUBLE)", 6)} AS share
+    FROM c JOIN t USING (user_id)
+    WHERE c.n >= 2
+    """,
+)
+def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per-user event-type histogram built
+    as map<string,bigint> (map_from_entries), thresholded with
+    map_filter, normalized with transform_values, flattened back to
+    rows with explode(map_entries) — the flat output is what DuckDB
+    states relationally. The map never leaves the executor: one
+    partial-agg shuffle on (user, type), one per-user collect."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_user = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    tot = F.aggregate(F.map_values("m"), F.lit(0).cast("bigint"), lambda a, x: a + x)
+    kept = F.map_filter(F.col("m"), lambda k, v: v >= 2)
+    shares = F.transform_values(
+        kept, lambda k, v: dround(v / tot.cast("double"), 6)
+    )
+    entry = F.explode(F.map_entries(F.map_zip_with(
+        kept, shares, lambda k, n, s: F.struct(n.alias("n"), s.alias("share"))
+    )))
+    return per_user.select("user_id", entry.alias("e")).select(
+        "user_id",
+        F.col("e.key").alias("event_type"),
+        F.col("e.value.n").alias("n"),
+        F.col("e.value.share").alias("share"),
+    )

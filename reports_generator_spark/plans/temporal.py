@@ -23,10 +23,10 @@ import hashlib
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import dround
+from ..functions.rounding import dround, sql_dround
 from ..operators.asof import asof_join
 from ..sources import load_table
 from .registry import query
@@ -339,4 +339,173 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("mn").cast("double").alias("min_value"),
             F.max("mx").cast("double").alias("max_value"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Nearest as-of join (both directions, pick the closer side)
+# --------------------------------------------------------------------------
+@query(
+    "asof_join_nearest",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
+    FROM p LEFT JOIN c ON c.user_id = p.user_id
+    QUALIFY row_number() OVER (
+        PARTITION BY p.event_id
+        ORDER BY abs(epoch_us(p.ts) - epoch_us(c.click_ts)) ASC,
+                 c.click_ts ASC, c.click_id DESC) = 1
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each purchase picks the user's click closest
+    in time, before OR after (ties: the earlier click, then greatest
+    click_id — matching both directional joins' tiebreak). Composed as
+    one backward + one forward as-of (operators/asof.py, direction=),
+    each a single shuffle + per-key sort; the oracle's LEFT JOIN over
+    all same-user pairs is the O(n·m) formulation this avoids.
+    Distances compare in integer microseconds (unix_micros /
+    epoch_us), never float seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    back = asof_join(
+        purchases, clicks, on="user_id", ts=("ts", "click_ts"),
+        right_payload=["click_id", "click_ts"], tiebreak="click_id",
+    ).withColumnsRenamed({"click_id": "b_id", "click_ts": "b_ts"})
+    both = asof_join(
+        back, clicks, on="user_id", ts=("ts", "click_ts"),
+        right_payload=["click_id", "click_ts"], tiebreak="click_id",
+        direction="forward",
+    ).withColumnsRenamed({"click_id": "f_id", "click_ts": "f_ts"})
+    um = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    d_back = um("ts") - um("b_ts")
+    d_fwd = um("f_ts") - um("ts")
+    pick_back = F.col("f_ts").isNull() | (
+        F.col("b_ts").isNotNull() & (d_back <= d_fwd)
+    )
+    return both.select(
+        "event_id", "user_id", "ts",
+        F.when(pick_back, F.col("b_id")).otherwise(F.col("f_id")).alias("click_id"),
+        F.when(pick_back, F.col("b_ts")).otherwise(F.col("f_ts")).alias("click_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval overlap merge (gaps-and-islands over real intervals)
+# --------------------------------------------------------------------------
+@query(
+    "interval_merge_islands",
+    oracle="""
+    WITH iv AS (SELECT user_id, event_id, ts AS s,
+                       ts + INTERVAL 30 MINUTE AS e
+                FROM events),
+    marked AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= s
+                  THEN 0 ELSE 1 END AS is_new
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island_id,
+           min(s) AS island_start, max(e) AS island_end,
+           count(*) AS n_intervals
+    FROM isl GROUP BY user_id, island
+    """,
+)
+def interval_merge_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user activity intervals ([ts, ts+30min])
+    into islands: an interval starts a new island iff it begins after
+    the running max end of everything before it. One hash shuffle on
+    user_id; both windows share the same (user | s, event_id) sort, so
+    Catalyst plans a single exchange+sort. This generalizes
+    sessionize_events from point gaps to real interval overlap — the
+    building block for downtime/coverage reports."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id", "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("e"),
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "is_new",
+        F.when(prev_max_e >= F.col("s"), 0).otherwise(1),
+    )
+    island = F.sum("is_new").over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.withColumn("island_id", island.cast("bigint"))
+        .groupBy("user_id", "island_id")
+        .agg(
+            F.min("s").alias("island_start"),
+            F.max("e").alias("island_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (TWAP-style, exact integer-micros weights)
+# --------------------------------------------------------------------------
+@query(
+    "time_weighted_avg",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_segments,
+           {sql_dround(
+             "CAST(sum(CAST(value AS DECIMAL(20,6)) * CAST(t_next - t AS DECIMAL(14,0))) AS DOUBLE)"
+             " / CAST(sum(CAST(t_next - t AS DECIMAL(14,0))) AS DOUBLE)", 6)}
+             AS twap_value
+    FROM seq
+    WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user: each reading is
+    weighted by how long it was current (duration to the next event,
+    in exact integer microseconds; the final open-ended reading drops
+    out, as in any TWAP). Numerator and denominator both accumulate in
+    DECIMAL, so the merge order of partial aggregates can't change the
+    result — the float-determinism discipline every money/metric sum
+    in this engine follows. One window + one groupBy over the same
+    user partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = e.select(
+        "user_id", "value", t.alias("t"), F.lead(t).over(w).alias("t_next")
+    ).filter(F.col("t_next").isNotNull())
+    dt = (F.col("t_next") - F.col("t")).cast("decimal(14,0)")
+    num = F.sum(F.col("value").cast("decimal(20,6)") * dt).cast("double")
+    den = F.sum(dt).cast("double")
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        dround(num / den, 6).alias("twap_value"),
     )

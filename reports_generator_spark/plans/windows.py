@@ -299,3 +299,78 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "last_event_ts", "n_events")
     )
+
+
+# --------------------------------------------------------------------------
+# Forward fill (LOCF) — sparse metric carried to every subsequent row
+# --------------------------------------------------------------------------
+@query(
+    "window_fill_forward",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+)
+def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: the most recent purchase
+    value rides along on every subsequent event of the same user
+    (NULL until the first purchase). `last(..., ignorenulls=True)`
+    over a running frame is the canonical LOCF spelling — one shuffle
+    on user_id, one per-key sort, values copied bit-exact (no
+    arithmetic, so no float discipline needed)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.last(sparse, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cumulative distinct users (growth accounting without a distinct-
+# over-window, which neither engine supports)
+# --------------------------------------------------------------------------
+@query(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT day, count(*) AS new_users FROM first_seen GROUP BY day)
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    """,
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user counts + cumulative distinct users. COUNT
+    (DISTINCT) over a running window is unsupported (and would be
+    quadratic anyway); the scalable identity is first-seen-day per
+    user → daily news → running sum. Both heavy steps are partial-agg
+    shuffles on high-cardinality keys; the only global ordering runs
+    over |days| rows — provably tiny, same class as the calendar
+    spine in time_spine_gapfill."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )

@@ -283,3 +283,40 @@ def test_range_binned_join_is_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan, plan
+
+
+def test_repetition_filter_shuffle_free(spark):
+    """Both repetition metrics (distinct fraction + max equal-run over
+    the sorted word array) are per-row array expressions — an Exchange
+    would mean the filter no longer runs at scan speed."""
+    df = registry.QUERIES["text_repetition_filter"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_regexp_extract_all_shuffle_free(spark):
+    df = registry.QUERIES["regexp_extract_all"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_interval_islands_single_exchange(spark):
+    """Both islands windows and the final groupBy share the user_id
+    hash partitioning: exactly ONE data exchange (plus AQE's optional
+    coalesce) — a second hashpartitioning would mean the sort/group
+    didn't reuse the window's shuffle."""
+    df = registry.QUERIES["interval_merge_islands"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    ex_lines = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex_lines) == 1, plan
+
+
+def test_bitmap_distinct_has_partial_agg(spark):
+    """The bitmap state build must partial-aggregate (map-side
+    bitmap_construct_agg) so the shuffle carries per-bucket bitmaps,
+    not raw ids."""
+    df = registry.QUERIES["agg_bitmap_distinct"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "partial_bitmap_construct_agg" in plan.lower().replace(" ", "_") or (
+        "HashAggregate" in plan and "bitmap_construct_agg" in plan
+    ), plan
