@@ -53,17 +53,29 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Execute with availableNow into a memory sink; return the result
     as a batch DataFrame. Memory-sink collection is bounded: these are
-    aggregate/dedup outputs, not raw streams."""
+    aggregate/dedup outputs, not raw streams.
+
+    Stateful operators materialize one state-store instance PER shuffle
+    partition per micro-batch; on a bounded fixture that fixed cost
+    (open/commit/snapshot × partitions) dwarfs the data, so the batch
+    runs with a small stream-side partition count, restored afterwards.
+    A real 24/7 deployment sizes this to keyspace ÷ target state per
+    task instead — the knob, not the number, is the design."""
     name = f"rg_stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import Row
 
 from reports_generator_spark.operators.asof import asof_join
@@ -70,3 +71,36 @@ def test_asof_null_payload_not_backfilled(spark):
     assert row["rid"] == 2
     assert row["a"] is None          # NOT "old_a"
     assert row["b"] == "new_b"
+
+
+def test_asof_forward_semantics(spark):
+    """direction="forward": earliest right row at-or-after each left
+    row; equal-t rows included with greatest-tiebreak winning; nulls
+    when nothing follows."""
+    left = spark.createDataFrame(
+        [Row(lid=1, k=1, t=10), Row(lid=2, k=1, t=15), Row(lid=3, k=1, t=21)]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(rid=10, k=1, t=12, v="a"),
+            Row(rid=11, k=1, t=15, v="eq1"),
+            Row(rid=12, k=1, t=15, v="eq2"),  # tie at t=15: max rid wins
+            Row(rid=13, k=1, t=20, v="b"),
+        ]
+    )
+    out = {
+        r["lid"]: (r["rid"], r["v"])
+        for r in asof_join(
+            left, right, on="k", ts="t", right_payload=["rid", "v"],
+            tiebreak="rid", direction="forward",
+        ).collect()
+    }
+    assert out[1] == (10, "a")       # earliest at-or-after 10 is t=12
+    assert out[2] == (12, "eq2")     # equal-t included; max rid wins tie
+    assert out[3] == (None, None)    # nothing at-or-after 21
+
+
+def test_asof_direction_validated(spark):
+    left = spark.createDataFrame([Row(k=1, t=1)])
+    with pytest.raises(ValueError):
+        asof_join(left, left, on="k", ts="t", right_payload=["t"], direction="sideways")
