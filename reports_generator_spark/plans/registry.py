@@ -87,25 +87,42 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "udtf_expand",
         # --- round 2 rows-only recorded (declared no-oracle keys) ---
         "dedup_near_minhash", "dedup_simhash", "similarity_topk_lsh",
-        "similarity_topk_ivf", "report_ingest", "stream_report_ingest",
-        # NOTE: q12_priority_class is deliberately NOT here — its round-2
-        # row was a hash MISMATCH (HUGEINT oracle dtype, fixed this round);
-        # it re-runs in the front block.
+        "similarity_topk_ivf",
+        # --- round 3 green (CORRECTNESS_r03.json) ---
+        "q9_product_profit", "q11_important_parts", "q12_priority_class",
+        "q13_order_distribution", "q15_top_supplier",
+        "q16_part_supplier_variety", "q17_small_qty_revenue",
+        "q18_large_volume", "q20_promotion_suppliers", "q21_late_shippers",
+        "q22_idle_customers", "agg_approx_percentile", "unpivot_metrics",
+        "sql_lateral_topn", "join_null_safe", "join_range_binned",
+        "agg_correlation", "agg_boolean", "session_window_native",
+        "ngram_topk", "corpus_shuffle_shard", "sample_reservoir_per_key",
+        "corpus_clean_pipeline", "text_gopher_rules", "text_rare_token_stats",
+        "embedding_normalize", "embedding_centroid_per_label",
+        "scan_binaryfile", "stream_stream_join", "time_spine_gapfill",
+        "incremental_rollup_merge", "skyline_pareto", "window_fill_forward",
+        "cumulative_distinct_users", "asof_join_nearest",
+        "interval_merge_islands", "time_weighted_avg", "sketch_rollup_hll",
+        "agg_bitmap_distinct", "sql_recursive_cte", "json_variant_extract",
+        "regexp_extract_all", "map_fns", "dedup_lines_c4",
+        "text_repetition_filter", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q10_returned_items",
+        # round 3 rows-only recorded
+        "embedding_neardup_lsh",
     }
 )
 
 
-#: Keys first registered in the CURRENT round.  They sort after the
-#: older unattested backlog so a truncated driver window never starves
-#: a key that has been waiting since a prior round.
+#: Keys whose ATTESTATION changed in the CURRENT round (round 4): new
+#: keys, keys whose rows-only declaration was upgraded to a real
+#: oracle (report ingest via the pure-Python golden CSV; PCA via
+#: invariant booleans), and keys whose oracle text changed (the
+#: shingle-df cap).  They must re-run through the driver's bounded
+#: 50-key window, so they sort FIRST.
 _ADDED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "sql_recursive_cte", "json_variant_extract", "regexp_extract_all",
-        "map_fns", "sketch_rollup_hll", "agg_bitmap_distinct",
-        "dedup_lines_c4", "text_repetition_filter", "asof_join_nearest",
-        "interval_merge_islands", "time_weighted_avg",
-        "window_fill_forward", "cumulative_distinct_users",
-        "skyline_pareto",
+        "report_ingest", "stream_report_ingest", "embedding_pca_per_label",
+        "data_profile_approx", "dedup_ngram_jaccard", "dedup_cluster_cc",
     }
 )
 
@@ -128,16 +145,16 @@ def load_all() -> None:
     from . import corpus  # noqa: F401
 
     # Reorder for the driver's bounded attestation window (round 1 cut off
-    # at exactly 50 entries): oldest-unattested keys first, keys added in
-    # the current round next, already-attested keys last.  If the window
-    # truncates, it drops the newest work (attestable next round), never a
-    # key that has been waiting since a prior round.
+    # at exactly 50 entries): keys added/changed this round first (their
+    # recorded rows are stale or absent), any unattested backlog next,
+    # already-attested keys last.  If the window truncates, it drops keys
+    # that already hold a green row, never one waiting for attestation.
     def tier(k: str) -> int:
+        if k in _ADDED_THIS_ROUND:
+            return 0
         if k in _ATTESTED_PRIOR_ROUNDS:
             return 2
-        if k in _ADDED_THIS_ROUND:
-            return 1
-        return 0
+        return 1
 
     ordered = sorted(QUERIES.items(), key=lambda kv: tier(kv[0]))
     QUERIES.clear()

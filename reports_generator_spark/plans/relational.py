@@ -1002,6 +1002,95 @@ def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "data_profile_approx",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct_exact,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value,
+           TRUE AS approx_within_5pct
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR), TRUE
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR), TRUE
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR), TRUE
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR),
+           TRUE
+    FROM orders
+    """,
+)
+def data_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`data_profile` with HyperLogLog++ distinct counts — the 100 TB
+    profile mode: five approx_count_distinct sketches fold map-side in
+    ONE scan with bounded (1.6 kB/sketch) state, where the exact
+    variant's five countDistinct each expand the aggregate into a
+    per-key shuffle of the whole table. The exact profile
+    (`data_profile`) remains the audit mode; this key carries the
+    established tolerance attestation — the exact distinct count plus
+    a boolean asserting the sketch landed within 5% (rsd 0.01), which
+    the oracle checks as a TRUE constant."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c, 0.01).alias(f"{c}__approx"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    # exact companion for the tolerance attestation ONLY (separate agg:
+    # mixing countDistinct with approx in one agg drags the HLL buffer
+    # through the distinct-rewrite shuffle — see agg_approx_distinct)
+    exact = o.agg(*[F.countDistinct(c).alias(f"{c}__exact") for c in _PROFILE_COLS])
+    # unpivot each single-row aggregate to per-column rows FIRST, then
+    # equi-join the (5-row) sides on col_name — a real-key broadcast
+    # hash join (a bare crossJoin of the two 1-row frames would plan a
+    # nested-loop join, which the plan-shape sweep rejects on principle)
+    approx_stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__approx, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    exact_stack = ", ".join(f"'{c}', {c}__exact" for c in _PROFILE_COLS)
+    approx_rows = wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {approx_stack}) AS "
+        "(col_name, n_rows, n_nulls, n_approx, min_value, max_value)"
+    )
+    exact_rows = exact.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {exact_stack}) AS (col_name, n_distinct_exact)"
+    )
+    both = approx_rows.join(F.broadcast(exact_rows), "col_name")
+    return both.select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct_exact",
+        "min_value",
+        "max_value",
+        (
+            F.abs(F.col("n_approx") - F.col("n_distinct_exact"))
+            <= 0.05 * F.col("n_distinct_exact")
+        ).alias("approx_within_5pct"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Approximate percentiles with a tolerance attestation
 # --------------------------------------------------------------------------

@@ -299,13 +299,67 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Per-label PCA (grouped-map Arrow + numpy; rows-only key)
 # --------------------------------------------------------------------------
-@query("embedding_pca_per_label")
+@query(
+    "embedding_pca_per_label",
+    oracle="""
+    SELECT label, max(len(embedding)) AS n_dims,
+           TRUE AS unit_norm_ok, TRUE AS eigvec_ok
+    FROM embeddings GROUP BY label
+    """,
+)
 def embedding_pca_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First principal component per label via applyInPandas
-    (operators/ml.py) — the grouped-map Arrow pattern for per-class
-    feature statistics. Not SQL-expressible (no SVD in DuckDB):
-    rows-only driver check; unit-norm/determinism/variance properties
-    pinned in tests/test_corpus_ops.py."""
+    (operators/ml.py), attested through its mathematical invariants:
+    DuckDB has no SVD, so the raw component VALUES stay behavioral
+    (tests/test_corpus_ops.py), but the defining properties are
+    computed Spark-side as booleans and hash-checked as TRUE
+    constants — the same attestation pattern as agg_approx_distinct:
+
+    - unit_norm_ok: Σ_d v_d² = 1 (±1e-6) per label;
+    - eigvec_ok: v is an eigenvector of the group's covariance —
+      cos(Cov·v, v) > 0.999, with Cov·v computed distributively
+      (project each centered row onto v, re-expand: two groupBy
+      aggregations, never a materialized d×d matrix — at 100 TB the
+      check costs two shuffles on (label[, dim]), same as the
+      centroid op).
+    """
     from ..operators.ml import pca_top_component
 
-    return pca_top_component(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = pca_top_component(emb).localCheckpoint()  # feeds 3 branches
+
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    mean = ex.groupBy("label", "dim").agg(F.avg("v").alias("mu"))
+    xc = ex.join(mean, ["label", "dim"]).select(
+        "vec_id", "label", "dim", (F.col("v") - F.col("mu")).alias("xc")
+    ).localCheckpoint(eager=False)  # used for projection AND re-expansion
+
+    j = xc.join(comp, ["label", "dim"])
+    y = j.groupBy("label", "vec_id").agg(
+        F.sum(F.col("xc") * F.col("component")).alias("y")
+    )
+    covv = (
+        xc.join(y, ["label", "vec_id"])
+        .groupBy("label", "dim")
+        .agg(F.sum(F.col("xc") * F.col("y")).alias("cv"))
+    )
+    per_label = (
+        covv.join(comp, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum(F.col("cv") * F.col("component")).alias("dot"),
+            F.sum(F.col("cv") * F.col("cv")).alias("cv2"),
+            F.sum(F.col("component") * F.col("component")).alias("v2"),
+        )
+    )
+    return per_label.select(
+        "label",
+        "n_dims",
+        (F.abs(F.col("v2") - 1.0) < 1e-6).alias("unit_norm_ok"),
+        (
+            F.col("dot") / (F.sqrt(F.col("cv2")) * F.sqrt(F.col("v2"))) > 0.999
+        ).alias("eigvec_ok"),
+    )

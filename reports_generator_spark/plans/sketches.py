@@ -85,6 +85,16 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern for incremental pipelines. The bucket dimension also
     hash-spreads one hot type's ids across reducers (a built-in skew
     salt).
+
+    Id domain: verified VALID FOR ALL signed ids on this Spark line —
+    bitmap_bucket_number/bitmap_bit_position map non-positive ids to
+    bucket <= 0 with a non-negative position (id 0 → (0,0), -3 →
+    (0,3)), and the (bucket, pos) mapping is injective across the
+    signed range, so the count stays exact with no positive-domain
+    precondition. Pinned by tests/test_corpus_ops.py::
+    test_bitmap_distinct_signed_id_domain so a Spark upgrade that
+    changes the mapping fails loudly instead of silently double
+    counting.
     """
     ev = load_table(spark, sf_dir, "events")
     state = ev.select(

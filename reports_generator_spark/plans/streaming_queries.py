@@ -71,9 +71,11 @@ def stream_sessionize_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming sessionization ≡ batch window+groupBy sessionization
     keyed on (user_id, session_start)."""
     from ..streaming.stateful import sessionize_stream
-    from ..streaming.windowed import _run_to_memory, _stream_events
+    from ..streaming.windowed import _run_to_memory, _stream_events, _stream_session
 
-    out = _run_to_memory(sessionize_stream(_stream_events(spark, sf_dir)), "update")
+    out = _run_to_memory(
+        sessionize_stream(_stream_events(_stream_session(spark), sf_dir)), "update"
+    )
     # update semantics: keep the latest emission per open session key
     from pyspark.sql import Window as W
 
@@ -87,13 +89,17 @@ def stream_sessionize_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_report_ingest")
+from .ingest_queries import STREAM_REPORT_INGEST_ORACLE, basename_ruta
+
+
+@query("stream_report_ingest", oracle=STREAM_REPORT_INGEST_ORACLE)
 def stream_report_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 as a streaming pipeline: file-source readStream over
     synthesized report fixtures → foreachBatch(batch parser) →
-    idempotent parquet sink; returns the sink contents. Rows-only (the
-    .TXT grammar is not a DuckDB source), and batch/stream parity is
-    asserted in tests/test_report_stream.py."""
+    idempotent parquet sink; returns the sink contents. Hash-attested
+    against the pure-Python golden CSV (ingest/golden.py — the same
+    differential gate as the batch key); batch/stream parity is
+    additionally asserted in tests/test_report_stream.py."""
     import hashlib
     import os
     import shutil
@@ -115,7 +121,7 @@ def stream_report_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         generation_date="2026-01-01 00:00:00",
     )
     stream_report_ingest(spark, cfg, sink, checkpoint_dir=ckpt).awaitTermination()
-    return spark.read.parquet(sink)
+    return basename_ruta(spark.read.parquet(sink))
 
 
 @query(
@@ -135,8 +141,9 @@ def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join), then aggregated. The batch oracle is the same join; the
     stream-static join is stateless so stream ≡ batch exactly."""
     from ..sources import load_table
-    from ..streaming.windowed import _run_to_memory, _stream_events
+    from ..streaming.windowed import _run_to_memory, _stream_events, _stream_session
 
+    spark = _stream_session(spark)
     ev = _stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
     dim = load_table(spark, sf_dir, "customer")  # planner decides; customer scales with SF
     joined = ev.join(dim, ev.user_id == dim.c_custkey)

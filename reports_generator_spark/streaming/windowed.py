@@ -20,6 +20,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampNTZType
 
 
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """Clone the session for a streaming run (same SparkContext, own
+    SQLConf/catalog) and size its stream-side shuffle partitions.
+
+    Stateful operators materialize one state-store instance PER
+    shuffle partition per micro-batch; on a bounded fixture that fixed
+    cost (open/commit/snapshot × partitions) dwarfs the data, so the
+    stream runs with a small partition count. Scoping the override to
+    a cloned session (instead of mutating the caller's conf and
+    restoring it) means a concurrent query on the shared session can
+    never observe — or clobber — the stream-side setting. A real 24/7
+    deployment sizes this to keyspace ÷ target state per task — the
+    knob, not the number, is the design."""
+    from ..session import tune
+
+    s = spark.newSession()
+    tune(s)  # clone starts from context defaults, not the caller's runtime conf
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    return s
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table. The file streaming
     source requires a *directory* (its basePath), so a single-file
@@ -53,29 +74,20 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Execute with availableNow into a memory sink; return the result
     as a batch DataFrame. Memory-sink collection is bounded: these are
-    aggregate/dedup outputs, not raw streams.
-
-    Stateful operators materialize one state-store instance PER shuffle
-    partition per micro-batch; on a bounded fixture that fixed cost
-    (open/commit/snapshot × partitions) dwarfs the data, so the batch
-    runs with a small stream-side partition count, restored afterwards.
-    A real 24/7 deployment sizes this to keyspace ÷ target state per
-    task instead — the knob, not the number, is the design."""
+    aggregate/dedup outputs, not raw streams. The stream must be built
+    on a `_stream_session` clone — its scoped conf (not a mutate-and-
+    restore on the shared session) carries the stream-side partition
+    count."""
     name = f"rg_stream_{uuid.uuid4().hex[:12]}"
     spark = stream_df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.table(name)
 
 
@@ -87,7 +99,7 @@ def stream_tumbling_agg(
     Complete output mode so a single availableNow pass emits every
     window (append mode would hold back windows newer than the final
     watermark)."""
-    ev = _stream_events(spark, sf_dir)
+    ev = _stream_events(_stream_session(spark), sf_dir)
     agg = (
         ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -112,7 +124,7 @@ def stream_dedup_keys(
 
     Output restricted to the dedup keys so the result is deterministic
     (dropDuplicates keeps an arbitrary first row per key)."""
-    ev = _stream_events(spark, sf_dir)
+    ev = _stream_events(_stream_session(spark), sf_dir)
     dd = (
         ev.withWatermark("ts", watermark)
         .select("user_id", "event_type", "ts")
@@ -140,6 +152,7 @@ def stream_stream_interval_join(
     fixture the output equals the batch interval join, which is what
     the oracle checks.
     """
+    spark = _stream_session(spark)
     views = (
         _stream_events(spark, sf_dir)
         .filter(F.col("event_type") == "view")

@@ -78,7 +78,11 @@ def test_gopher_rules_flag_consistent_with_measures(spark):
 def test_pca_component_unit_norm_and_deterministic(spark):
     import math
 
-    out = registry.QUERIES["embedding_pca_per_label"](spark, SF_DIR).collect()
+    from reports_generator_spark.operators.ml import pca_top_component
+    from reports_generator_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = pca_top_component(emb).collect()
     by_label: dict[int, dict[int, float]] = {}
     for r in out:
         by_label.setdefault(r["label"], {})[r["dim"]] = r["component"]
@@ -90,10 +94,13 @@ def test_pca_component_unit_norm_and_deterministic(spark):
         # sign normalization: the largest-|coefficient| entry is positive
         peak = max(comp.values(), key=abs)
         assert peak > 0
-    again = registry.QUERIES["embedding_pca_per_label"](spark, SF_DIR).collect()
+    again = pca_top_component(emb).collect()
     assert {(r["label"], r["dim"], round(r["component"], 12)) for r in out} == {
         (r["label"], r["dim"], round(r["component"], 12)) for r in again
     }
+    # the registered key surfaces the invariants as attested booleans
+    inv = registry.QUERIES["embedding_pca_per_label"](spark, SF_DIR).collect()
+    assert inv and all(r["unit_norm_ok"] and r["eigvec_ok"] for r in inv)
 
 
 def test_pca_component_maximizes_variance(spark):
@@ -104,8 +111,10 @@ def test_pca_component_maximizes_variance(spark):
 
     from reports_generator_spark.sources import load_table
 
+    from reports_generator_spark.operators.ml import pca_top_component
+
     emb = load_table(spark, SF_DIR, "embeddings").toPandas()
-    comp_rows = registry.QUERIES["embedding_pca_per_label"](spark, SF_DIR).collect()
+    comp_rows = pca_top_component(load_table(spark, SF_DIR, "embeddings")).collect()
     comps: dict[int, np.ndarray] = {}
     for r in comp_rows:
         comps.setdefault(r["label"], np.zeros(64))[r["dim"]] = r["component"]
@@ -115,3 +124,25 @@ def test_pca_component_maximizes_variance(spark):
         proj_var = np.var(m @ v)
         axis_var = np.var(m, axis=0).max()
         assert proj_var >= axis_var - 1e-9, (label, proj_var, axis_var)
+
+
+def test_bitmap_distinct_signed_id_domain(spark):
+    """agg_bitmap_distinct's id-domain contract: Spark's bitmap
+    (bucket, position) mapping must stay injective — and the popcount
+    exact — across signed ids including 0 and negatives. A Spark
+    upgrade changing the mapping must fail here, not double count."""
+    from pyspark.sql import functions as F
+
+    ids = list(range(-40000, 40000, 7)) + [0, -1, 1, -32768, 32768]
+    df = spark.createDataFrame([(i,) for i in set(ids)], "id long")
+    got = (
+        df.select(
+            F.bitmap_bucket_number("id").alias("b"),
+            F.bitmap_bit_position("id").alias("p"),
+        )
+        .groupBy("b")
+        .agg(F.bitmap_construct_agg("p").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert got == len(set(ids))
