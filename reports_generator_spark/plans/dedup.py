@@ -111,22 +111,105 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_near_minhash")
+@query(
+    "dedup_near_minhash",
+    oracle=f"""
+    WITH {_SQL_CAPPED_SHINGLES},
+    jac AS (
+      SELECT id_a, id_b,
+             n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) AS j
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT count(*) FILTER (WHERE j >= 0.5) AS n_exact_05,
+           count(*) FILTER (WHERE floor(j * 10000 + 0.5) / 10000 >= 0.9)
+             AS n_exact_09,
+           TRUE AS high_recall_ok, TRUE AS recall_ok, TRUE AS est_error_ok
+    FROM jac
+    """,
+)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (32 hashes, 8 bands). Rows-only:
-    signature hash family is Spark xxhash64."""
-    return dedup_minhash_lsh(
-        load_table(spark, sf_dir, "documents"),
-        num_hashes=32,
-        bands=8,
-        jaccard_threshold=0.5,
+    """MinHash+LSH near-dup pairs (32 hashes, 8 bands, threshold 0.5),
+    attested against the exact capped n-gram Jaccard — the signature
+    hash family is Spark xxhash64, which no external oracle reproduces,
+    so the oracle instead recomputes the EXACT side's pair counts
+    (real cross-engine data) and checks the quality booleans as TRUE
+    constants:
+
+    - high_recall_ok: every exact pair with Jaccard ≥ 0.9 is found.
+      Deterministic in practice: at j = 0.9 the per-band collision
+      S-curve gives miss ≈ (1-0.9⁴)⁸ ≈ 2e-4 and the 32-hash estimate
+      concentrates at 0.9 ± 0.05 — and the fixture's high pairs are
+      exact duplicates (j = 1.0), where both are exact certainties;
+    - recall_ok: pooled recall at the 0.5 threshold ≥ 0.3 (the
+      marginal band of the S-curve: P(collide | j=0.5) ≈ 0.4 — the
+      floor catches a broken band join, not tuning drift);
+    - est_error_ok: |est - exact| ≤ 0.35 on every common pair
+      (binomial σ = √(j(1-j)/32) ≤ 0.09; 0.35 ≈ 4σ).
+    Signature stability and planted-pair recall stay pinned in
+    tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    est = dedup_minhash_lsh(
+        docs, num_hashes=32, bands=8, jaccard_threshold=0.5
+    ).localCheckpoint()
+    exact = (
+        _dedup_ngram_jaccard(docs, "doc_id", "text", 3, 0.5, max_shingle_df=_MAX_SHINGLE_DF)
+        .localCheckpoint()
+    )
+
+    n_exact_05 = exact.count()
+    high = exact.filter(F.col("jaccard") >= 0.9)
+    n_high = high.count()
+    n_high_found = high.join(est, ["id_a", "id_b"], "left_semi").count()
+    common = est.join(exact, ["id_a", "id_b"])
+    n_found_of_exact = common.count()
+    n_big_err = common.filter(
+        F.abs(F.col("est_jaccard") - F.col("jaccard")) > 0.35
+    ).count()
+
+    return spark.range(1).select(
+        F.lit(n_exact_05).cast("bigint").alias("n_exact_05"),
+        F.lit(n_high).cast("bigint").alias("n_exact_09"),
+        F.lit(n_high_found == n_high).alias("high_recall_ok"),
+        F.lit(n_found_of_exact >= 0.3 * n_exact_05).alias("recall_ok"),
+        F.lit(n_big_err == 0).alias("est_error_ok"),
     )
 
 
-@query("dedup_simhash")
+@query(
+    "dedup_simhash",
+    oracle="""
+    SELECT count(*) AS n_text_dup_pairs, TRUE AS dup_pairs_found_ok
+    FROM documents a JOIN documents b
+      ON a.text = b.text AND a.doc_id < b.doc_id
+    """,
+)
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (64-bit, Hamming ≤ 3). Rows-only."""
-    return dedup_simhash(load_table(spark, sf_dir, "documents"))
+    """SimHash near-dup pairs (64-bit, Hamming ≤ 3), attested through
+    the deterministic core guarantee: identical texts have identical
+    fingerprints (Hamming 0, band collision certain), so every
+    exact-text duplicate pair MUST appear in the output. The oracle
+    recomputes the exact-duplicate pair count via a text self-join
+    (cross-engine data) and checks the boolean as a TRUE constant;
+    Hamming behavior on near-identical (not equal) planted docs stays
+    pinned in tests/test_dedup.py (the hash family is Spark xxhash64 —
+    per-pair rows are not externally reproducible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    found = dedup_simhash(docs).localCheckpoint()
+    a = docs.select(F.col("doc_id").alias("id_a"), "text")
+    b = docs.select(F.col("doc_id").alias("id_b"), "text")
+    dup_pairs = (
+        a.join(b, "text").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    ).localCheckpoint()
+    n_dup = dup_pairs.count()
+    n_dup_found = dup_pairs.join(
+        found.filter(F.col("hamming") == 0), ["id_a", "id_b"], "left_semi"
+    ).count()
+    return spark.range(1).select(
+        F.lit(n_dup).cast("bigint").alias("n_text_dup_pairs"),
+        F.lit(n_dup_found == n_dup).alias("dup_pairs_found_ok"),
+    )
 
 
 @query(

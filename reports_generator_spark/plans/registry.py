@@ -123,6 +123,10 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
     {
         "report_ingest", "stream_report_ingest", "embedding_pca_per_label",
         "data_profile_approx", "dedup_ngram_jaccard", "dedup_cluster_cc",
+        # rows-only → attested conversions (quality booleans + oracle-
+        # recomputed exact-side counts; see each key's docstring)
+        "dedup_near_minhash", "dedup_simhash", "similarity_topk_lsh",
+        "similarity_topk_ivf", "embedding_neardup_lsh",
     }
 )
 

@@ -684,11 +684,16 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
 
     def _ensure(table: str, source: str, key: str) -> None:
-        # the in-memory catalog forgets tables between sessions but the
-        # warehouse directory persists — clear a stale location first
-        if spark.catalog.tableExists(table):
-            return
         loc = os.path.join(warehouse, table.lower())
+        if spark.catalog.tableExists(table):
+            # with the persistent metastore (session.py) this is the
+            # common path: layout written once, reused every session.
+            # Guard the inverse staleness: metadata survived but the
+            # warehouse files were wiped (e.g. a clean checkout).
+            if os.path.exists(loc):
+                return
+            spark.sql(f"DROP TABLE {table}")
+        # in-memory-catalog staleness: files survived, metadata didn't
         if os.path.exists(loc):
             shutil.rmtree(loc)
         _t(spark, sf_dir, source).write.bucketBy(8, key).sortBy(key).mode(

@@ -52,21 +52,93 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
-@query("similarity_topk_lsh")
+def _ann_attestation(
+    approx: DataFrame, exact: DataFrame, min_pooled_recall: float
+) -> DataFrame:
+    """One-row quality attestation of an ANN top-k result against the
+    exact top-k — the pattern that turns a hash-family-dependent key
+    (bucket membership is seeded-LSH/xxhash64, which no external
+    oracle reproduces) into a hash-attested one: every boolean below
+    is checked by the oracle as a TRUE constant, and the counts are
+    independently recomputed by DuckDB.
+
+    - per_query_complete_ok: every query returned exactly k neighbors;
+    - no_self_ok / ranked_ok: structural contract of the result
+      (no query in its own list; rank order == score order);
+    - pooled_recall_ok: recall@k pooled over the query set ≥ the
+      declared floor. The floor is deliberately conservative (the
+      registered parameters sit on the marginal part of the LSH
+      S-curve on this corpus: measured pooled recall ≈ 0.44-0.56
+      across sf0.001-0.1) — the attestation catches a broken bucketing
+      join (recall → ~0), not tuning drift.
+    """
+    from pyspark.sql import Window
+
+    a = approx.select("query_id", "neighbor_id", "score", "rank").localCheckpoint()
+    n_hits = a.join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    ).count()
+    # rank order must equal (score desc, neighbor_id asc) order
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
+        )
+    )
+    per_q = (
+        a.withColumn("misranked", F.col("rank") != rn)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.col("query_id") == F.col("neighbor_id")).alias("self_hit"),
+            F.max("misranked").alias("misranked"),
+        )
+    )
+    n_q = len(QUERY_IDS)
+    summary = per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.min(F.col("n") == TOPK).alias("per_query_complete_ok"),
+        (~F.max("self_hit")).alias("no_self_ok"),
+        (~F.max("misranked")).alias("ranked_ok"),
+    )
+    return summary.select(
+        F.col("n_queries").cast("bigint"),
+        F.lit(TOPK).cast("bigint").alias("k"),
+        "per_query_complete_ok",
+        "no_self_ok",
+        "ranked_ok",
+        F.lit(n_hits >= min_pooled_recall * n_q * TOPK).alias("pooled_recall_ok"),
+    )
+
+
+_ANN_ATTEST_ORACLE = f"""
+    SELECT CAST({len(QUERY_IDS)} AS BIGINT) AS n_queries,
+           CAST({TOPK} AS BIGINT) AS k,
+           TRUE AS per_query_complete_ok, TRUE AS no_self_ok,
+           TRUE AS ranked_ok, TRUE AS pooled_recall_ok
+"""
+
+
+@query("similarity_topk_lsh", oracle=_ANN_ATTEST_ORACLE)
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN top-k (scale path; recall tested vs exact)."""
-    out = cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=TOPK)
-    return out.withColumn("rank", F.col("rank").cast("bigint"))
+    """Sign-LSH bucketed ANN top-k (scale path), attested against the
+    exact top-k (see `_ann_attestation`); the raw neighbor lists'
+    recall on planted clusters is additionally pinned in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk_lsh(emb, QUERY_IDS, k=TOPK)
+    return _ann_attestation(out, cosine_topk(emb, QUERY_IDS, k=TOPK), 0.2)
 
 
-@query("similarity_topk_ivf")
+@query("similarity_topk_ivf", oracle=_ANN_ATTEST_ORACLE)
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN top-k (seeded coarse quantizer, n_probe cells per
-    query; recall tested vs exact in tests/test_similarity.py)."""
+    query), attested against the exact top-k (see
+    `_ann_attestation`)."""
     from ..operators.similarity import cosine_topk_ivf
 
-    out = cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=TOPK)
-    return out.withColumn("rank", F.col("rank").cast("bigint"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk_ivf(emb, QUERY_IDS, k=TOPK)
+    return _ann_attestation(out, cosine_topk(emb, QUERY_IDS, k=TOPK), 0.2)
 
 
 @query(
@@ -97,16 +169,60 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_neardup_lsh")
+@query(
+    "embedding_neardup_lsh",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT count(*) AS n_exact_pairs,
+           TRUE AS subset_ok, TRUE AS recall_ok, TRUE AS high_recall_ok
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000 + 0.5) / 10000
+            >= {NEARDUP_THRESHOLD}
+    """,
+)
 def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH-prefiltered near-dup pairs — the 100 TB path of
-    embedding_neardup (recall vs the exact variant tested in
-    tests/test_similarity.py; rows-only here: bucket membership depends
-    on the seeded hyperplanes, which SQL can't reproduce)."""
-    from ..operators.similarity import embedding_neardup_lsh
+    embedding_neardup — attested against the exact pair set (bucket
+    membership depends on the seeded hyperplanes, which SQL can't
+    reproduce, so the oracle instead recomputes the EXACT side's pair
+    count and checks the quality booleans as TRUE constants):
 
-    return embedding_neardup_lsh(
-        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_THRESHOLD
+    - n_exact_pairs: cross-engine (DuckDB recomputes the all-pairs
+      cosine count — real data, not a constant);
+    - subset_ok: every LSH pair is an exact pair with the identical
+      rounded cosine (a bucketing bug emitting wrong pairs fails);
+    - recall_ok: pooled recall ≥ 0.3 — conservative vs the measured
+      ≈ 0.47-0.50 at the registered 5-plane/6-table parameters on this
+      corpus (threshold 0.38 sits on the marginal part of the S-curve;
+      the floor catches a broken candidate join, not tuning drift);
+    - high_recall_ok: every exact pair with cosine ≥ 0.8 is found
+      (miss probability ≤ (1-0.795⁵)⁶ ≈ 0.1 per pair there, and the
+      fixture's high-pair set is empty/tiny — near-deterministic).
+    Raw pair recall on planted clusters stays pinned in
+    tests/test_similarity.py."""
+    from ..operators.similarity import embedding_neardup_blocked, embedding_neardup_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    found = embedding_neardup_lsh(emb, threshold=NEARDUP_THRESHOLD).localCheckpoint()
+    exact = embedding_neardup_blocked(emb, threshold=NEARDUP_THRESHOLD).localCheckpoint()
+
+    n_exact = exact.count()
+    n_found = found.count()
+    n_sub = found.join(exact, ["id_a", "id_b", "cosine"], "left_semi").count()
+    high = exact.filter(F.col("cosine") >= 0.8)
+    n_high = high.count()
+    n_high_found = high.join(found, ["id_a", "id_b"], "left_semi").count()
+
+    return spark.range(1).select(
+        F.lit(n_exact).cast("bigint").alias("n_exact_pairs"),
+        F.lit(n_sub == n_found).alias("subset_ok"),
+        F.lit(n_found >= 0.3 * n_exact).alias("recall_ok"),
+        F.lit(n_high_found == n_high).alias("high_recall_ok"),
     )
 
 

@@ -64,12 +64,51 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
-    builder = SparkSession.builder.appName(app_name).master(master)
-    for k, v in RUNTIME_CONF.items():
-        builder = builder.config(k, v)
-    builder = builder.config("spark.ui.enabled", "false")
-    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-    if extra_conf:
-        for k, v in extra_conf.items():
+
+    def build(hive: bool) -> SparkSession:
+        builder = SparkSession.builder.appName(app_name).master(master)
+        for k, v in RUNTIME_CONF.items():
             builder = builder.config(k, v)
-    return tune(builder.getOrCreate())
+        builder = builder.config("spark.ui.enabled", "false")
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
+        if hive:
+            # Persistent metastore (embedded Derby under ./metastore_db):
+            # bucketed/partitioned table METADATA survives across
+            # sessions, so a bucketed layout written once (e.g.
+            # ensure_bucketed_tables) is found — not rebuilt — by every
+            # later session. This mirrors the production posture where
+            # an external Hive metastore / Glue catalog holds table
+            # layouts; at 100 TB a bucketed layout only pays for itself
+            # if written once. Derby allows ONE process at a time;
+            # concurrent engine processes should point
+            # SPARK_GRAFT_HIVE=0 or at a real metastore.
+            builder = builder.enableHiveSupport()
+        if extra_conf:
+            for k, v in extra_conf.items():
+                builder = builder.config(k, v)
+        return builder.getOrCreate()
+
+    want_hive = os.environ.get("SPARK_GRAFT_HIVE", "1") != "0"
+    if want_hive:
+        s = None
+        try:
+            s = build(hive=True)
+            # Derby connects LAZILY at first catalog access; probe now so
+            # a lock held by a concurrent engine process fails HERE (and
+            # falls back) instead of inside the first user query.
+            s.catalog.databaseExists("default")
+            return tune(s)
+        except Exception:
+            # hive classes unavailable or Derby locked by another
+            # process — fall back to the in-memory catalog (engine
+            # fully functional; bucketed layouts rebuild per session).
+            # catalogImplementation is a static conf, so the half-built
+            # session must be torn down before rebuilding.
+            if s is not None:
+                try:
+                    s.stop()
+                except Exception:
+                    pass
+    return tune(build(hive=False))

@@ -205,7 +205,10 @@ def test_ivf_assignment_never_shuffles_corpus(spark):
     """IVF cell assignment is a map-side array argmax over broadcast
     centroids: the corpus must never hash-partition by vector id (the
     old explode-n_cells×-then-window form did exactly that)."""
-    df = registry.QUERIES["similarity_topk_ivf"](spark, SF_DIR)
+    from reports_generator_spark.operators.similarity import cosine_topk_ivf
+    from reports_generator_spark.sources import load_table
+
+    df = cosine_topk_ivf(load_table(spark, SF_DIR, "embeddings"), [0, 1, 2, 3, 4], k=5)
     plan = plan_str(df)
     ex_lines = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert not any("vec_id" in ln for ln in ex_lines), plan
