@@ -18,7 +18,7 @@ fan-out; nothing collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import shingles_col, tokens_col, with_token_array
@@ -66,6 +66,26 @@ def dedup_exact(df: DataFrame, key_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def _minhash_expr(family: str, i: int, shingle: Column) -> Column:
+    """One minhash value: hash_i(shingle) under the chosen family.
+
+    - ``xxhash64`` (default): Spark-internal seeded xxhash — fastest
+      (one JVM intrinsic per value); the production path.
+    - ``md5_portable``: 60-bit prefix of md5(f"{i}:{shingle}") — ~2-3×
+      more expensive per value but reproducible by ANY engine with an
+      md5() (DuckDB, Trino, Postgres...), which upgrades minhash from
+      behaviorally-tested to full cross-engine value-hash attestation
+      (see plans/dedup.py::dedup_minhash_portable).
+    """
+    if family == "xxhash64":
+        return F.xxhash64(F.lit(i), shingle)
+    if family == "md5_portable":
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), shingle)), 1, 15), 16, 10
+        ).cast("bigint")
+    raise ValueError(f"unknown minhash family {family!r}")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -101,6 +121,7 @@ def dedup_minhash_lsh(
     bands: int = 8,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: (id_a, id_b, est_jaccard).
 
@@ -117,23 +138,27 @@ def dedup_minhash_lsh(
         F.col(id_col), F.explode(shingles_col(F.col("toks"), shingle_k)).alias("shingle")
     )
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        F.min(_minhash_expr(hash_family, i, F.col("shingle"))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     sig_wide = shingles.groupBy(id_col).agg(*mins)
     # sig feeds three branches (band explode + two signature join-backs)
     sig_wide = _materialize(sig_wide)
+
+    def band_hash(b: int) -> Column:
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        if hash_family == "md5_portable":
+            # engine-portable band key: md5 over the comma-joined
+            # signature slice (bigints stringify identically everywhere)
+            return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        return F.xxhash64(*cols).cast("string")
+
     sig = sig_wide.select(
         id_col,
         F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
         F.array(
             *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(
-                        "band_hash"
-                    ),
-                )
+                F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash"))
                 for b in range(bands)
             ]
         ).alias("bandkeys"),

@@ -177,6 +177,88 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _portable_minhash_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    """DuckDB SQL replicating the md5-family minhash EXACTLY (same
+    hash values, same band keys, same estimates) — generated, not
+    hand-kept, so the two engines can't drift."""
+    r = num_hashes // bands
+    mh = ",\n             ".join(
+        f"min(CAST(('0x' || substring(md5('{i}:' || sh), 1, 15)) AS BIGINT)) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS band_hash FROM m".format(
+            b=b,
+            cat=" || ',' || ".join(
+                f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CAST(ma.mh_{i} = mb.mh_{i} AS INT)" for i in range(num_hashes)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM t WHERE len(toks) >= 3
+      )
+    ),
+    m AS (
+      SELECT doc_id,
+             {mh}
+      FROM sh GROUP BY doc_id
+    ),
+    b AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+      FROM b a JOIN b bb
+        ON a.band = bb.band AND a.band_hash = bb.band_hash
+       AND a.doc_id < bb.doc_id
+    ),
+    est AS (
+      SELECT id_a, id_b, ({agree}) * 1.0 / {num_hashes} AS e
+      FROM cand
+      JOIN m ma ON ma.doc_id = id_a
+      JOIN m mb ON mb.doc_id = id_b
+    )
+    SELECT id_a, id_b, floor(e * 10000 + 0.5) / 10000 AS est_jaccard
+    FROM est WHERE e >= {threshold}
+    """
+
+
+@query(
+    "dedup_minhash_portable",
+    oracle=_portable_minhash_oracle(num_hashes=16, bands=4, threshold=0.5),
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the PORTABLE hash family (60-bit md5 prefix,
+    operators/dedup.py::_minhash_expr): every per-pair row — candidate
+    generation, band keys, signature estimates — is value-hash-checked
+    against DuckDB recomputing the identical pipeline, closing the
+    'minhash is not oracle-checkable' gap the xxhash64 key
+    (`dedup_near_minhash`) works around with quality attestations.
+    md5 costs ~2-3× xxhash64 per hash, so the production default stays
+    xxhash64; this family is the cross-engine audit path (16 hashes ×
+    4 bands here to bound that cost). Same S-curve, same plan shape:
+    band-bucket equi-join, never all-pairs."""
+    return dedup_minhash_lsh(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=4,
+        jaccard_threshold=0.5,
+        hash_family="md5_portable",
+    )
+
+
 @query(
     "dedup_simhash",
     oracle="""

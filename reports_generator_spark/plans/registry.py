@@ -127,6 +127,8 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # recomputed exact-side counts; see each key's docstring)
         "dedup_near_minhash", "dedup_simhash", "similarity_topk_lsh",
         "similarity_topk_ivf", "embedding_neardup_lsh",
+        # new round-4 operators
+        "dedup_minhash_portable", "agg_bitmap_intersect", "agg_approx_topk",
     }
 )
 

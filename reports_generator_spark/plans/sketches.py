@@ -111,3 +111,109 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("event_type").agg(
         F.sum("n_in_bucket").alias("n_users")
     )
+
+
+@query(
+    "agg_bitmap_intersect",
+    oracle="""
+    SELECT
+      (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'view')
+        AS n_view,
+      (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'purchase')
+        AS n_purchase,
+      (SELECT count(*) FROM (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      )) AS n_both
+    """,
+)
+def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-set INTERSECTION from mergeable bitmap state —
+    the audience-overlap query ("users who both viewed and purchased")
+    that normally forces a double-distinct self-join. Spark ships
+    bitmap_or_agg but no bitmap_and_agg, so the intersection comes
+    from inclusion-exclusion per bucket:
+
+        |A ∩ B| = Σ_bucket popcount(bm_A) + popcount(bm_B)
+                          − popcount(bm_A | bm_B)
+
+    Everything is mergeable fixed-width state: the same per-(type,
+    bucket) bitmaps a pipeline would persist incrementally answer the
+    overlap without rescanning raw ids. One partial-agg shuffle
+    keyed (type, bucket); the bucket dimension spreads hot sets
+    across reducers. The driver-checked oracle recomputes all three
+    counts via DuckDB set ops."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    state = (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    per_bucket = (
+        state.groupBy("bucket")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", F.bitmap_count("bm"))
+            ).alias("n_view_b"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.bitmap_count("bm"))
+            ).alias("n_purchase_b"),
+            F.bitmap_count(F.bitmap_or_agg("bm")).alias("n_union_b"),
+        )
+    )
+    return per_bucket.agg(
+        F.sum("n_view_b").cast("bigint").alias("n_view"),
+        F.sum("n_purchase_b").cast("bigint").alias("n_purchase"),
+        (
+            F.sum("n_view_b") + F.sum("n_purchase_b") - F.sum("n_union_b")
+        ).cast("bigint").alias("n_both"),
+    )
+
+
+@query(
+    "agg_approx_topk",
+    oracle="""
+    SELECT user_id, n_events, rank FROM (
+      SELECT user_id, count(*) AS n_events,
+             row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rank
+      FROM events GROUP BY user_id
+    ) WHERE rank <= 10
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k sketch (Spark 4): bounded
+    state that merges across partitions, vs an exact global
+    groupBy + sort. Below the tracked-item capacity the sketch is
+    EXACT, so the driver hash-checks the full (item, count, rank)
+    result against DuckDB's exact top-10; above capacity (the 100 TB
+    regime) the same query degrades gracefully to approximate counts
+    — capacity is the knob, the plan is unchanged. The sketch's own
+    tie order is unspecified, so ranking is re-derived
+    deterministically (count desc, id asc) from the exploded entries,
+    never taken from sketch order."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.expr("approx_top_k(user_id, 100000, 100000)").alias("entries")
+    )
+    items = sk.select(F.explode("entries").alias("e")).select(
+        F.col("e.item").alias("user_id"), F.col("e.count").alias("n_events")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    return (
+        items.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
