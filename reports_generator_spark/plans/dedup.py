@@ -150,30 +150,35 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signature stability and planted-pair recall stay pinned in
     tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
-    est = dedup_minhash_lsh(
-        docs, num_hashes=32, bands=8, jaccard_threshold=0.5
-    ).localCheckpoint()
-    exact = (
-        _dedup_ngram_jaccard(docs, "doc_id", "text", 3, 0.5, max_shingle_df=_MAX_SHINGLE_DF)
-        .localCheckpoint()
+    est = dedup_minhash_lsh(docs, num_hashes=32, bands=8, jaccard_threshold=0.5)
+    exact = _dedup_ngram_jaccard(
+        docs, "doc_id", "text", 3, 0.5, max_shingle_df=_MAX_SHINGLE_DF
     )
 
-    n_exact_05 = exact.count()
-    high = exact.filter(F.col("jaccard") >= 0.9)
-    n_high = high.count()
-    n_high_found = high.join(est, ["id_a", "id_b"], "left_semi").count()
-    common = est.join(exact, ["id_a", "id_b"])
-    n_found_of_exact = common.count()
-    n_big_err = common.filter(
-        F.abs(F.col("est_jaccard") - F.col("jaccard")) > 0.35
-    ).count()
+    # ONE full-outer join + ONE aggregation computes every attestation
+    # quantity in a single job (vs five count() actions)
+    e = exact.select("id_a", "id_b", F.col("jaccard").alias("x_j"))
+    f = est.select("id_a", "id_b", F.col("est_jaccard").alias("f_j"))
+    m = e.join(f, ["id_a", "id_b"], "full_outer").agg(
+        F.count("x_j").alias("n_exact_05"),
+        F.count(F.when(F.col("x_j") >= 0.9, 1)).alias("n_high"),
+        F.count(
+            F.when((F.col("x_j") >= 0.9) & F.col("f_j").isNotNull(), 1)
+        ).alias("n_high_found"),
+        F.count(
+            F.when(F.col("x_j").isNotNull() & F.col("f_j").isNotNull(), 1)
+        ).alias("n_common"),
+        F.count(
+            F.when(F.abs(F.col("f_j") - F.col("x_j")) > 0.35, 1)
+        ).alias("n_big_err"),
+    ).collect()[0]
 
     return spark.range(1).select(
-        F.lit(n_exact_05).cast("bigint").alias("n_exact_05"),
-        F.lit(n_high).cast("bigint").alias("n_exact_09"),
-        F.lit(n_high_found == n_high).alias("high_recall_ok"),
-        F.lit(n_found_of_exact >= 0.3 * n_exact_05).alias("recall_ok"),
-        F.lit(n_big_err == 0).alias("est_error_ok"),
+        F.lit(m.n_exact_05).cast("bigint").alias("n_exact_05"),
+        F.lit(m.n_high).cast("bigint").alias("n_exact_09"),
+        F.lit(m.n_high_found == m.n_high).alias("high_recall_ok"),
+        F.lit(m.n_common >= 0.3 * m.n_exact_05).alias("recall_ok"),
+        F.lit(m.n_big_err == 0).alias("est_error_ok"),
     )
 
 
@@ -278,19 +283,24 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_dedup.py (the hash family is Spark xxhash64 —
     per-pair rows are not externally reproducible)."""
     docs = load_table(spark, sf_dir, "documents")
-    found = dedup_simhash(docs).localCheckpoint()
+    found = dedup_simhash(docs)
     a = docs.select(F.col("doc_id").alias("id_a"), "text")
     b = docs.select(F.col("doc_id").alias("id_b"), "text")
     dup_pairs = (
         a.join(b, "text").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-    ).localCheckpoint()
-    n_dup = dup_pairs.count()
-    n_dup_found = dup_pairs.join(
-        found.filter(F.col("hamming") == 0), ["id_a", "id_b"], "left_semi"
-    ).count()
+    )
+    # one left join + one aggregation (single job)
+    m = dup_pairs.join(
+        found.filter(F.col("hamming") == 0).withColumn("f", F.lit(1)),
+        ["id_a", "id_b"],
+        "left",
+    ).agg(
+        F.count(F.lit(1)).alias("n_dup"),
+        F.count("f").alias("n_dup_found"),
+    ).collect()[0]
     return spark.range(1).select(
-        F.lit(n_dup).cast("bigint").alias("n_text_dup_pairs"),
-        F.lit(n_dup_found == n_dup).alias("dup_pairs_found_ok"),
+        F.lit(m.n_dup).cast("bigint").alias("n_text_dup_pairs"),
+        F.lit(m.n_dup_found == m.n_dup).alias("dup_pairs_found_ok"),
     )
 
 

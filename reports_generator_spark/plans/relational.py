@@ -757,6 +757,38 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# XML round-trip (Spark 4 built-in XML source — the fifth format after
+# parquet/CSV/JSONL/ORC; legacy enterprise feeds are XML)
+# --------------------------------------------------------------------------
+@query(
+    "scan_xml_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip on `nation` via the built-in XML
+    data source (integrated in Spark 4 from spark-xml). The read
+    carries an EXPLICIT schema — XML type inference needs a second
+    pass over the data and can drift (e.g. empty strings vs nulls), so
+    a production feed always pins the schema."""
+    import hashlib
+    import os
+    import tempfile
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"rg_xml_rt_{tag}")
+    n.write.mode("overwrite").format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).save(path)
+    return (
+        spark.read.format("xml")
+        .schema(n.schema)
+        .option("rowTag", "nation")
+        .load(path)
+    )
+
+
+# --------------------------------------------------------------------------
 # Deterministic train/validation/test split (reproducible by key, not
 # by RNG — the only split that survives re-runs and backfills)
 # --------------------------------------------------------------------------

@@ -74,10 +74,14 @@ def _ann_attestation(
     """
     from pyspark.sql import Window
 
-    a = approx.select("query_id", "neighbor_id", "score", "rank").localCheckpoint()
-    n_hits = a.join(
-        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
-    ).count()
+    a = approx.select("query_id", "neighbor_id", "score", "rank")
+    # hit flag via left join, then ONE aggregation computes every
+    # attestation quantity in a single job
+    hit = a.join(
+        exact.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
     # rank order must equal (score desc, neighbor_id asc) order
     rn = F.row_number().over(
         Window.partitionBy("query_id").orderBy(
@@ -85,28 +89,31 @@ def _ann_attestation(
         )
     )
     per_q = (
-        a.withColumn("misranked", F.col("rank") != rn)
+        hit.withColumn("misranked", F.col("rank") != rn)
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.max(F.col("query_id") == F.col("neighbor_id")).alias("self_hit"),
             F.max("misranked").alias("misranked"),
+            F.count("hit").alias("n_hits"),
         )
     )
     n_q = len(QUERY_IDS)
-    summary = per_q.agg(
+    m = per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.min(F.col("n") == TOPK).alias("per_query_complete_ok"),
         (~F.max("self_hit")).alias("no_self_ok"),
         (~F.max("misranked")).alias("ranked_ok"),
-    )
-    return summary.select(
-        F.col("n_queries").cast("bigint"),
+        F.sum("n_hits").alias("n_hits"),
+    ).collect()[0]
+    spark = approx.sparkSession
+    return spark.range(1).select(
+        F.lit(m.n_queries).cast("bigint").alias("n_queries"),
         F.lit(TOPK).cast("bigint").alias("k"),
-        "per_query_complete_ok",
-        "no_self_ok",
-        "ranked_ok",
-        F.lit(n_hits >= min_pooled_recall * n_q * TOPK).alias("pooled_recall_ok"),
+        F.lit(bool(m.per_query_complete_ok)).alias("per_query_complete_ok"),
+        F.lit(bool(m.no_self_ok)).alias("no_self_ok"),
+        F.lit(bool(m.ranked_ok)).alias("ranked_ok"),
+        F.lit(m.n_hits >= min_pooled_recall * n_q * TOPK).alias("pooled_recall_ok"),
     )
 
 
@@ -208,21 +215,29 @@ def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_neardup_blocked, embedding_neardup_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
-    found = embedding_neardup_lsh(emb, threshold=NEARDUP_THRESHOLD).localCheckpoint()
-    exact = embedding_neardup_blocked(emb, threshold=NEARDUP_THRESHOLD).localCheckpoint()
+    found = embedding_neardup_lsh(emb, threshold=NEARDUP_THRESHOLD)
+    exact = embedding_neardup_blocked(emb, threshold=NEARDUP_THRESHOLD)
 
-    n_exact = exact.count()
-    n_found = found.count()
-    n_sub = found.join(exact, ["id_a", "id_b", "cosine"], "left_semi").count()
-    high = exact.filter(F.col("cosine") >= 0.8)
-    n_high = high.count()
-    n_high_found = high.join(found, ["id_a", "id_b"], "left_semi").count()
+    # ONE full-outer join + ONE aggregation computes every attestation
+    # quantity in a single job (vs five count() actions — each action
+    # re-enters the scheduler, and at 100 TB each would be a full pass)
+    e = exact.select("id_a", "id_b", F.col("cosine").alias("x_cos"))
+    f = found.select("id_a", "id_b", F.col("cosine").alias("f_cos"))
+    m = e.join(f, ["id_a", "id_b"], "full_outer").agg(
+        F.count("x_cos").alias("n_exact"),
+        F.count("f_cos").alias("n_found"),
+        F.count(F.when(F.col("x_cos") == F.col("f_cos"), 1)).alias("n_sub"),
+        F.count(F.when(F.col("x_cos") >= 0.8, 1)).alias("n_high"),
+        F.count(
+            F.when((F.col("x_cos") >= 0.8) & F.col("f_cos").isNotNull(), 1)
+        ).alias("n_high_found"),
+    ).collect()[0]
 
     return spark.range(1).select(
-        F.lit(n_exact).cast("bigint").alias("n_exact_pairs"),
-        F.lit(n_sub == n_found).alias("subset_ok"),
-        F.lit(n_found >= 0.3 * n_exact).alias("recall_ok"),
-        F.lit(n_high_found == n_high).alias("high_recall_ok"),
+        F.lit(m.n_exact).cast("bigint").alias("n_exact_pairs"),
+        F.lit(m.n_sub == m.n_found).alias("subset_ok"),
+        F.lit(m.n_found >= 0.3 * m.n_exact).alias("recall_ok"),
+        F.lit(m.n_high_found == m.n_high).alias("high_recall_ok"),
     )
 
 

@@ -178,3 +178,78 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import stream_stream_interval_join
 
     return stream_stream_interval_join(spark, sf_dir)
+
+
+@query(
+    "stream_incremental_hll",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS estimate_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_incremental_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance — the streaming completion of the
+    sketch story (plans/sketches.py): each micro-batch folds into
+    per-(event_type, batch) HLL sketch PARTIALS persisted to a parquet
+    state store (foreachBatch); the read side answers distinct-user
+    questions by merging the tiny binary blobs with hll_union_agg —
+    never rescanning raw events. At 100 TB this is how a 24/7 pipeline
+    keeps COUNT(DISTINCT) queryable: state grows with
+    |types|·|batches|·1.5 kB, not with events. Attested with the
+    established exact-companion tolerance flag; union-of-partials ≡
+    single-shot sketch is inherent to the HLL monoid (same registers
+    either way)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.windowed import _stream_events, _stream_session
+
+    spark_s = _stream_session(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"rg_stream_hll_{tag}")
+    state, ckpt = os.path.join(base, "state"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)  # fresh deterministic run
+
+    ev = _stream_events(spark_s, sf_dir)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(state)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(state)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"))
+    )
+    from ..sources import load_table
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users_exact"))
+    )
+    tol = (
+        F.abs(F.col("est_users") - F.col("n_users_exact")) / F.col("n_users_exact")
+        <= 0.05
+    )
+    return exact.join(F.broadcast(merged), "event_type").select(
+        "event_type", "n_users_exact", tol.alias("estimate_within_5pct")
+    )
