@@ -318,33 +318,54 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking trades bounded recall (a tail edit escapes the block) for
     candidate volume — length-only blocking is the classic trap (every
     fixture name has the SAME length, collapsing it to a cross join).
-    Best match per probe via window (min dist, then min key)."""
+    Best match per probe via window (min dist, then min key).
+
+    Duplicate hardening: the quadratic verify runs over DISTINCT
+    strings per block, not raw rows — on duplicate-heavy data (the
+    sf1 probe carries every name 10×) raw-row blocking pays dup²
+    Levenshtein calls per block; distinct-side matching pays them
+    once and fans the result back to ids. Semantics are unchanged:
+    ids sharing a name share its distance, so min(dist, match_id)
+    over raw rows ≡ min(dist, min-id-per-name) over distinct names
+    (the driver hash-checks this equivalence against the raw-row
+    oracle; the duplicate-heavy case is pinned in
+    tests/test_corpus_ops.py::test_fuzzy_join_distinct_verify_equals_raw)."""
+    return fuzzy_best_match(load_table(spark, sf_dir, "customer"))
+
+
+def fuzzy_best_match(cust: DataFrame, max_dist: int = 2) -> DataFrame:
+    """Core of `fuzzy_join_levenshtein` over any (c_custkey, c_name)
+    frame — separated so duplicate-heavy inputs are unit-testable."""
     from pyspark.sql import Window
 
-    cust = load_table(spark, sf_dir, "customer")
     probes = cust.select(
         F.col("c_custkey").alias("probe_id"),
         F.substring("c_name", 3, 2_000_000).alias("probe"),
     )
-    blocked = probes.select(
-        "probe_id", "probe", F.substring("probe", -8, 8).alias("bkey")
+    # distinct probe strings (the verify side)
+    dprobes = probes.select("probe").distinct().select(
+        "probe", F.substring("probe", -8, 8).alias("bkey")
     )
-    names = cust.select(
-        F.col("c_custkey").alias("match_id"),
-        F.col("c_name"),
-        F.substring("c_name", -8, 8).alias("bkey"),
+    # distinct candidate names; min id per name resolves the tiebreak
+    dnames = (
+        cust.select(F.col("c_custkey").alias("match_id"), "c_name")
+        .groupBy("c_name")
+        .agg(F.min("match_id").alias("match_id"))
+        .select("match_id", "c_name", F.substring("c_name", -8, 8).alias("bkey"))
     )
     j = (
-        blocked.join(names, "bkey")
+        dprobes.join(dnames, "bkey")
         .withColumn("dist", F.levenshtein("probe", "c_name").cast("bigint"))
-        .filter(F.col("dist") <= 2)
+        .filter(F.col("dist") <= max_dist)
     )
-    w = Window.partitionBy("probe_id").orderBy("dist", "match_id")
-    return (
+    w = Window.partitionBy("probe").orderBy("dist", "match_id")
+    best = (
         j.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("probe_id", "match_id", "dist")
+        .select("probe", "match_id", "dist")
     )
+    # fan the per-string result back out to every probe id
+    return probes.join(best, "probe").select("probe_id", "match_id", "dist")
 
 
 # --------------------------------------------------------------------------

@@ -146,3 +146,49 @@ def test_bitmap_distinct_signed_id_domain(spark):
         .collect()[0]["n"]
     )
     assert got == len(set(ids))
+
+
+def test_fuzzy_join_distinct_verify_equals_raw(spark):
+    """The distinct-string fuzzy verify must produce EXACTLY the raw
+    row-by-row result on duplicate-heavy input (every name 4x) — the
+    case the sf1 probe showed blowing up the naive blocking."""
+    from pyspark.sql import functions as F
+
+    from reports_generator_spark.plans.text import fuzzy_best_match
+
+    names = [f"Customer#{i:09d}" for i in range(20)]
+    rows = [(r * 1000 + i, n) for i, n in enumerate(names) for r in range(4)]
+    cust = spark.createDataFrame(rows, "c_custkey long, c_name string")
+
+    got = {
+        (r["probe_id"], r["match_id"], r["dist"])
+        for r in fuzzy_best_match(cust).collect()
+    }
+
+    # raw-row reference: block on suffix, verify every row pair
+    probes = cust.select(
+        F.col("c_custkey").alias("probe_id"),
+        F.substring("c_name", 3, 2_000_000).alias("probe"),
+        F.substring(F.substring("c_name", 3, 2_000_000), -8, 8).alias("bkey"),
+    )
+    cand = cust.select(
+        F.col("c_custkey").alias("match_id"),
+        "c_name",
+        F.substring("c_name", -8, 8).alias("bkey"),
+    )
+    from pyspark.sql import Window
+
+    j = (
+        probes.join(cand, "bkey")
+        .withColumn("dist", F.levenshtein("probe", "c_name").cast("bigint"))
+        .filter(F.col("dist") <= 2)
+    )
+    w = Window.partitionBy("probe_id").orderBy("dist", "match_id")
+    want = {
+        (r["probe_id"], r["match_id"], r["dist"])
+        for r in j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "match_id", "dist")
+        .collect()
+    }
+    assert got == want and len(got) == 80
