@@ -354,3 +354,66 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc_fn = connected_components_star if algo == "star" else connected_components
     cc = cc_fn(pairs, src="id_a", dst="id_b")
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@query(
+    "dedup_corpus_end2end",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CAPPED_SHINGLES},
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT DISTINCT src, src FROM und
+      UNION
+      SELECT u.dst, w.label FROM walk w JOIN und u ON u.src = w.node
+      WHERE w.label < u.dst
+    ),
+    clus AS (
+      SELECT node, min(label) AS cluster_id FROM walk GROUP BY node
+    )
+    SELECT min(node) AS doc_id, count(*) AS cluster_size
+    FROM clus GROUP BY cluster_id
+    UNION ALL
+    SELECT doc_id, CAST(1 AS BIGINT)
+    FROM documents WHERE doc_id NOT IN (SELECT node FROM clus)
+    """,
+)
+def dedup_corpus_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-dedup pipeline a corpus actually runs, as ONE
+    key: capped 3-gram-Jaccard candidate pairs → connected components
+    → one survivor per cluster (min doc_id) + untouched singletons,
+    with the cluster size each survivor represents. This is the
+    operator whose output feeds a training-data writer: `doc_id` =
+    keep list, `cluster_size` = dedup weight (upsampling/logging).
+
+    Composition of already-attested stages (dedup_ngram_jaccard +
+    dedup_cluster_cc), so the end-to-end oracle is the same capped
+    CTE + recursive-CTE fixpoint with survivor selection on top. Scale
+    posture inherits from the parts: shingle-df cap bounds candidate
+    fan-out, CC rounds = cluster diameter (near-dup clusters are
+    small), and the singleton path is a broadcast-able left-anti
+    join - no stage is quadratic in the corpus."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup_ngram_jaccard(
+        docs, "doc_id", "text", 3, 0.2, max_shingle_df=_MAX_SHINGLE_DF
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    survivors = cc.groupBy("cluster_id").agg(
+        F.min("node").alias("doc_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    ).select("doc_id", "cluster_size")
+    singletons = docs.join(
+        cc, docs.doc_id == cc.node, "left_anti"
+    ).select("doc_id", F.lit(1).cast("bigint").alias("cluster_size"))
+    return survivors.unionByName(singletons)

@@ -129,7 +129,7 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "similarity_topk_ivf", "embedding_neardup_lsh",
         # new round-4 operators
         "dedup_minhash_portable", "agg_bitmap_intersect", "agg_approx_topk",
-        "scan_xml_roundtrip", "stream_incremental_hll",
+        "scan_xml_roundtrip", "stream_incremental_hll", "dedup_corpus_end2end",
     }
 )
 
