@@ -1,0 +1,123 @@
+"""Feature-engineering surface — the transforms between a cleaned
+corpus/table and a training matrix. All JVM-side (window/agg/when
+chains inside whole-stage codegen), all partial-agg or single-window
+shapes that survive 100 TB, each with a full DuckDB value oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "feature_quantile_bin",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT bin, count(*) AS n,
+           CAST(min(o.o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o.o_totalprice) AS DOUBLE) AS hi
+    FROM b JOIN orders o USING (o_orderkey)
+    GROUP BY bin
+    """,
+)
+def feature_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning (deciles) of a numeric feature with
+    per-bin ranges — the discretization step before bucketized
+    features / calibration curves. ntile over a deterministic total
+    order (value, key). The global sort is the one wide op; at 100 TB
+    the same result comes from approx_percentile cut points + a
+    map-side CASE, which `histogram_fixed_width` and
+    `agg_approx_percentile` already demonstrate — this key pins the
+    EXACT spelling both engines agree on."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    b = o.select(
+        "o_orderkey",
+        F.col("o_totalprice"),
+        F.ntile(10).over(w).alias("bin"),
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
+
+
+@query(
+    "feature_minmax_scale",
+    oracle="""
+    WITH s AS (
+      SELECT min(c_acctbal) AS mn, max(c_acctbal) AS mx FROM customer
+    )
+    SELECT c_custkey,
+           floor((c_acctbal - mn) / nullif(mx - mn, 0) * 1000000 + 0.5) / 1000000
+             AS acctbal_scaled
+    FROM customer, s
+    """,
+)
+def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max scaling to [0,1]: the two-pass normalize (tiny stats
+    aggregate broadcast back over the table — map-side, zero shuffle
+    of the big side). nullif guards the constant-column case. Rounded
+    via the deterministic cross-engine dround."""
+    c = load_table(spark, sf_dir, "customer")
+    stats = c.agg(
+        F.min("c_acctbal").alias("mn"), F.max("c_acctbal").alias("mx")
+    ).withColumn("__k", F.lit(1))
+    scaled = c.withColumn("__k", F.lit(1)).join(F.broadcast(stats), "__k").select(
+        "c_custkey",
+        dround(
+            (F.col("c_acctbal") - F.col("mn"))
+            / F.nullif(F.col("mx") - F.col("mn"), F.lit(0)),
+            6,
+        ).alias("acctbal_scaled"),
+    )
+    return scaled
+
+
+@query(
+    "feature_onehot_topk",
+    oracle="""
+    WITH top AS (
+      SELECT p_brand FROM (
+        SELECT p_brand, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, p_brand ASC) AS rk
+        FROM part GROUP BY p_brand
+      ) WHERE rk <= 5
+    )
+    SELECT p.p_partkey,
+           CASE WHEN t.p_brand IS NULL THEN '__other__' ELSE p.p_brand END
+             AS brand_bucket
+    FROM part p LEFT JOIN top t USING (p_brand)
+    """,
+)
+def feature_onehot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k category bucketing — the vocabulary step before one-hot /
+    embedding-table features: the k most frequent categories keep
+    their identity, the long tail folds into '__other__'. The
+    vocabulary is a tiny aggregate (broadcast back); the wide table
+    never shuffles. Unbounded-cardinality one-hot is the classic
+    training-pipeline scale bug this operator prevents."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.orderBy(F.col("n").desc(), F.col("p_brand").asc())
+    top = (
+        p.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("p_brand", F.lit(True).alias("__top"))
+    )
+    return p.join(F.broadcast(top), "p_brand", "left").select(
+        "p_partkey",
+        F.when(F.col("__top").isNotNull(), F.col("p_brand"))
+        .otherwise(F.lit("__other__"))
+        .alias("brand_bucket"),
+    )

@@ -130,6 +130,7 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # new round-4 operators
         "dedup_minhash_portable", "agg_bitmap_intersect", "agg_approx_topk",
         "scan_xml_roundtrip", "stream_incremental_hll", "dedup_corpus_end2end",
+        "feature_quantile_bin", "feature_minmax_scale", "feature_onehot_topk",
     }
 )
 
@@ -150,6 +151,7 @@ def load_all() -> None:
     from . import sketches  # noqa: F401
     from . import sql_features  # noqa: F401
     from . import corpus  # noqa: F401
+    from . import features  # noqa: F401
 
     # Reorder for the driver's bounded attestation window (round 1 cut off
     # at exactly 50 entries): keys added/changed this round first (their

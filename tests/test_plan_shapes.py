@@ -148,7 +148,7 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # scalar-threshold queries attach a 1-row aggregate via broadcast
         # cross-join (map-side, zero shuffle of the big side) — the
         # inequality against the scalar leaves no equi-key to hash on
-        "q11_important_parts", "q22_idle_customers",
+        "q11_important_parts", "q22_idle_customers", "feature_minmax_scale",
         # calendar-spine cross type-dimension: both sides are provably
         # tiny derived frames (days × event types); the broadcast cross
         # is the intended plan
