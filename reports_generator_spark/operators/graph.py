@@ -163,3 +163,47 @@ def connected_components_star(
         all_nodes.join(point, "node", "left")
         .select("node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id"))
     )
+
+
+def pagerank_undirected(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 12,
+) -> DataFrame:
+    """(node, rank) PageRank over the undirected graph of `edges`
+    (each edge contributes both directions), teleport formulation
+    rank = (1-d) + d·Σ rank(in)/deg(in).
+
+    Fixed iteration count, NO per-round driver action: unlike the CC
+    loop (whose early exit saves whole rounds), PageRank's cost per
+    round is constant and the driver-side convergence check would add
+    a scheduler barrier per round for nothing — 12 damped rounds give
+    |Δ| < 1e-3 on any graph whose diameter the dedup use case
+    produces, and the registered key ATTESTS the stationarity
+    invariants instead of trusting the round count. Each round is one
+    equi-join + one groupBy-sum (shuffle on node id); ``localCheckpoint
+    (eager=False)`` truncates lineage so the plan stays O(1) in
+    rounds. Undirected ⇒ no dangling nodes ⇒ Σ rank = |V| is
+    preserved exactly (the attested invariant)."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    adj = und.join(deg, "u").localCheckpoint()  # (u, v, deg(u))
+    ranks = deg.select(F.col("u").alias("node"), F.lit(1.0).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            adj.join(ranks, adj.u == ranks.node)
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = contrib.select(
+            "node", (F.lit(1.0 - damping) + F.lit(damping) * F.col("inflow")).alias("rank")
+        ).localCheckpoint(eager=False)
+    return ranks

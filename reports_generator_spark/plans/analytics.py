@@ -1246,3 +1246,42 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = frontier(banded, "_band").drop("_band")
     # Phase 2: exact frontier over the (tiny) survivor set.
     return frontier(survivors)
+
+
+# --------------------------------------------------------------------------
+# ANSI linear-regression aggregates (regr_*) — per-group OLS fit
+# --------------------------------------------------------------------------
+@query(
+    "agg_linear_regression",
+    oracle="""
+    SELECT event_type,
+           CAST(regr_count(value, hr) AS BIGINT) AS n,
+           floor(regr_slope(value, hr)     * 1000000 + 0.5) / 1000000 AS slope,
+           floor(regr_intercept(value, hr) * 1000000 + 0.5) / 1000000 AS intercept,
+           floor(regr_r2(value, hr)        * 1000000 + 0.5) / 1000000 AS r2
+    FROM (SELECT event_type, CAST(hour(ts) AS DOUBLE) AS hr,
+                 CAST(value AS DOUBLE) AS value
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple OLS (value ~ hour-of-day) via the ANSI regr_*
+    aggregates — the trend-fit both engines implement natively, so the
+    fit itself is cross-engine value-checked (6 dp; the moment sums
+    are partial-aggregable, one shuffle carrying 5 doubles per group —
+    the distributed-OLS shape that scales to any row count). The
+    grouped-map Arrow path (operators/ml.py) remains for
+    per-group fits Spark lacks built-ins for (PCA)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("double").alias("hr"),
+        F.col("value").cast("double").alias("value"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.expr("regr_count(value, hr)").cast("bigint").alias("n"),
+        dround(F.expr("regr_slope(value, hr)"), 6).alias("slope"),
+        dround(F.expr("regr_intercept(value, hr)"), 6).alias("intercept"),
+        dround(F.expr("regr_r2(value, hr)"), 6).alias("r2"),
+    )
+    return g

@@ -131,6 +131,7 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "dedup_minhash_portable", "agg_bitmap_intersect", "agg_approx_topk",
         "scan_xml_roundtrip", "stream_incremental_hll", "dedup_corpus_end2end",
         "feature_quantile_bin", "feature_minmax_scale", "feature_onehot_topk",
+        "agg_linear_regression", "graph_pagerank",
     }
 )
 

@@ -175,3 +175,18 @@ def test_star_cc_matches_label_propagation(spark):
     assert a == b
     # chain component must collapse to min label 0
     assert (40, 0) in b
+
+
+def test_pagerank_isolated_pair_and_star(spark):
+    """Stationary sanity on known topologies: an isolated edge
+    converges to rank 1.0 on both ends; a star's hub outranks its
+    leaves; total mass = |V| everywhere."""
+    from reports_generator_spark.operators.graph import pagerank_undirected
+
+    edges = [(1, 2)] + [(100, 100 + i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = {row["node"]: row["rank"] for row in pagerank_undirected(df).collect()}
+    assert abs(r[1] - 1.0) < 1e-3 and abs(r[2] - 1.0) < 1e-3
+    hub, leaves = r[100], [r[100 + i] for i in range(1, 6)]
+    assert all(hub > lv for lv in leaves)
+    assert abs(sum(r.values()) - len(r)) < 1e-6 * len(r)
