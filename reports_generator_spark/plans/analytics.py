@@ -1285,3 +1285,211 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.expr("regr_r2(value, hr)"), 6).alias("r2"),
     )
     return g
+
+
+# --------------------------------------------------------------------------
+# Market-basket affinity: co-occurring part pairs with support + lift
+# --------------------------------------------------------------------------
+@query(
+    "market_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+    part_freq AS (
+      SELECT l_partkey, count(*) AS f FROM items GROUP BY l_partkey
+    ),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_co
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, n_co,
+           floor(n_co * 1.0 * (SELECT n FROM n_orders) / (fa.f * fb.f)
+                 * 1000000 + 0.5) / 1000000 AS lift
+    FROM pair
+    JOIN part_freq fa ON fa.l_partkey = part_a
+    JOIN part_freq fb ON fb.l_partkey = part_b
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise co-occurrence mining (market-basket affinity): part
+    pairs appearing in the same order, with lift = P(a,b)/(P(a)P(b)).
+
+    The pair generation is a self-equi-join on the basket key
+    (l_orderkey) with an id-ordering filter — fan-out per basket is
+    C(k,2) where k is basket size, and TPC-H-shaped baskets are
+    bounded (≤7 lines), so the join never goes quadratic in the
+    corpus. At 100 TB with pathological baskets the same cap pattern
+    as the shingle-df cap applies (drop baskets above a size bound
+    before the self-join). A min-support HAVING (n_co ≥ 2) prunes the
+    long tail before the frequency joins; lift is one double ratio of
+    exact integers, dround(6)-pinned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    n_orders = items.select("l_orderkey").distinct().count()
+    part_freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    fa = part_freq.select(F.col("l_partkey").alias("part_a"), F.col("f").alias("fa"))
+    fb = part_freq.select(F.col("l_partkey").alias("part_b"), F.col("f").alias("fb"))
+    return (
+        pair.join(fa, "part_a")
+        .join(fb, "part_b")
+        .select(
+            "part_a", "part_b", "n_co",
+            dround(
+                F.col("n_co") * F.lit(1.0) * F.lit(n_orders)
+                / (F.col("fa") * F.col("fb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust outlier flagging: median absolute deviation per group
+# --------------------------------------------------------------------------
+@query(
+    "anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, any_value(med) AS med, median(adev) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           floor(m.med * 1000000 + 0.5) / 1000000 AS med,
+           floor(m.mad * 1000000 + 0.5) / 1000000 AS mad,
+           CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type, m.med, m.mad
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection via median absolute
+    deviation — the outlier flag that (unlike `outlier_zscore`) does
+    not let the outliers themselves inflate the threshold. Two grouped
+    exact medians (percentile(0.5): single shuffle each, sort within
+    group) and one re-join to flag |x − med| > 3·1.4826·MAD.
+
+    At 100 TB the exact median becomes approx_percentile (mergeable
+    sketch, no per-group sort) — `agg_approx_percentile` pins that
+    path; this key pins the exact spelling both engines agree on.
+    Both engines interpolate even-count medians identically on
+    doubles; outputs dround(6)-pinned."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )
+    return (
+        ev.join(mad, "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(3) * F.lit(1.4826) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "event_type", "n",
+            dround(F.col("med"), 6).alias("med"),
+            dround(F.col("mad"), 6).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles)
+# --------------------------------------------------------------------------
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT mxd FROM mx))
+               AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY recency_days ASC,  o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency   DESC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary    DESC, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order),
+    frequency (order count), monetary (exact-DECIMAL spend), scored
+    into quintiles and rolled up to segment populations.
+
+    The per-customer rollup is one partial-aggregable shuffle. The
+    three ntile windows are global sorts over the CUSTOMER dimension
+    (not the fact table) — at 100 TB that dimension is ~10⁷–10⁸ rows,
+    still sortable; the truly-massive variant swaps ntile for
+    approx_percentile quintile cut points + a map-side CASE, the same
+    exact→approx trade `feature_quantile_bin` documents. Ties are
+    broken by o_custkey so both engines assign identical quintiles."""
+    o = load_table(spark, sf_dir, "orders")
+    mxd = o.agg(F.max("o_orderdate").alias("m")).collect()[0].m
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(mxd), F.max("o_orderdate")).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(5).over(
+            Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+        ).alias("r_score"),
+        F.ntile(5).over(
+            Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+        ).alias("f_score"),
+        F.ntile(5).over(
+            Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+        ).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )

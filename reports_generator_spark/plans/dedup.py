@@ -499,3 +499,97 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(m.min_rank >= 0.15 - 1e-9).alias("all_positive_ok"),
         F.lit(m.l1_residual < 1e-3 * m.n_nodes).alias("stationary_ok"),
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_SQL_CAPPED_SHINGLES},
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT id_a AS node FROM pairs
+        UNION ALL SELECT id_b FROM pairs
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM pairs e1
+      JOIN pairs e2 ON e2.id_a = e1.id_b
+      JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    )
+    SELECT (SELECT count(*) FROM deg)                    AS n_nodes,
+           (SELECT count(*) FROM pairs)                  AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           n_triangles,
+           CASE WHEN (SELECT sum(d * (d - 1) / 2) FROM deg) > 0
+                THEN floor(3.0 * n_triangles
+                           / (SELECT sum(d * (d - 1) / 2) FROM deg)
+                           * 1000000 + 0.5) / 1000000
+                ELSE NULL END AS global_clustering
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the
+    near-dup pair graph — the structural-health diagnostic for a dedup
+    graph (near-dup families should be clique-like: clustering ≈ 1
+    means transitive duplicate sets; ≈ 0 means chained false
+    positives that over-merge under connected components).
+
+    Edges arrive id-oriented (id_a < id_b from the Jaccard operator),
+    so each triangle {{a<b<c}} is counted exactly once by the standard
+    oriented wedge-close join: (a,b)⋈(b,c) builds wedges, an equi-join
+    back to the edge set closes them. Both joins are shuffle
+    hash-joins on node ids — no all-pairs stage; at 100 TB the
+    orientation bound means a node of degree d contributes only its
+    higher-id neighbors' pairs, and the shingle-df cap upstream
+    already bounds the hot-vertex degree. Wedge count Σ d(d−1)/2 is
+    integer-exact; the clustering coefficient is one double division
+    on identical integers, dround(6)-pinned cross-engine.
+    """
+    pairs = _dedup_ngram_jaccard(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id", "text", 3, 0.2, max_shingle_df=_MAX_SHINGLE_DF,
+    ).select("id_a", "id_b").localCheckpoint()
+
+    deg = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionAll(pairs.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).join(
+        pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c")), "b"
+    )
+    closed = wedges.join(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c")),
+        ["a", "c"],
+    )
+    from ..functions.rounding import dround as _dr
+
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) / 2")).cast("bigint").alias("n_wedges"),
+    )
+    counts = spark.range(1).select(
+        F.lit(pairs.count()).cast("bigint").alias("n_edges"),
+        F.lit(closed.count()).cast("bigint").alias("n_triangles"),
+    )
+    return stats.crossJoin(counts).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            _dr(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6),
+        ).alias("global_clustering"),
+    )

@@ -121,3 +121,52 @@ def feature_onehot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("__other__"))
         .alias("brand_bucket"),
     )
+
+
+@query(
+    "quality_linear_score",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(n_chars AS DOUBLE) AS f_chars,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS DOUBLE) AS f_toks,
+             CAST(length(text) - length(translate(text, '.,!?', ''))
+                  AS DOUBLE) AS f_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           floor((0.002 * f_chars + 0.05 * f_toks - 0.2 * f_punct)
+                 * 1000000 + 0.5) / 1000000 AS score,
+           (0.002 * f_chars + 0.05 * f_toks - 0.2 * f_punct) >= 1.0 AS keep
+    FROM feats
+    """,
+)
+def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-model INFERENCE over the corpus: a trained
+    model's weight vector applied to per-document features — the
+    classifier-scoring stage of a training-data pipeline (FastText /
+    logreg quality filters), minus the external model artifact.
+
+    The weights are literals here (in production: a broadcast
+    array from the model store); the features (char count, token
+    count, punctuation count) and the dot product are all JVM-side
+    narrow expressions inside whole-stage codegen — embarrassingly
+    parallel, zero shuffles, the ideal 100 TB shape. Feature values
+    are exact integers widened to double, so the score is the same
+    IEEE-754 expression on both engines; dround(6)-pinned. The logit
+    is emitted raw (monotone in the probability) so no exp() crosses
+    engines; `keep` thresholds it."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    punct = F.length("text") - F.length(F.translate(F.col("text"), ".,!?", ""))
+    score = (
+        F.lit(0.002) * F.col("n_chars").cast("double")
+        + F.lit(0.05) * toks.cast("double")
+        - F.lit(0.2) * punct.cast("double")
+    )
+    return d.select(
+        "doc_id",
+        dround(score, 6).alias("score"),
+        (score >= F.lit(1.0)).alias("keep"),
+    )

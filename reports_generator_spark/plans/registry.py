@@ -132,6 +132,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "scan_xml_roundtrip", "stream_incremental_hll", "dedup_corpus_end2end",
         "feature_quantile_bin", "feature_minmax_scale", "feature_onehot_topk",
         "agg_linear_regression", "graph_pagerank",
+        "graph_triangle_count", "market_basket_pairs", "anomaly_mad",
+        "rfm_segmentation", "join_interval_overlap", "quality_linear_score",
+        "stream_foreachbatch_upsert",
     }
 )
 

@@ -253,3 +253,29 @@ def stream_incremental_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(F.broadcast(merged), "event_type").select(
         "event_type", "n_users_exact", tol.alias("estimate_within_5pct")
     )
+
+
+@query(
+    "stream_foreachbatch_upsert",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type) AS n_events
+      FROM events
+    )
+    SELECT user_id, event_type,
+           ts AS last_ts, event_id AS last_event_id,
+           value AS last_value, n_events
+    FROM ranked WHERE rn = 1
+    """,
+)
+def stream_foreachbatch_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE maintaining a latest-state-per-key snapshot
+    ≡ batch "last row per key + count" (the snapshot after the full
+    stream equals the batch answer regardless of micro-batch
+    slicing — see streaming/foreach_sink.py)."""
+    from ..streaming.foreach_sink import stream_upsert_foreachbatch
+
+    return stream_upsert_foreachbatch(spark, sf_dir)

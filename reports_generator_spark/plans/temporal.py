@@ -509,3 +509,76 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_segments"),
         dround(num / den, 6).alias("twap_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Keyed interval-overlap join (interval × interval, equi-key residual)
+# --------------------------------------------------------------------------
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS v_day,
+             min(ts) AS v_start, max(ts) AS v_end
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+    ),
+    p AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS p_day,
+             min(ts) AS p_start, max(ts) AS p_end
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+    )
+    SELECT v.user_id, v.v_day, p.p_day,
+           (epoch_us(least(v.v_end, p.p_end))
+            - epoch_us(greatest(v.v_start, p.p_start))) AS overlap_us
+    FROM v JOIN p ON v.user_id = p.user_id
+     AND v.v_start <= p.p_end AND p.p_start <= v.v_end
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join: per-user daily 'view' activity
+    intervals against 'purchase' activity intervals, emitting the
+    overlap duration (exact integer microseconds — no float time
+    math). Complements the two existing range-join spellings:
+    `join_theta_range` (naive theta), `join_range_binned`
+    (point-in-interval via bin replication). Here both sides are
+    INTERVALS but carry an equi-key (user_id), so the plan is a
+    shuffle hash-join on the key with the overlap predicate as a
+    cheap residual — the canonical keyed temporal-overlap shape. With
+    NO shared key, the scale path is the bin-replication pattern of
+    `join_range_binned` applied to both sides plus a dedup on
+    (interval_a, interval_b) since overlapping pairs meet in every
+    shared bin."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def _daily(ev_type: str, prefix: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == ev_type)
+            .groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias(f"{prefix}_day"))
+            .agg(
+                F.min("ts").alias(f"{prefix}_start"),
+                F.max("ts").alias(f"{prefix}_end"),
+            )
+        )
+
+    v = _daily("view", "v")
+    p = _daily("purchase", "p")
+    joined = v.join(
+        p,
+        (v.user_id == p.user_id)
+        & (F.col("v_start") <= F.col("p_end"))
+        & (F.col("p_start") <= F.col("v_end")),
+    )
+    return joined.select(
+        v.user_id,
+        "v_day",
+        "p_day",
+        # fixture ts is TIMESTAMP_NTZ; under the engine's pinned UTC
+        # session tz the cast to TIMESTAMP is value-preserving, and
+        # unix_micros then yields the exact integer microsecond epoch.
+        (
+            F.unix_micros(F.least("v_end", "p_end").cast("timestamp"))
+            - F.unix_micros(F.greatest("v_start", "p_start").cast("timestamp"))
+        ).alias("overlap_us"),
+    )
