@@ -207,3 +207,43 @@ def pagerank_undirected(
             "node", (F.lit(1.0 - damping) + F.lit(damping) * F.col("inflow")).alias("rank")
         ).localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_stats(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Global triangle statistics of an undirected simple graph given
+    as id-oriented edges (``src`` < ``dst``, no duplicates): one row
+    ``(n_nodes, n_edges, n_wedges, n_triangles)``.
+
+    The standard oriented wedge-close algorithm: with every edge
+    stored low→high, each triangle {a<b<c} appears exactly once as
+    the wedge (a,b)+(b,c) closed by (a,c). Two shuffle hash-joins on
+    node ids — never an all-pairs stage; a vertex of degree d
+    contributes only wedges through its higher-id neighbors. Wedge
+    total Σ d(d−1)/2 is integer-exact. The orientation here is by id;
+    the classical refinement orients by (degree, id) to bound the
+    per-vertex fan-out on skewed graphs — same joins, different
+    comparator — which matters when hub vertices exist (the dedup
+    pair graphs this serves are hub-free by the shingle-df cap).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = e.join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    ).select("a", "c")
+    closed = wedges.join(e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"])
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) / 2")).cast("bigint").alias("n_wedges"),
+    )
+    n_edges, n_tri = e.count(), closed.count()
+    return stats.select(
+        "n_nodes",
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        "n_wedges",
+        F.lit(n_tri).cast("bigint").alias("n_triangles"),
+    )

@@ -553,37 +553,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact; the clustering coefficient is one double division
     on identical integers, dround(6)-pinned cross-engine.
     """
+    from ..operators.graph import triangle_stats
+
     pairs = _dedup_ngram_jaccard(
         load_table(spark, sf_dir, "documents"),
         "doc_id", "text", 3, 0.2, max_shingle_df=_MAX_SHINGLE_DF,
-    ).select("id_a", "id_b").localCheckpoint()
-
-    deg = (
-        pairs.select(F.col("id_a").alias("node"))
-        .unionAll(pairs.select(F.col("id_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    wedges = pairs.select(
-        F.col("id_a").alias("a"), F.col("id_b").alias("b")
-    ).join(
-        pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c")), "b"
-    )
-    closed = wedges.join(
-        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c")),
-        ["a", "c"],
-    )
+    ).select("id_a", "id_b")
     from ..functions.rounding import dround as _dr
 
-    stats = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.expr("d * (d - 1) / 2")).cast("bigint").alias("n_wedges"),
-    )
-    counts = spark.range(1).select(
-        F.lit(pairs.count()).cast("bigint").alias("n_edges"),
-        F.lit(closed.count()).cast("bigint").alias("n_triangles"),
-    )
-    return stats.crossJoin(counts).select(
+    stats = triangle_stats(pairs, "id_a", "id_b")
+    return stats.select(
         "n_nodes",
         "n_edges",
         "n_wedges",

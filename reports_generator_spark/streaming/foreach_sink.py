@@ -52,6 +52,39 @@ def _latest_per_key(df: DataFrame) -> DataFrame:
     )
 
 
+def merge_snapshot(cur: DataFrame, delta: DataFrame) -> DataFrame:
+    """Pure MERGE of a ``_latest_per_key`` delta into the current
+    snapshot (same schema): one full-outer equi-join on the key;
+    last-writer-wins by the (last_ts, last_event_id) total order,
+    counts add. Associative over batch slicing: folding any partition
+    of the event stream through this merge yields the same snapshot
+    (pinned in tests/test_stateful_stream.py)."""
+    d = delta.select(
+        "user_id",
+        "event_type",
+        F.col("last_ts").alias("d_ts"),
+        F.col("last_event_id").alias("d_eid"),
+        F.col("last_value").alias("d_value"),
+        F.col("n_events").alias("d_n"),
+    )
+    cur_key = F.struct(F.col("last_ts"), F.col("last_event_id"))
+    d_key = F.struct(F.col("d_ts"), F.col("d_eid"))
+    take_delta = F.col("last_ts").isNull() | (d_key >= cur_key)
+    pick = lambda dc, cc: (  # noqa: E731
+        F.when(F.col("d_ts").isNotNull() & take_delta, dc).otherwise(cc)
+    )
+    return cur.join(d, ["user_id", "event_type"], "full_outer").select(
+        "user_id",
+        "event_type",
+        pick(F.col("d_ts"), F.col("last_ts")).alias("last_ts"),
+        pick(F.col("d_eid"), F.col("last_event_id")).alias("last_event_id"),
+        pick(F.col("d_value"), F.col("last_value")).alias("last_value"),
+        (
+            F.coalesce("n_events", F.lit(0)) + F.coalesce("d_n", F.lit(0))
+        ).alias("n_events"),
+    )
+
+
 def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the file-source event stream through a foreachBatch MERGE
     into a parquet snapshot; return the final snapshot."""
@@ -65,40 +98,8 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta = _latest_per_key(batch_df)
         if os.path.isdir(target):
             cur = s.read.parquet(target)
-            d = delta.select(
-                "user_id",
-                "event_type",
-                F.col("last_ts").alias("d_ts"),
-                F.col("last_event_id").alias("d_eid"),
-                F.col("last_value").alias("d_value"),
-                F.col("n_events").alias("d_n"),
-            )
-            cur_key = F.struct(F.col("last_ts"), F.col("last_event_id"))
-            d_key = F.struct(F.col("d_ts"), F.col("d_eid"))
-            take_delta = F.col("last_ts").isNull() | (d_key >= cur_key)
-            pick = lambda dc, cc: (  # noqa: E731
-                F.when(F.col("d_ts").isNotNull() & take_delta, dc).otherwise(cc)
-            )
-            merged = (
-                cur.join(d, ["user_id", "event_type"], "full_outer")
-                .select(
-                    "user_id",
-                    "event_type",
-                    pick(F.col("d_ts"), F.col("last_ts")).alias("last_ts"),
-                    pick(F.col("d_eid"), F.col("last_event_id")).alias(
-                        "last_event_id"
-                    ),
-                    pick(F.col("d_value"), F.col("last_value")).alias(
-                        "last_value"
-                    ),
-                    (
-                        F.coalesce("n_events", F.lit(0))
-                        + F.coalesce("d_n", F.lit(0))
-                    ).alias("n_events"),
-                )
-                # materialize BEFORE overwriting the path being read
-                .localCheckpoint()
-            )
+            # materialize BEFORE overwriting the path being read
+            merged = merge_snapshot(cur, delta).localCheckpoint()
             merged.write.mode("overwrite").parquet(target)
         else:
             delta.write.mode("overwrite").parquet(target)

@@ -190,3 +190,26 @@ def test_pagerank_isolated_pair_and_star(spark):
     hub, leaves = r[100], [r[100 + i] for i in range(1, 6)]
     assert all(hub > lv for lv in leaves)
     assert abs(sum(r.values()) - len(r)) < 1e-6 * len(r)
+
+
+# --------------------------------------------------------------------------
+# triangle_stats: planted graphs with known closed-form answers
+# --------------------------------------------------------------------------
+def test_triangle_stats_clique(spark):
+    from reports_generator_spark.operators.graph import triangle_stats
+
+    # K4: 6 edges, C(4,3)=4 triangles, wedges = 4 * C(3,2) = 12
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        "id_a long, id_b long",
+    )
+    r = triangle_stats(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+
+
+def test_triangle_stats_path_graph_has_no_triangles(spark):
+    from reports_generator_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    r = triangle_stats(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 3, 2, 0)

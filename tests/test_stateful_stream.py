@@ -123,3 +123,34 @@ def test_late_event_extends_session_start(spark, tmp_path):
     assert final["n_events"] == 2
     assert final["session_start"] == _mins(5)   # extended backwards
     assert final["session_end"] == _mins(10)
+
+
+# --------------------------------------------------------------------------
+# foreachBatch upsert: the snapshot merge is micro-batch-slicing-invariant
+# --------------------------------------------------------------------------
+def test_merge_snapshot_slicing_invariant(spark):
+    """Folding the event stream through merge_snapshot in ANY slicing
+    (one batch; two batches split by event_id parity, either order)
+    yields the identical snapshot — the property that makes the
+    foreachBatch MERGE correct regardless of how the file source
+    slices micro-batches."""
+    from reports_generator_spark.sources import load_table
+    from reports_generator_spark.streaming.foreach_sink import (
+        _latest_per_key,
+        merge_snapshot,
+    )
+    from conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    whole = _latest_per_key(ev)
+    d0 = _latest_per_key(ev.filter(ev.event_id % 2 == 0))
+    d1 = _latest_per_key(ev.filter(ev.event_id % 2 == 1))
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    expected = rows(whole)
+    assert rows(merge_snapshot(d0, d1)) == expected
+    assert rows(merge_snapshot(d1, d0)) == expected
