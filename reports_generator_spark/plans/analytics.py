@@ -1493,3 +1493,63 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+# --------------------------------------------------------------------------
+# CEP-lite: event-sequence pattern detection over per-user timelines
+# --------------------------------------------------------------------------
+@query(
+    "pattern_detect_sequence",
+    oracle="""
+    WITH tl AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS timeline
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           length(timeline) AS n_events,
+           len(regexp_extract_all(timeline, 'vcp')) AS n_vcp_strict,
+           len(regexp_extract_all(timeline, 'v[ces]*p')) AS n_conversions
+    FROM tl
+    """,
+)
+def pattern_detect_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: per-user event timelines compressed to a
+    symbol string (one char per event, (ts, event_id)-ordered), then
+    sequence patterns counted by regex — strict view→click→purchase
+    adjacency and view→(non-view, non-purchase)*→purchase conversion
+    runs. Complements `funnel_conversion` (which asks IF the stages
+    ever happen in order) by counting occurrences with adjacency /
+    exclusion constraints — the CEP shapes a dedicated pattern
+    operator would express.
+
+    One shuffle (groupBy user); the sort is per-user inside
+    array_sort, not a global order; regex runs JVM-side per row.
+    Both engines use leftmost non-overlapping regex scan semantics,
+    so the counts are value-identical. At 100 TB the per-key timeline
+    is bounded by per-user activity — the same assumption every
+    sessionizer here makes; a year-scale timeline would window the
+    collect by month first."""
+    ev = load_table(spark, sf_dir, "events")
+    tl = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: F.substring(x.event_type, 1, 1),
+            ),
+        ).alias("timeline")
+    )
+    return tl.select(
+        "user_id",
+        F.length("timeline").alias("n_events"),
+        F.size(F.regexp_extract_all("timeline", F.lit("vcp"), F.lit(0))).alias(
+            "n_vcp_strict"
+        ),
+        F.size(
+            F.regexp_extract_all("timeline", F.lit("v[ces]*p"), F.lit(0))
+        ).alias("n_conversions"),
+    )

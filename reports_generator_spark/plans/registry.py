@@ -134,7 +134,8 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "agg_linear_regression", "graph_pagerank",
         "graph_triangle_count", "market_basket_pairs", "anomaly_mad",
         "rfm_segmentation", "join_interval_overlap", "quality_linear_score",
-        "stream_foreachbatch_upsert",
+        "stream_foreachbatch_upsert", "join_spatial_grid",
+        "pattern_detect_sequence",
     }
 )
 
@@ -156,6 +157,7 @@ def load_all() -> None:
     from . import sql_features  # noqa: F401
     from . import corpus  # noqa: F401
     from . import features  # noqa: F401
+    from . import spatial  # noqa: F401
 
     # Reorder for the driver's bounded attestation window (round 1 cut off
     # at exactly 50 entries): keys added/changed this round first (their
