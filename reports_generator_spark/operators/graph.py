@@ -238,12 +238,14 @@ def triangle_stats(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
     closed = wedges.join(e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"])
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
+        # handshake lemma: Σd = 2|E| — no separate edge-count action
+        (F.sum("d") / 2).cast("bigint").alias("n_edges"),
         F.sum(F.expr("d * (d - 1) / 2")).cast("bigint").alias("n_wedges"),
     )
-    n_edges, n_tri = e.count(), closed.count()
+    n_tri = closed.count()
     return stats.select(
         "n_nodes",
-        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        "n_edges",
         "n_wedges",
         F.lit(n_tri).cast("bigint").alias("n_triangles"),
     )

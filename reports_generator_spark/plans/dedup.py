@@ -457,6 +457,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py (isolated pair → both ranks 1.0)."""
     from ..operators.graph import pagerank_undirected
 
+    # checkpoint the pair pipeline ONCE: both the power iteration and
+    # the residual check below consume it — without this the shingle
+    # join would re-execute for each derived lineage (measured 2x+ on
+    # the registered key).
     pairs = _dedup_ngram_jaccard(
         load_table(spark, sf_dir, "documents"),
         "doc_id",
@@ -464,7 +468,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         3,
         0.2,
         max_shingle_df=_MAX_SHINGLE_DF,
-    )
+    ).select("id_a", "id_b").localCheckpoint()
     # 8 rounds: the near-dup graph's components are symmetric cliques
     # whose fixpoint lands within a few damped rounds (measured
     # residual exactly 0 by round 6 at sf0.001-0.1); the stationarity

@@ -135,7 +135,7 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "graph_triangle_count", "market_basket_pairs", "anomaly_mad",
         "rfm_segmentation", "join_interval_overlap", "quality_linear_score",
         "stream_foreachbatch_upsert", "join_spatial_grid",
-        "pattern_detect_sequence",
+        "pattern_detect_sequence", "window_ewma", "table_diff_audit",
     }
 )
 

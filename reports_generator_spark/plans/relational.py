@@ -1420,3 +1420,104 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
         F.bool_and(F.col("l_discount") < 0.2).alias("all_modest_discount"),
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot reconciliation: row-level diff audit between table versions
+# --------------------------------------------------------------------------
+@query(
+    "table_diff_audit",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'F' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 13 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                            + CAST(1.00 AS DECIMAL(3,2)) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 0
+      UNION ALL
+      SELECT o_orderkey + 30000000, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 17 = 0
+    )
+    SELECT
+      CAST(sum(CASE WHEN b.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_added,
+      CAST(sum(CASE WHEN n.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_removed,
+      CAST(sum(CASE WHEN b.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                AND (b.o_orderstatus <> n.o_orderstatus
+                     OR b.o_totalprice <> n.o_totalprice)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      CAST(sum(CASE WHEN b.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                AND b.o_orderstatus <> n.o_orderstatus
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_status_changed,
+      CAST(sum(CASE WHEN b.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                AND b.o_totalprice <> n.o_totalprice
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_price_changed,
+      CAST(sum(CASE WHEN b.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                AND b.o_orderstatus = n.o_orderstatus
+                AND b.o_totalprice = n.o_totalprice
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_identical
+    FROM orders b FULL OUTER JOIN v2 n USING (o_orderkey)
+    """,
+)
+def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: row-level diff between two versions of
+    a table (added / removed / changed / identical, plus per-column
+    change counts) — the audit every pipeline migration and backfill
+    ends with. One full-outer equi-join on the key, flags as
+    conditional sums in a single aggregate; per-column counts come
+    free from the same join (no second pass). At 100 TB both
+    snapshots shuffle once on the key — or zero times if both are
+    bucketed on it (join_bucketed_colocated pins that layout). The v2
+    snapshot here is derived deterministically (drops %11, restates
+    %7 status, +1.00 on %13 price in exact DECIMAL, re-keys %17 as
+    inserts) so both engines build the identical fixture."""
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    price_plus = (
+        F.col("o_totalprice").cast("decimal(18,2)")
+        + F.lit(1.00).cast("decimal(3,2)")
+    ).cast("double")
+    v2 = (
+        base.filter(F.col("o_orderkey") % 11 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("F"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(F.col("o_orderkey") % 13 == 0, price_plus)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 30000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    n = v2.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("n_status"),
+        F.col("o_totalprice").alias("n_price"),
+    )
+    j = base.join(n, "o_orderkey", "full_outer")
+    in_base = F.col("o_orderstatus").isNotNull() | F.col("o_totalprice").isNotNull()
+    in_new = F.col("n_status").isNotNull() | F.col("n_price").isNotNull()
+    both = in_base & in_new
+    st_chg = both & (F.col("o_orderstatus") != F.col("n_status"))
+    pr_chg = both & (F.col("o_totalprice") != F.col("n_price"))
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return j.agg(
+        cnt(~in_base).alias("n_added"),
+        cnt(~in_new).alias("n_removed"),
+        cnt(st_chg | pr_chg).alias("n_changed"),
+        cnt(st_chg).alias("n_status_changed"),
+        cnt(pr_chg).alias("n_price_changed"),
+        cnt(both & ~st_chg & ~pr_chg).alias("n_identical"),
+    )

@@ -374,3 +374,54 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+@query(
+    "window_ewma",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           floor(sum(value * power(0.5, n - rn)) * 0.5
+                 * 1000000 + 0.5) / 1000000 AS ewma_tail
+    FROM seq
+    GROUP BY user_id
+    """,
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 0.5) of each user's
+    purchase values, evaluated at the end of the series. The
+    recurrence ewma_t = α·x_t + (1−α)·ewma_{t−1} unrolls to the
+    weighted sum α·Σ (1−α)^(n−i)·x_i, which distributes as ONE
+    window row_number + ONE partial-aggregable grouped sum — no
+    sequential scan, no UDAF state carried row-to-row. α = 0.5 makes
+    every decay weight an exact power of two, so per-term products
+    are identical IEEE-754 on both engines; the final sum is
+    dround(6)-pinned. The same unrolling turns any linear recurrence
+    into a distributed aggregation as long as the decay has bounded
+    support (weights underflow past ~60 terms — older terms
+    contribute exactly 0 in both engines)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "value",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+        )
+    )
+    from ..functions.rounding import dround
+
+    return ev.groupBy("user_id").agg(
+        dround(
+            F.sum(F.col("value") * F.pow(F.lit(0.5), F.col("n") - F.col("rn")))
+            * F.lit(0.5),
+            6,
+        ).alias("ewma_tail")
+    )

@@ -70,8 +70,14 @@ def get_spark(
         for k, v in RUNTIME_CONF.items():
             builder = builder.config(k, v)
         builder = builder.config("spark.ui.enabled", "false")
+        # 16g default: a full bench run executes 160+ queries in ONE
+        # local-mode JVM (driver = executors); iterative keys churn
+        # checkpoint blocks, and an 8g heap pushed late-suite queries
+        # into GC thrash (measured 3-4x inflation on the graph keys at
+        # suite position ~90). On a real cluster executor memory is
+        # sized per node; this knob only shapes the local harness.
         builder = builder.config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         )
         if hive:
             # Persistent metastore (embedded Derby under ./metastore_db):

@@ -192,3 +192,42 @@ def test_fuzzy_join_distinct_verify_equals_raw(spark):
         .collect()
     }
     assert got == want and len(got) == 80
+
+
+# --------------------------------------------------------------------------
+# window_ewma: the distributed unrolled form equals the sequential
+# recurrence computed row-by-row in pandas
+# --------------------------------------------------------------------------
+def test_window_ewma_matches_sequential_recurrence(spark):
+    from conftest import SF_DIR
+    from reports_generator_spark.plans import registry
+
+    registry.load_all()
+    got = {
+        r.user_id: r.ewma_tail
+        for r in registry.QUERIES["window_ewma"](spark, SF_DIR).collect()
+    }
+
+    import math
+
+    from reports_generator_spark.sources import load_table
+
+    pdf = (
+        load_table(spark, SF_DIR, "events")
+        .filter("event_type = 'purchase'")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    alpha = 0.5
+    for uid, grp in pdf.groupby("user_id"):
+        ewma = None
+        for v in grp["value"]:
+            ewma = alpha * v if ewma is None else alpha * v + (1 - alpha) * ewma
+        # the unrolled form drops the (1-a)^n seeding of the very first
+        # term (recurrence seeds ewma_1 = a*x_1): both agree to float
+        # tolerance because the residual weight underflows
+        assert uid in got
+        assert math.isclose(got[uid], ewma, rel_tol=1e-5, abs_tol=1e-5), (
+            uid, got[uid], ewma,
+        )
