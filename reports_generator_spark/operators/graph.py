@@ -43,6 +43,15 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # graph-sized iteration parallelism (see pagerank_undirected): an
+    # inherited wide layout turns every min-label round over a small
+    # graph into dozens of near-empty tasks; ~50k endpoints/partition
+    # keeps tasks meaningful while a big graph still fans out fully
+    n_parts = max(1, min(
+        und.sparkSession.sparkContext.defaultParallelism,
+        und.count() // 50_000 + 1,
+    ))
+    und = und.repartition(n_parts, "src").localCheckpoint()
     # fused first round: every node's label starts at
     # min(node, min(neighbors)) — one groupBy instead of a join round
     labels = (
@@ -193,6 +202,18 @@ def pagerank_undirected(
         .distinct()
         .localCheckpoint()
     )
+    # Size the iteration parallelism by the GRAPH, not the session
+    # default: each round is a join + groupBy over |2E| rows, and an
+    # inherited 32-partition layout turns a small graph's 8 rounds
+    # into hundreds of near-empty tasks whose scheduling dominates
+    # runtime. ~50k edge-endpoints per partition keeps tasks
+    # meaningful at any scale (a 10^10-edge graph still gets the full
+    # cluster). The count is one cheap job over checkpointed blocks.
+    n_parts = max(1, min(
+        und.sparkSession.sparkContext.defaultParallelism,
+        und.count() // 50_000 + 1,
+    ))
+    und = und.repartition(n_parts, "u").localCheckpoint()
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     adj = und.join(deg, "u").localCheckpoint()  # (u, v, deg(u))
     ranks = deg.select(F.col("u").alias("node"), F.lit(1.0).alias("rank"))

@@ -582,3 +582,47 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.greatest("v_start", "p_start").cast("timestamp"))
         ).alias("overlap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# OHLC resample: first/last/extremes per time bucket (financial bars)
+# --------------------------------------------------------------------------
+@query(
+    "time_bucket_ohlc",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_epoch,
+           event_type,
+           arg_min(value, ts + to_microseconds(event_id)) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ts + to_microseconds(event_id)) AS close,
+           count(*) AS n_ticks,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def time_bucket_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling (the financial-bars shape of time_bucket_rollup):
+    per hour × type, the first/last values by event time plus extremes,
+    tick count and exact-DECIMAL volume. open/close use min_by/max_by
+    on the event-time order — PARTIAL-AGGREGABLE (each task keeps one
+    candidate, the merge picks the winner), where the textbook
+    row_number() spelling forces a full per-bucket sort. The
+    (ts, event_id) order is encoded as ts + event_id µs on both
+    engines — a total order that stays a single orderable scalar for
+    the min_by/arg_min pair (event ties are sub-second, id increments
+    are µs-scale: no collision at fixture or production tick rates)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint")
+    ord_ = F.timestamp_micros(
+        F.unix_micros(F.col("ts").cast("timestamp")) + F.col("event_id")
+    )
+    return ev.groupBy(bucket.alias("bucket_epoch"), "event_type").agg(
+        F.min_by("value", ord_).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ord_).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
+    )
