@@ -136,7 +136,7 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "rfm_segmentation", "join_interval_overlap", "quality_linear_score",
         "stream_foreachbatch_upsert", "join_spatial_grid",
         "pattern_detect_sequence", "window_ewma", "table_diff_audit",
-        "time_bucket_ohlc",
+        "time_bucket_ohlc", "sql_pipe_syntax", "sql_parameterized",
     }
 )
 

@@ -146,3 +146,68 @@ def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.value.n").alias("n"),
         F.col("e.value.share").alias("share"),
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, `|>`): the linear FROM → WHERE →
+    AGGREGATE spelling of a filtered grouped aggregate. Pure dialect
+    surface — the parser lowers it to the identical logical plan as
+    the GROUP BY form (the oracle), so Catalyst's optimizations apply
+    unchanged; the key pins that the pipe dialect is available and
+    produces value-identical results."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("rg_pipe_li")
+    return spark.sql(
+        """
+        FROM rg_pipe_li
+        |> WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |> AGGREGATE count(*) AS n,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n, sum_qty
+        """
+    )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (Spark 4 `spark.sql(..., args=...)`): the
+    injection-safe spelling of a templated query — parameters bind as
+    typed literals in the parser, never string-spliced, and constant
+    folding then treats them exactly like inline literals (same plan,
+    so partition pruning on a parameterized date still works). The
+    oracle is the same query with the literals inlined."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rg_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM rg_param_orders
+        WHERE o_orderdate >= :cutoff AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"cutoff": "1996-01-01 00:00:00", "status": "O"},
+    )
