@@ -170,3 +170,67 @@ def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(score, 6).alias("score"),
         (score >= F.lit(1.0)).alias("keep"),
     )
+
+
+@query(
+    "eval_classification_metrics",
+    oracle="""
+    WITH scored AS (
+      SELECT (0.002 * n_chars
+              + 0.05 * len(list_filter(string_split(text, ' '), x -> x <> ''))
+              - 0.2 * (length(text) - length(translate(text, '.,!?', ''))))
+               >= 1.0 AS pred,
+             n_chars >= 400 AS actual
+      FROM documents
+    ),
+    cm AS (
+      SELECT
+        CAST(sum(CASE WHEN pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN NOT pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN NOT pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           floor(tp * 1.0 / nullif(tp + fp, 0) * 1000000 + 0.5) / 1000000
+             AS precision,
+           floor(tp * 1.0 / nullif(tp + fn, 0) * 1000000 + 0.5) / 1000000
+             AS recall,
+           floor(2.0 * tp / nullif(2 * tp + fp + fn, 0) * 1000000 + 0.5) / 1000000
+             AS f1
+    FROM cm
+    """,
+)
+def eval_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation: confusion matrix + precision/recall/F1
+    of the linear quality model (`quality_linear_score` threshold)
+    against a reference label — the metrics pass that closes the
+    train→infer→evaluate loop every data-quality filter runs before
+    deployment. ONE scan, one conditional-sum aggregate (4 counters),
+    metrics as ratios of exact integers — the shape stays a single
+    partial-aggregable pass at any corpus size. F1 is computed as
+    2tp/(2tp+fp+fn) — one division, no nested null handling."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    punct = F.length("text") - F.length(F.translate(F.col("text"), ".,!?", ""))
+    score = (
+        F.lit(0.002) * F.col("n_chars").cast("double")
+        + F.lit(0.05) * toks.cast("double")
+        - F.lit(0.2) * punct.cast("double")
+    )
+    pred = score >= F.lit(1.0)
+    actual = F.col("n_chars") >= F.lit(400)
+    c = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    cm = d.agg(
+        c(pred & actual).alias("tp"),
+        c(pred & ~actual).alias("fp"),
+        c(~pred & actual).alias("fn"),
+        c(~pred & ~actual).alias("tn"),
+    )
+    nz = lambda col: F.nullif(col, F.lit(0))  # noqa: E731
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        dround(F.col("tp") * F.lit(1.0) / nz(F.col("tp") + F.col("fp")), 6).alias("precision"),
+        dround(F.col("tp") * F.lit(1.0) / nz(F.col("tp") + F.col("fn")), 6).alias("recall"),
+        dround(F.lit(2.0) * F.col("tp") / nz(F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")), 6).alias("f1"),
+    )

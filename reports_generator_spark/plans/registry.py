@@ -137,6 +137,8 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "stream_foreachbatch_upsert", "join_spatial_grid",
         "pattern_detect_sequence", "window_ewma", "table_diff_audit",
         "time_bucket_ohlc", "sql_pipe_syntax", "sql_parameterized",
+        "backlog_open_orders", "knn_label_accuracy",
+        "eval_classification_metrics",
     }
 )
 

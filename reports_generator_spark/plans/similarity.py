@@ -494,3 +494,116 @@ def embedding_pca_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot") / (F.sqrt(F.col("cv2")) * F.sqrt(F.col("v2"))) > 0.999
         ).alias("eigvec_ok"),
     )
+
+
+@query(
+    "knn_label_accuracy",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    probes AS (SELECT * FROM n WHERE vec_id % 23 = 0),
+    train  AS (SELECT * FROM n WHERE vec_id % 23 <> 0),
+    scored AS (
+      SELECT p.vec_id AS probe_id, p.label AS true_label,
+             t.label AS nbr_label,
+             round(list_dot_product(p.v, t.v) / (p.nrm * t.nrm), 4) AS score,
+             t.vec_id AS nbr_id
+      FROM probes p CROSS JOIN train t
+    ),
+    top5 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                     ORDER BY score DESC, nbr_id ASC) AS rnk
+        FROM scored
+      ) WHERE rnk <= 5
+    ),
+    votes AS (
+      SELECT probe_id, true_label, nbr_label, count(*) AS c
+      FROM top5 GROUP BY probe_id, true_label, nbr_label
+    ),
+    pred AS (
+      SELECT probe_id, true_label, nbr_label AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                     ORDER BY c DESC, nbr_label ASC) AS r
+        FROM votes
+      ) WHERE r = 1
+    )
+    SELECT true_label,
+           count(*) AS n_probes,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           floor(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                 * 1.0 / count(*) * 1000000 + 0.5) / 1000000 AS accuracy
+    FROM pred
+    GROUP BY true_label
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classifier evaluation — similarity search USED for
+    something: leave-out probes (vec_id % 23 = 0) classified by
+    majority label of their 5 nearest train vectors (cosine, 4 dp,
+    id tiebreak; vote ties break to the smallest label), reported as
+    per-class accuracy. The probe set is the broadcast side against
+    the train corpus — map-side scoring, one narrow top-k window per
+    probe partition; the corpus never self-joins. At 100 TB the
+    scoring stage swaps in the LSH/IVF bucketed path
+    (`similarity_topk_lsh`/`_ivf`) unchanged above the vote."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "v", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    probes = n.filter(F.col("vec_id") % 23 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("pv"),
+        F.col("nrm").alias("pn"),
+    )
+    train = n.filter(F.col("vec_id") % 23 != 0)
+    dot = F.aggregate(
+        F.zip_with("pv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = F.broadcast(probes).crossJoin(train).select(
+        "probe_id",
+        "true_label",
+        F.col("label").alias("nbr_label"),
+        F.round(dot / (F.col("pn") * F.col("nrm")), 4).alias("score"),
+        F.col("vec_id").alias("nbr_id"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id").asc()
+    )
+    top5 = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    votes = top5.groupBy("probe_id", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("probe_id").orderBy(
+        F.col("c").desc(), F.col("nbr_label").asc()
+    )
+    pred = votes.withColumn("r", F.row_number().over(wv)).filter(
+        F.col("r") == 1
+    ).select("probe_id", "true_label", F.col("nbr_label").alias("pred_label"))
+    correct = F.sum(
+        F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    )
+    return pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        correct.cast("bigint").alias("n_correct"),
+        dround(correct * F.lit(1.0) / F.count(F.lit(1)), 6).alias("accuracy"),
+    )

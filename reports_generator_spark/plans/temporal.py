@@ -626,3 +626,59 @@ def time_bucket_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_ticks"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
     )
+
+
+# --------------------------------------------------------------------------
+# Backlog curve: daily open-order count from open/close event differences
+# --------------------------------------------------------------------------
+@query(
+    "backlog_open_orders",
+    oracle="""
+    WITH closes AS (
+      SELECT l_orderkey AS o_orderkey, max(l_shipdate) AS close_ts
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    deltas AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, 1 AS d FROM orders
+      UNION ALL
+      SELECT strftime(c.close_ts, '%Y-%m-%d') AS day, -1 AS d
+      FROM closes c JOIN orders o USING (o_orderkey)
+    ),
+    daily AS (
+      SELECT day, CAST(sum(d) AS BIGINT) AS net FROM deltas GROUP BY day
+    )
+    SELECT day, net,
+           CAST(sum(net) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_orders
+    FROM daily
+    """,
+)
+def backlog_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog curve (open orders outstanding per day): +1 at order
+    placement, −1 when the last line ships, daily net deltas, running
+    cumulative. The event-difference spelling is THE scale pattern
+    for 'how many X were open at time t' — it aggregates to one row
+    per day BEFORE the window, so the running sum runs over the
+    (tiny) day dimension instead of a per-order interval explosion
+    (contrast the naive day×open-interval range join, O(days·orders)).
+    The cumsum window is a single ordered pass over |days| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    closes = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max("l_shipdate").alias("close_ts")
+    )
+    deltas = (
+        o.select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"), F.lit(1).alias("d"))
+        .unionAll(
+            closes.join(o, "o_orderkey").select(
+                F.date_format("close_ts", "yyyy-MM-dd").alias("day"),
+                F.lit(-1).alias("d"),
+            )
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").cast("bigint").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "net", F.sum("net").over(w).cast("bigint").alias("open_orders")
+    )
