@@ -234,3 +234,54 @@ def eval_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("tp") * F.lit(1.0) / nz(F.col("tp") + F.col("fn")), 6).alias("recall"),
         dround(F.lit(2.0) * F.col("tp") / nz(F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")), 6).alias("f1"),
     )
+
+
+@query(
+    "sample_class_balanced",
+    oracle="""
+    WITH counts AS (
+      SELECT label, count(*) AS n FROM embeddings GROUP BY label
+    ),
+    floor_n AS (SELECT min(n) AS n_min FROM counts),
+    ranked AS (
+      SELECT label, vec_id,
+             row_number() OVER (PARTITION BY label
+               ORDER BY (vec_id * 2654435761) % 1048573, vec_id) AS r
+      FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_kept,
+           CAST(sum(vec_id) AS BIGINT) AS sum_ids
+    FROM ranked
+    WHERE r <= (SELECT n_min FROM floor_n)
+    GROUP BY label
+    """,
+)
+def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing for training: every label downsampled to the
+    minority-class count by a DETERMINISTIC pseudo-random rank
+    (Knuth multiplicative hash of the id, modulo a prime — stable
+    across runs, retries and engines, unlike rand()). One grouped
+    count + one per-label window; the window partitions by label so
+    no global sort exists. The kept set is value-checked via per-label
+    id sums. At extreme per-label cardinality the window swaps for
+    the hash-threshold spelling (keep if h(id) < n_min/n_label
+    quantile) — `sample_stratified`'s pattern — trading exactness of
+    the count for a sort-free single pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_min = (
+        emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n")).collect()[0][0]
+    )
+    w = Window.partitionBy("label").orderBy(
+        (F.col("vec_id") * F.lit(2654435761)) % F.lit(1048573), F.col("vec_id")
+    )
+    return (
+        emb.select("label", "vec_id", F.row_number().over(w).alias("r"))
+        .filter(F.col("r") <= F.lit(n_min))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("vec_id").cast("bigint").alias("sum_ids"),
+        )
+    )

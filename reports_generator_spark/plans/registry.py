@@ -138,7 +138,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "pattern_detect_sequence", "window_ewma", "table_diff_audit",
         "time_bucket_ohlc", "sql_pipe_syntax", "sql_parameterized",
         "backlog_open_orders", "knn_label_accuracy",
-        "eval_classification_metrics",
+        "eval_classification_metrics", "join_scd2_pointintime",
+        "window_ratio_to_report", "scan_schema_evolution",
+        "sample_class_balanced",
     }
 )
 

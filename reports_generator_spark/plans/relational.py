@@ -1521,3 +1521,59 @@ def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(pr_chg).alias("n_price_changed"),
         cnt(both & ~st_chg & ~pr_chg).alias("n_identical"),
     )
+
+
+# --------------------------------------------------------------------------
+# Schema evolution: mergeSchema scan across table versions
+# --------------------------------------------------------------------------
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+      SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey
+      FROM nation
+      UNION ALL
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+    )
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_v1_rows,
+           CAST(sum(n_regionkey) AS BIGINT) AS sum_region
+    FROM unioned
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet data lake: version-1 files
+    (2 columns) and version-2 files (+n_regionkey) live in the same
+    table path; `mergeSchema` reconciles them at read time, surfacing
+    the added column as NULL for old files — the append-only
+    evolution every long-lived lake table goes through. The check
+    aggregates over the merged scan (row count, v1 row count via the
+    NULL marker, sum over the evolved column). At 100 TB mergeSchema's
+    footer-union is driver-side metadata work proportional to file
+    count, not data — the reason lakes keep schema in a catalog once
+    file counts explode (the metastore posture this repo documents)."""
+    import hashlib
+    import os
+    import tempfile
+
+    nat = _t(spark, sf_dir, "nation")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"rg_evolve_{tag}")
+    if not os.path.isdir(os.path.join(root, "v2")):
+        nat.select("n_nationkey", "n_name").write.mode("overwrite").parquet(
+            os.path.join(root, "v1")
+        )
+        nat.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "v1"), os.path.join(root, "v2")
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("n_regionkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_v1_rows"),
+        F.sum("n_regionkey").cast("bigint").alias("sum_region"),
+    )

@@ -682,3 +682,76 @@ def backlog_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "net", F.sum("net").over(w).cast("bigint").alias("open_orders")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time consumption: fact rows joined to the dimension
+# version valid AT their event time
+# --------------------------------------------------------------------------
+@query(
+    "join_scd2_pointintime",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    dim AS (
+      SELECT user_id, event_type AS state_at_purchase, ts AS valid_from,
+             lead(ts) OVER w AS valid_to
+      FROM changes
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    facts AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.value, d.state_at_purchase
+    FROM facts f JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read side of SCD2: each purchase fact picks up the
+    dimension version whose [valid_from, valid_to) interval contains
+    its event time — `scd2_intervals` is the write side, this
+    completes the pair. Spelled as the keyed interval join
+    (equi-key user_id + half-open containment residual): correct for
+    any interval set, one shuffle per side. When version churn per
+    key is extreme, the as-of spelling (`asof_join`'s union+window)
+    does it with zero residual comparisons — both spellings are
+    registered; this key pins the containment semantics including
+    the open-ended current version (valid_to NULL)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ordered = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    )
+    dim = changes.select(
+        "user_id",
+        F.col("event_type").alias("state_at_purchase"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("f_user_id"), "ts", "value"
+    )
+    return facts.join(
+        dim,
+        (F.col("f_user_id") == dim.user_id)
+        & (facts.ts >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (facts.ts < F.col("valid_to"))),
+    ).select(
+        "event_id", F.col("f_user_id").alias("user_id"), "value", "state_at_purchase"
+    )

@@ -425,3 +425,47 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ewma_tail")
     )
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, revenue,
+           floor(revenue / sum(revenue) OVER (PARTITION BY l_returnflag)
+                 * 1000000 + 0.5) / 1000000 AS share_of_flag,
+           floor(revenue / sum(revenue) OVER ()
+                 * 1000000 + 0.5) / 1000000 AS share_of_total
+    FROM g
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each group's share of its parent group and of
+    the grand total — the BI window everyone writes. The heavy
+    aggregation happens FIRST (exact-DECIMAL revenue per
+    (flag, status) — partial-aggregable, one shuffle of the fact
+    table); the share windows then run over the tiny grouped frame,
+    so the unpartitioned total window touches |groups| rows, never
+    the fact table. Numerators/denominators are identical
+    double-from-DECIMAL values on both engines; shares
+    dround(6)-pinned."""
+    from ..functions.rounding import dround
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w_flag = Window.partitionBy("l_returnflag")
+    w_all = Window.partitionBy()
+    return g.select(
+        "l_returnflag", "l_linestatus", "revenue",
+        dround(F.col("revenue") / F.sum("revenue").over(w_flag), 6).alias("share_of_flag"),
+        dround(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias("share_of_total"),
+    )
