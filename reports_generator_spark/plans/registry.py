@@ -140,7 +140,7 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "backlog_open_orders", "knn_label_accuracy",
         "eval_classification_metrics", "join_scd2_pointintime",
         "window_ratio_to_report", "scan_schema_evolution",
-        "sample_class_balanced",
+        "sample_class_balanced", "cluster_kmeans_lloyd",
     }
 )
 

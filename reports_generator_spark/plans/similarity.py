@@ -607,3 +607,79 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.cast("bigint").alias("n_correct"),
         dround(correct * F.lit(1.0) / F.count(F.lit(1)), 6).alias("accuracy"),
     )
+
+
+def _kmeans_oracle(k: int = 4, n_iter: int = 3, dim: int = 64, quant: int = 1_000_000) -> str:
+    """Generate the DuckDB spelling of the SAME deterministic Lloyd
+    algorithm (operators/ml.py::kmeans_lloyd): every round is one
+    assignment CTE (argmin with id tiebreak) + one centroid CTE
+    (integer per-dim sums / count). All order-sensitive reductions
+    are integer; the float ops (one division per centroid dim, the
+    index-ordered distance fold) are identical IEEE-754 on both
+    engines."""
+    sql = [f"""
+    WITH q AS (
+      SELECT vec_id AS id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {quant} + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY id) - 1 AS cid,
+             list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
+      FROM (SELECT id, qv FROM q ORDER BY id LIMIT {k})
+    )"""]
+    prev_c = "c0"
+    for it in range(1, n_iter + 1):
+        sql.append(f""",
+    a{it} AS (
+      SELECT id, qv, cid FROM (
+        SELECT id, qv, cid,
+               row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS r
+        FROM (
+          SELECT q.id, q.qv, c.cid,
+                 list_sum(list_transform(range(1, {dim + 1}),
+                    i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS d2
+          FROM q CROSS JOIN {prev_c} c))
+      WHERE r = 1
+    ),
+    c{it} AS (
+      SELECT cid,
+             list_transform(list(s ORDER BY i),
+                            s -> CAST(s AS DOUBLE) / CAST(cn AS DOUBLE)) AS cv
+      FROM (
+        SELECT a.cid, t.i, sum(a.qv[t.i]) AS s,
+               (SELECT count(*) FROM a{it} x WHERE x.cid = a.cid) AS cn
+        FROM a{it} a CROSS JOIN range(1, {dim + 1}) t(i)
+        GROUP BY a.cid, cn, t.i
+      ) GROUP BY cid, cn
+    )""")
+        prev_c = f"c{it}"
+    sql.append(f"""
+    SELECT id, cid AS cluster_id FROM (
+      SELECT q.id, c.cid,
+             row_number() OVER (PARTITION BY q.id ORDER BY
+                 list_sum(list_transform(range(1, {dim + 1}),
+                    i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))), c.cid) AS r
+      FROM q CROSS JOIN {prev_c} c)
+    WHERE r = 1
+    """)
+    return "".join(sql)
+
+
+@query("cluster_kmeans_lloyd", oracle=_kmeans_oracle())
+def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (3 Lloyd rounds, k=4) over the embedding
+    corpus — the third iterative algorithm next to connected
+    components and PageRank, and the one that shows ML clustering as
+    plain DataFrame ops. Bit-reproducible across engines/runs by
+    design (integer-quantized vectors, integer centroid sums — see
+    operators/ml.py::kmeans_lloyd), so the full (id, cluster_id)
+    assignment value-matches the DuckDB replica exactly, no
+    tolerance band. Per round: k·dim integer state broadcast out,
+    map-side argmin (corpus never shuffles), one posexplode groupBy
+    back — the canonical 100 TB k-means shape."""
+    from ..operators.ml import kmeans_lloyd
+
+    out = kmeans_lloyd(load_table(spark, sf_dir, "embeddings"))
+    return out.select(F.col("id"), F.col("cluster_id").cast("bigint"))

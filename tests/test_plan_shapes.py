@@ -141,7 +141,10 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # corpus — that IS the scale plan; tfidf broadcasts a 1-row
         # corpus-size aggregate
         "similarity_topk", "similarity_topk_ivf", "embedding_neardup",
-        "semantic_dedup",
+        "semantic_dedup", "knn_label_accuracy",
+        # k-means broadcasts the k-row centroid state against the corpus
+        # each round — map-side argmin IS the scale plan
+        "cluster_kmeans_lloyd",
         "text_tfidf",
         # bm25 broadcasts its 1-row (n_docs, avgdl) corpus-stats frame
         "text_bm25",
