@@ -295,6 +295,55 @@ def dedup_ngram_jaccard(
     the cap, so the reported Jaccard stays internally consistent (it
     is the Jaccard of the capped sets). None = exact semantics.
     """
+    counts = _shingle_pair_counts(df, id_col, text_col, shingle_k, max_shingle_df)
+    jac = counts.select(
+        "id_a",
+        "id_b",
+        (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", dround(F.col("jaccard"), 4).alias("jaccard")
+    )
+
+
+def dedup_containment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup via shingle CONTAINMENT: |A∩B| / min(|A|,|B|).
+
+    Jaccard under-scores subset duplication — a short doc fully quoted
+    inside a long one has |A∩B|/|A∪B| ≈ |A|/|B| (small) but containment
+    1.0. Containment is the right metric for boilerplate extraction,
+    quote/excerpt detection, and "doc B is doc A plus a header" dedup
+    in pretraining corpora. Same single-shuffle shingle equi-join and
+    df-cap machinery as :func:`dedup_ngram_jaccard`.
+    """
+    counts = _shingle_pair_counts(df, id_col, text_col, shingle_k, max_shingle_df)
+    cont = counts.select(
+        "id_a",
+        "id_b",
+        (F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b"))).alias("containment"),
+    )
+    return cont.filter(F.col("containment") >= threshold).select(
+        "id_a", "id_b", dround(F.col("containment"), 4).alias("containment")
+    )
+
+
+def _shingle_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """(id_a, id_b, n_inter, n_a, n_b) for doc pairs sharing ≥1 shingle —
+    the shared core of the exact set-overlap metrics (Jaccard,
+    containment). One shingle-hash shuffle + two size joins."""
     sh = (
         with_token_array(_spread(df), text_col)
         .select(F.col(id_col), F.explode(shingles_col(F.col("toks"), shingle_k)).alias("sh"))
@@ -322,15 +371,4 @@ def dedup_ngram_jaccard(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
-        )
-    )
-    return jac.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", dround(F.col("jaccard"), 4).alias("jaccard")
-    )
+    return inter.join(sa, "id_a").join(sb, "id_b")

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    dedup_containment as _dedup_containment,
     dedup_exact as _dedup_exact,
     dedup_minhash_lsh,
     dedup_ngram_jaccard as _dedup_ngram_jaccard,
@@ -107,6 +108,37 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         3,
         0.2,
+        max_shingle_df=_MAX_SHINGLE_DF,
+    )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SQL_CAPPED_SHINGLES}
+    SELECT id_a, id_b,
+           floor(n_inter * 1.0 / least(sa.n_sh, sb.n_sh) * 10000 + 0.5) / 10000
+             AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter * 1.0 / least(sa.n_sh, sb.n_sh) >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (|A∩B| / min set size ≥ 0.8):
+    catches subset duplication — a doc fully quoted inside a longer
+    one scores ~1.0 here but low Jaccard. The metric pretraining
+    pipelines use for excerpt/boilerplate dedup where symmetric
+    Jaccard under-fires. Same capped single-shuffle shingle join as
+    dedup_ngram_jaccard (operators/dedup.py); the oracle applies the
+    identical cap and formula."""
+    return _dedup_containment(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        3,
+        0.8,
         max_shingle_df=_MAX_SHINGLE_DF,
     )
 

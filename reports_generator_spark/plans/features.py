@@ -285,3 +285,100 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vec_id").cast("bigint").alias("sum_ids"),
         )
     )
+
+
+#: 4 bits per dimension → 16×16 Z-cells. The bit-interleave is spelled
+#: with the same >>/&/<< integer ops on both engines.
+_ZBITS = 4
+_Z_SQL = " + ".join(
+    [f"(((bx >> {i}) & 1) << {2 * i})" for i in range(_ZBITS)]
+    + [f"(((bby >> {i}) & 1) << {2 * i + 1})" for i in range(_ZBITS)]
+)
+
+
+def _z_interleave(bx, bby):
+    """Morton code: interleave the low _ZBITS bits of two bucket ids."""
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(F.shiftleft(F.shiftright(bx, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(bby, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
+
+
+@query(
+    "zorder_cluster",
+    oracle=f"""
+    WITH s AS (
+      SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+             min(l_suppkey) AS mns, max(l_suppkey) AS mxs
+      FROM lineitem
+    ),
+    g AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(floor((l_partkey - mnp) * 16.0 / (mxp - mnp + 1)) AS BIGINT) AS bx,
+             CAST(floor((l_suppkey - mns) * 16.0 / (mxs - mns + 1)) AS BIGINT) AS bby
+      FROM lineitem, s
+    ),
+    z AS (
+      SELECT l_partkey, l_suppkey, {{zexpr}} AS zval FROM g
+    )
+    SELECT zval, count(*) AS n_rows,
+           min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+           min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+    FROM z GROUP BY zval
+    """.format(zexpr=_Z_SQL),
+)
+def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key + per-cell zone map — the
+    write-time data-layout op behind multi-dimensional scan pruning
+    (Delta OPTIMIZE ZORDER BY, Iceberg sort orders). Interleaving the
+    bits of two bucketed dimensions gives ONE sort key under which
+    rows close in (partkey, suppkey) space land in the same files, so
+    per-file min/max zone maps prune scans filtered on EITHER
+    dimension — a plain sort on partkey leaves suppkey min/max spans
+    at full width. At 100 TB the full op is
+    ``repartitionByRange(zval).sortWithinPartitions(zval)`` + parquet
+    write (one range shuffle); this key computes the zval (pure
+    integer bit ops, zero UDFs, one broadcast of the 1-row min/max
+    stats) and returns the per-cell zone map — n_rows + both
+    dimensions' min/max — whose bounded spans ARE the pruning
+    guarantee the layout exists to provide. Bit-identical across
+    engines: bucket ids from exact integer floor division, Morton
+    code from >>/&/<<."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_partkey").alias("mnp"),
+        F.max("l_partkey").alias("mxp"),
+        F.min("l_suppkey").alias("mns"),
+        F.max("l_suppkey").alias("mxs"),
+    ).withColumn("__k", F.lit(1))
+    g = (
+        li.select("l_partkey", "l_suppkey")
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(stats), "__k")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.floor(
+                (F.col("l_partkey") - F.col("mnp")) * 16.0
+                / (F.col("mxp") - F.col("mnp") + 1)
+            ).alias("bx"),
+            F.floor(
+                (F.col("l_suppkey") - F.col("mns")) * 16.0
+                / (F.col("mxs") - F.col("mns") + 1)
+            ).alias("bby"),
+        )
+    )
+    z = g.select(
+        "l_partkey", "l_suppkey", _z_interleave(F.col("bx"), F.col("bby")).alias("zval")
+    )
+    return z.groupBy("zval").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_partkey").alias("min_pk"),
+        F.max("l_partkey").alias("max_pk"),
+        F.min("l_suppkey").alias("min_sk"),
+        F.max("l_suppkey").alias("max_sk"),
+    )

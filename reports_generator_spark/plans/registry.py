@@ -141,6 +141,10 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "eval_classification_metrics", "join_scd2_pointintime",
         "window_ratio_to_report", "scan_schema_evolution",
         "sample_class_balanced", "cluster_kmeans_lloyd",
+        # round-4 continuation batch (exactly fills the 50-key window)
+        "cdc_apply_changes", "agg_skew_salted", "dedup_containment",
+        "zorder_cluster", "text_entropy_quality", "sql_group_by_all",
+        "udf_map_in_arrow",
     }
 )
 

@@ -1577,3 +1577,50 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_v1_rows"),
         F.sum("n_regionkey").cast("bigint").alias("sum_region"),
     )
+
+
+@query(
+    "agg_skew_salted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n_rows,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SALTED aggregation for skewed group keys — the agg
+    counterpart of join_skew_salted. l_returnflag has 3 values over
+    the whole fact table, so a direct groupBy funnels ~1/3 of 100 TB
+    through 3 reducers (partial aggs soften but don't fix it when
+    per-key state is large, e.g. collect/distinct aggs). Stage 1
+    groups by (key, salt16) — 48 evenly-sized cells — and reduces to
+    mergeable partials (sum/count/min/max); stage 2 merges the ≤48
+    partial rows. Total shuffled: stage-1 partials (tiny) + 48 rows.
+    Every aggregate here is a commutative monoid, so salting is
+    exactly result-preserving — the oracle is the UNSALTED group-by.
+    The salt is a row hash, NOT rand(): deterministic under task
+    retry (a retried partition re-salts identically, so no partial
+    is double-counted)."""
+    li = _t(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16)).alias("salt")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    partial = (
+        li.select("l_returnflag", salt, qty.alias("qty"), "l_extendedprice")
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.sum("qty").alias("p_sum_qty"),
+            F.count(F.lit(1)).alias("p_n"),
+            F.min("l_extendedprice").alias("p_min"),
+            F.max("l_extendedprice").alias("p_max"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("p_sum_qty").cast("double").alias("sum_qty"),
+        F.sum("p_n").alias("n_rows"),
+        F.min("p_min").alias("min_price"),
+        F.max("p_max").alias("max_price"),
+    )

@@ -211,3 +211,34 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"cutoff": "1996-01-01 00:00:00", "status": "O"},
     )
+
+
+# Identical text runs on both engines (the sql_surface pattern): the
+# DuckDB-originated GROUP BY ALL / ORDER BY ALL dialect that Spark
+# adopted — every non-aggregate select item becomes a grouping key, so
+# the query can't silently drop a key when the projection evolves.
+_GROUP_BY_ALL_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       count(*) AS n_rows
+FROM {lineitem}
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query("sql_group_by_all", oracle=_GROUP_BY_ALL_SQL.format(lineitem="lineitem"))
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark ≥3.4 dialect, shared with
+    DuckDB): the grouping keys are inferred from the projection, so
+    adding a dimension to the SELECT list can never produce the
+    classic silently-wrong partial grouping. Pure parser sugar — the
+    resolved plan is the identical partial-agg hash aggregate as the
+    explicit GROUP BY spelling, so the 100 TB cost model is unchanged.
+    The exact same SQL text executes on both engines (the strongest
+    portability attestation this harness supports); DECIMAL-exact
+    sums make the values bit-comparable."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("rg_gba_lineitem")
+    return spark.sql(_GROUP_BY_ALL_SQL.format(lineitem="rg_gba_lineitem"))

@@ -755,3 +755,60 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id", F.col("f_user_id").alias("user_id"), "value", "state_at_purchase"
     )
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_type,
+           floor(value * 100 + 0.5) / 100 AS last_value,
+           ts AS last_ts
+    FROM latest
+    WHERE rk = 1 AND op = 'U'
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply: collapse an ordered change stream
+    (upserts + deletes) to the current snapshot — keep the LATEST
+    operation per key by the total order (ts, event_id), drop keys
+    whose latest op is a delete. The read-side half of log-structured
+    ingestion (Debezium/OGG-style feeds); `merge_upsert` is the
+    store-side half and `stream_foreachbatch_upsert` the streaming
+    one. One hash shuffle on the key; the per-key sort is a
+    row_number window, so a 100 TB changelog collapses in a single
+    exchange with partial ordering done map-side by the sort-based
+    shuffle. The delete op is mapped from the fixture's 'error'
+    events; the sequence tiebreak (event_id) makes the result
+    deterministic under same-timestamp changes."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.select(
+            "user_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "event_type",
+            "value",
+            "ts",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter((F.col("rk") == 1) & (F.col("op") == "U"))
+    )
+    return latest.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        dround(F.col("value"), 2).alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )

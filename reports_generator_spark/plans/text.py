@@ -936,3 +936,65 @@ def text_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("df") <= 2).cast("long")) * 1.0 / F.count(F.lit(1)), 4
         ).alias("rare_token_frac"),
     )
+
+
+@query(
+    "text_entropy_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct,
+             sum(c * log2(c)) AS sum_clog
+      FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n_tokens,
+           floor((log2(n_tokens) - sum_clog / n_tokens) * 10000 + 0.5) / 10000
+             AS token_entropy,
+           floor(n_distinct * 1.0 / n_tokens * 10000 + 0.5) / 10000
+             AS type_token_ratio
+    FROM agg
+    """,
+)
+def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon token entropy + type/token ratio per document — the
+    information-density quality signal: machine-generated or
+    template-repeated text scores low entropy, keyboard-mash scores
+    anomalously high, natural prose sits in a stable band (filters of
+    this family appear in C4/Gopher-style pipelines next to the
+    repetition rules this engine registers as text_repetition_filter).
+    H = log2(n) − Σ c·log2(c)/n over per-doc token counts: one
+    Generate (explode) + two partial-aggregable groupBys, both keyed
+    by doc_id so a 100 TB corpus never concentrates — per-doc token
+    multisets are bounded by doc length. Entropy rounded to 4 dp for
+    the cross-engine hash (libm log2 agrees to well under 1e-10 on
+    identical doubles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        with_token_array(docs, "text")
+        .select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.log2("c")).alias("sum_clog"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        dround(F.log2("n_tokens") - F.col("sum_clog") / F.col("n_tokens"), 4).alias(
+            "token_entropy"
+        ),
+        dround(F.col("n_distinct") * 1.0 / F.col("n_tokens"), 4).alias(
+            "type_token_ratio"
+        ),
+    )

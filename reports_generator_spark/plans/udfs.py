@@ -120,3 +120,60 @@ def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.* FROM rg_udtf_docs, "
         "LATERAL rg_expand_sentences(doc_id, text) t"
     )
+
+
+def _arrow_disc_price(batches):
+    """Arrow-native batch kernel: net discounted price + filter, all in
+    pyarrow.compute (C++ SIMD kernels) — rows never materialize in
+    Python objects. The floor-based rounding matches the oracle's
+    IEEE-754 ops bit-for-bit (see functions.rounding)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        ep = batch.column("l_extendedprice")
+        disc = batch.column("l_discount")
+        v = pc.multiply(ep, pc.subtract(pa.scalar(1.0), disc))
+        v = pc.divide(
+            pc.floor(pc.add(pc.multiply(v, pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.scalar(100.0),
+        )
+        mask = pc.greater(v, pa.scalar(9000.0))
+        out = pa.RecordBatch.from_arrays(
+            [
+                pc.filter(batch.column("l_orderkey"), mask),
+                pc.filter(batch.column("l_linenumber"), mask),
+                pc.filter(v, mask),
+            ],
+            names=["l_orderkey", "l_linenumber", "disc_price"],
+        )
+        yield out
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS disc_price
+    FROM lineitem
+    WHERE floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 > 9000.0
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy tier of the Python escape hatch,
+    completing the UDF surface (scalar pandas_udf / grouped-agg /
+    UDTF / grouped-map elsewhere in this registry): the executor hands
+    raw Arrow RecordBatches to Python and pyarrow.compute kernels
+    (vectorized C++) transform them without ever building pandas
+    Series, so the per-batch overhead is one FFI hop — the pattern for
+    plugging tokenizers/codecs that already speak Arrow into a 100 TB
+    scan. Projection is pruned BEFORE the Python exchange (only the 4
+    consumed columns cross), and the filter runs inside the kernel so
+    filtered rows never cross back."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    ).mapInArrow(
+        _arrow_disc_price,
+        "l_orderkey bigint, l_linenumber int, disc_price double",
+    )
