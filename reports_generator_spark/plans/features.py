@@ -382,3 +382,59 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").alias("min_sk"),
         F.max("l_suppkey").alias("max_sk"),
     )
+
+
+@query(
+    "feature_quantile_bin_approx",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_bins,
+           count(*) AS total,
+           TRUE AS balanced_ok
+    FROM orders
+    """,
+)
+def feature_quantile_bin_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path of feature_quantile_bin: decile cut-points from
+    the Greenwald-Khanna approx-percentile SKETCH (mergeable bounded
+    state, one partial-agg pass) instead of a global ntile sort —
+    ntile's single total order is the one window shape that cannot
+    scale out. Rows bin by branchless array search over the 9
+    broadcast cut-points (map-side, zero shuffle of the fact table);
+    the per-bin populations are then attested: 10 bins materialize,
+    every row lands in a bin, and every bin holds within ±5% of n/10
+    (GK accuracy 10000 on this data is near-exact; the band catches a
+    broken sketch or off-by-one binning, not tuning drift). The
+    sketch's cut values are engine-internal, so the oracle checks the
+    attestation booleans + exact total — the established
+    agg_approx_distinct pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.percentile_approx(
+            "o_totalprice", [i / 10.0 for i in range(1, 10)], 10000
+        ).alias("cuts")
+    ).withColumn("__k", F.lit(1))
+    binned = (
+        o.withColumn("__k", F.lit(1))
+        .join(F.broadcast(cuts), "__k")
+        .select(
+            F.size(
+                F.filter(F.col("cuts"), lambda c: c <= F.col("o_totalprice"))
+            ).alias("bin")
+        )
+    )
+    per_bin = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    stats = per_bin.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n").alias("total"),
+        F.max("n").alias("mx"),
+        F.min("n").alias("mn"),
+    )
+    tenth = F.col("total") / 10.0
+    band = F.col("total") * 0.05
+    return stats.select(
+        "n_bins",
+        "total",
+        ((F.col("mx") - tenth <= band) & (tenth - F.col("mn") <= band)).alias(
+            "balanced_ok"
+        ),
+    )

@@ -1624,3 +1624,109 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_min").alias("min_price"),
         F.max("p_max").alias("max_price"),
     )
+
+
+@query(
+    "top_k_with_ties",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC) AS rk
+      FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def top_k_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES per group (rank() ≤ k) — the FETCH FIRST k ROWS
+    WITH TIES semantics: equal values at the boundary are ALL kept,
+    where row_number()'s arbitrary tiebreak (sql_lateral_topn) would
+    drop some — the difference between "the 3 highest prices" and "3
+    rows". Same single exchange + per-partition sort; rank() needs no
+    extra state over row_number. Output is deterministic precisely
+    BECAUSE ties aren't broken: the kept set is value-defined."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.select(
+            "o_orderpriority", "o_orderkey", "o_totalprice",
+            F.rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "histogram_log2",
+    oracle="""
+    SELECT CAST(floor(log2(n_chars)) AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           min(n_chars) AS lo,
+           max(n_chars) AS hi
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY 1
+    """,
+)
+def histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-width histogram — the right binning for long-tailed size
+    distributions (doc lengths, token counts) where fixed-width
+    buckets (histogram_fixed_width) put 99% of mass in bucket 0.
+    floor(log2(x)) is stable cross-engine: log2 is exact at powers of
+    two (the only boundary points) and strictly monotone between
+    them. One partial-agg groupBy over ≤64 buckets — the shape every
+    corpus-size audit at 100 TB wants."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .groupBy(F.floor(F.log2("n_chars")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+    )
+
+
+@query(
+    "observe_metrics",
+    oracle="""
+    SELECT count(*) AS n_out,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           max(l_extendedprice) AS max_price
+    FROM lineitem
+    WHERE l_discount > 0.05
+    """,
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline telemetry via df.observe(): accumulator-style metrics
+    (row count, quantity sum, max price) computed ON the executors
+    DURING the pipeline's own pass — zero extra scans, zero extra
+    shuffles, exactly what a 100 TB ingest job wants for row-count
+    reconciliation and data-quality gates (vs re-aggregating the
+    table, which doubles the I/O). The observed pipeline here is a
+    filtered projection written to a noop sink; the returned 1-row
+    frame IS the metric record the driver would log. Oracle recomputes
+    the same metrics relationally."""
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem")
+    ob = Observation("rg_observe")
+    observed = li.filter(F.col("l_discount") > 0.05).observe(
+        ob,
+        F.count(F.lit(1)).alias("n_out"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    observed.select("l_orderkey", "l_linenumber").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    m = ob.get
+    return spark.createDataFrame(
+        [(m["n_out"], m["sum_qty"], m["max_price"])],
+        "n_out bigint, sum_qty double, max_price double",
+    )

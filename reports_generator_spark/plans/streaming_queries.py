@@ -279,3 +279,4 @@ def stream_foreachbatch_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.foreach_sink import stream_upsert_foreachbatch
 
     return stream_upsert_foreachbatch(spark, sf_dir)
+

@@ -469,3 +469,79 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("revenue") / F.sum("revenue").over(w_flag), 6).alias("share_of_flag"),
         dround(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias("share_of_total"),
     )
+
+
+@query(
+    "window_period_over_period",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT day, revenue,
+           lag(revenue) OVER (ORDER BY day) AS prev_revenue,
+           floor((revenue / nullif(lag(revenue) OVER (ORDER BY day), 0) - 1)
+                 * 1000000 + 0.5) / 1000000 AS pct_change
+    FROM d
+    """,
+)
+def window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period delta (the DoD/WoW/MoM reporting primitive):
+    daily revenue with previous-period value and % change via lag().
+    The unpartitioned window runs over the PRE-AGGREGATED day frame —
+    the fact table shuffles once into |days| rows, and only those
+    cross the single-task ordering (the window_ratio_to_report
+    posture; never lag() over raw facts). Revenue is DECIMAL-exact
+    before the ratio, so the % change is bit-identical cross-engine
+    after dround(6)."""
+    from ..functions.rounding import dround
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue")
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("revenue").over(w)
+    return d.select(
+        "day",
+        "revenue",
+        prev.alias("prev_revenue"),
+        dround(F.col("revenue") / F.nullif(prev, F.lit(0)) - 1, 6).alias("pct_change"),
+    )
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           floor(median(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 * 10000 + 0.5) / 10000 AS med7
+    FROM events
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row exact rolling median per user — the robust
+    smoother for spiky metrics (rolling mean moves 14% on one
+    outlier; the median ignores it). Spark spells it percentile(0.5)
+    over a ROWS frame; both engines linearly interpolate the
+    even-count middle pair, and the frame is bounded (7 rows) so
+    per-row state is O(1) — a 100 TB event stream smooths in one
+    user-keyed exchange + per-partition sort. Tie-stable total order
+    (ts, event_id)."""
+    from ..functions.rounding import dround
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        dround(F.expr("percentile(value, 0.5)").over(w), 4).alias("med7"),
+    )
