@@ -1553,3 +1553,47 @@ def pattern_detect_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all("timeline", F.lit("v[ces]*p"), F.lit(0))
         ).alias("n_conversions"),
     )
+
+
+@query(
+    "pivot_multi_agg",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           count(*) FILTER (WHERE event_type = 'view')     AS view_n,
+           CAST(coalesce(sum(CAST(value AS DECIMAL(18,6)))
+                 FILTER (WHERE event_type = 'view'), 0) AS DOUBLE)  AS view_sv,
+           count(*) FILTER (WHERE event_type = 'click')    AS click_n,
+           CAST(coalesce(sum(CAST(value AS DECIMAL(18,6)))
+                 FILTER (WHERE event_type = 'click'), 0) AS DOUBLE) AS click_sv,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+           CAST(coalesce(sum(CAST(value AS DECIMAL(18,6)))
+                 FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE) AS purchase_sv
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure pivot: day × event_type matrix carrying BOTH a
+    count and a DECIMAL-exact value sum per cell — the wide activity
+    dashboard shape (pivot_event_matrix pivots one measure). Spark's
+    groupBy().pivot(values).agg(m1, m2) plans ONE partial-agg pass
+    with 2·|types| conditional aggregates — same single shuffle as
+    one measure, vs the naive per-measure self-join. Explicit pivot
+    values keep the schema static (no discovery scan) — mandatory at
+    100 TB where the two-pass schema inference would double the
+    read."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["view", "click", "purchase"]
+    out = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+        )
+    )
+    cols = [F.col("day")]
+    for t in types:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n"))
+        cols.append(F.coalesce(F.col(f"{t}_sv"), F.lit(0.0)).alias(f"{t}_sv"))
+    return out.select(*cols)

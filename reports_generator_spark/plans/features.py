@@ -438,3 +438,30 @@ def feature_quantile_bin_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balanced_ok"
         ),
     )
+
+
+@query(
+    "kanonymity_audit",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           count(*) AS class_size,
+           count(*) < 10 AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier set (nation ×
+    market segment): the size of every equivalence class, with
+    classes below k=10 flagged — records in such classes are
+    re-identifiable by the quasi-identifiers alone, the
+    data-governance gate run before a table is released for training
+    or analytics. One partial-agg groupBy whose output is bounded by
+    the QI-combination count, not the table size; the generalization
+    ladder (coarsen a QI, re-audit) is this same query re-run, so at
+    100 TB each rung costs one aggregation pass."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.count(F.lit(1))
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        n.alias("class_size"), (n < 10).alias("at_risk")
+    )

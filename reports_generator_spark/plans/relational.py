@@ -1730,3 +1730,55 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_out"], m["sum_qty"], m["max_price"])],
         "n_out bigint, sum_qty double, max_price double",
     )
+
+
+@query(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT 'orders->customer' AS fk, count(*) AS n_orphans
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem->orders', count(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem->part', count(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem->supplier', count(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan
+    counts for every fact→dimension foreign key, as one result set.
+    Each check is a LEFT ANTI join (dimension broadcast when small —
+    which FK dimensions are by definition relative to facts), so the
+    full audit of a 100 TB fact table is a handful of map-side
+    existence probes sharing the same scan — the pre-load gate every
+    warehouse ingest should run. A healthy snapshot reports zeros;
+    the VALUE of each count (not just emptiness) is what the oracle
+    pins, so a partially-loaded dimension shows its exact damage."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str, name: str) -> DataFrame:
+        return (
+            fact.join(F.broadcast(dim.select(pk)), fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("fk"), "n_orphans")
+        )
+
+    checks = [
+        orphans(orders, "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey", "orders->customer"),
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        orphans(li, "l_partkey", _t(spark, sf_dir, "part"), "p_partkey", "lineitem->part"),
+        orphans(li, "l_suppkey", _t(spark, sf_dir, "supplier"), "s_suppkey", "lineitem->supplier"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -683,3 +683,51 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = kmeans_lloyd(load_table(spark, sf_dir, "embeddings"))
     return out.select(F.col("id"), F.col("cluster_id").cast("bigint"))
+
+
+@query(
+    "embedding_matryoshka_energy",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             list_sum(list_transform(list_slice(embedding, 1, 16),
+                                     x -> CAST(x AS DOUBLE) ** 2)) AS e16,
+             list_sum(list_transform(embedding,
+                                     x -> CAST(x AS DOUBLE) ** 2)) AS e64
+      FROM embeddings
+    )
+    SELECT vec_id,
+           floor(sqrt(e16) * 1000000 + 0.5) / 1000000 AS norm16,
+           floor(sqrt(e64) * 1000000 + 0.5) / 1000000 AS norm64,
+           floor(e16 / e64 * 1000000 + 0.5) / 1000000 AS energy_kept
+    FROM n
+    """,
+)
+def embedding_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: per-vector L2 energy retained by
+    the first 16 of 64 dimensions — the go/no-go measurement before
+    swapping an index to truncated (MRL-style) embeddings: high
+    retained energy ⇒ truncated cosine ranks ≈ full-dim ranks (the
+    alignment cosine between the truncated-renormalized and full
+    vector IS √energy_kept), so the ANN index can store 4× fewer
+    floats. Shuffle-free higher-order array expressions over one
+    scan; per-row index-ordered float reduction is bit-deterministic
+    cross-engine (the embedding_normalize posture). At 100 TB this is
+    the cheap audit that decides a 4× index-size saving."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def energy(col):
+        return F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    e16 = energy(F.slice("embedding", 1, 16))
+    e64 = energy(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        dround(F.sqrt(e16), 6).alias("norm16"),
+        dround(F.sqrt(e64), 6).alias("norm64"),
+        dround(e16 / e64, 6).alias("energy_kept"),
+    )

@@ -998,3 +998,68 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio"
         ),
     )
+
+
+@query(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rk
+        FROM tok GROUP BY token
+      ) WHERE rk <= 1000
+    ),
+    per AS (
+      SELECT t.doc_id,
+             count(*) AS n_tok,
+             count(v.token) AS n_in
+      FROM tok t LEFT JOIN vocab v USING (token)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tok,
+           floor((1 - n_in * 1.0 / n_tok) * 10000 + 0.5) / 10000 AS oov_rate
+    FROM per
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-1000 token vocabulary — the tokenizer-fit signal: docs with
+    high OOV against the training vocabulary fragment into rare
+    tokens (inflating sequence length and degrading model quality),
+    so pipelines gate or reroute them. Vocabulary = one corpus
+    aggregate with a deterministic (count DESC, token ASC) tiebreak,
+    tiny by construction (k rows) and BROADCAST back — the corpus
+    side tokenizes and probes map-side; the only big shuffle is the
+    per-doc count aggregation, keyed by doc_id so it never
+    concentrates."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = with_token_array(docs, "text").select(
+        "doc_id", F.explode("toks").alias("token")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("c").desc(), F.col("token").asc())
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 1000)
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    per = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count("__in_vocab").alias("n_in"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tok",
+        dround(F.lit(1) - F.col("n_in") * 1.0 / F.col("n_tok"), 4).alias("oov_rate"),
+    )
