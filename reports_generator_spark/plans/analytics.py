@@ -1597,3 +1597,76 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n"))
         cols.append(F.coalesce(F.col(f"{t}_sv"), F.lit(0.0)).alias(f"{t}_sv"))
     return out.select(*cols)
+
+
+@query(
+    "eval_regression_metrics",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(l.l_extendedprice AS DECIMAL(18,2)) AS y,
+             CAST(CAST(p.p_retailprice AS DECIMAL(12,2))
+                  * CAST(l.l_quantity AS DECIMAL(8,2)) AS DECIMAL(18,4)) AS pred
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    d AS (
+      SELECT y, CAST(y - pred AS DECIMAL(18,4)) AS err FROM j
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(sum(abs(err)) AS DOUBLE) AS sad,
+             -- DECIMAL(19,4) operands force DuckDB onto int128
+             -- multiplication (int64 overflows on the largest errors);
+             -- values are identical to Spark's DECIMAL(18,4) product
+             CAST(sum(CAST(err AS DECIMAL(19,4))
+                      * CAST(err AS DECIMAL(19,4))) AS DOUBLE) AS sse,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(y AS DECIMAL(19,2))
+                      * CAST(y AS DECIMAL(19,2))) AS DOUBLE) AS syy
+      FROM d
+    )
+    SELECT n,
+           floor(sad / n * 10000 + 0.5) / 10000 AS mae,
+           floor(sqrt(sse / n) * 10000 + 0.5) / 10000 AS rmse,
+           floor((1 - sse / (syy - sy * sy / n)) * 1000000 + 0.5) / 1000000 AS r2
+    FROM s
+    """,
+)
+def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-model evaluation in ONE aggregation pass: MAE, RMSE
+    and R² of a baseline price model (list price × quantity predicting
+    the billed extended price). Every sufficient statistic (Σ|e|, Σe²,
+    Σy, Σy²) is an exact-DECIMAL sum — bit-deterministic where naive
+    float accumulation is shuffle-order-dependent — and R² comes from
+    the algebraic identity SST = Σy² − (Σy)²/n, so no second
+    mean-centering pass over the data. The join is the only shuffle
+    (dim side broadcastable); the metric math happens on one 1-row
+    frame. This is the eval loop a 100 TB feature pipeline runs per
+    model candidate: cost = one scan, however many metrics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    pred = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(8,2)")
+    ).cast("decimal(18,4)")
+    d = li.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+                li.l_partkey == p.p_partkey).select(
+        y.alias("y"), (y - pred).cast("decimal(18,4)").alias("err")
+    )
+    s = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(F.col("err"))).cast("double").alias("sad"),
+        F.sum(F.col("err") * F.col("err")).cast("double").alias("sse"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    return s.select(
+        "n",
+        dround(F.col("sad") / n, 4).alias("mae"),
+        dround(F.sqrt(F.col("sse") / n), 4).alias("rmse"),
+        dround(
+            F.lit(1) - F.col("sse") / (F.col("syy") - F.col("sy") * F.col("sy") / n),
+            6,
+        ).alias("r2"),
+    )

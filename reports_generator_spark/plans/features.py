@@ -465,3 +465,49 @@ def kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_nationkey", "c_mktsegment").agg(
         n.alias("class_size"), (n < 10).alias("at_risk")
     )
+
+
+@query(
+    "feature_winsorize",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(c_acctbal, 0.05) AS p05,
+             quantile_cont(c_acctbal, 0.95) AS p95
+      FROM customer
+    )
+    SELECT c_custkey,
+           floor(least(greatest(c_acctbal, p05), p95) * 10000 + 0.5) / 10000
+             AS acctbal_winsorized,
+           c_acctbal < p05 OR c_acctbal > p95 AS was_clipped
+    FROM customer, q
+    """,
+)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip a numeric feature to its [p05, p95]
+    percentile band — the outlier-robust alternative to dropping rows
+    (heavy-tailed monetary features otherwise dominate scaled inputs;
+    anomaly_mad flags outliers, this op REPAIRS them). Exact
+    interpolated percentiles from one tiny aggregate, broadcast-cross
+    back over the table (map-side clip, the feature_minmax_scale
+    posture — zero shuffle of the big side); at 100 TB the GK-sketch
+    percentile (agg_approx_percentile) drops in for the exact one.
+    Both engines interpolate percentile((1-g)·a + g·b) on identical
+    doubles; dround(4) pins the hash."""
+    c = load_table(spark, sf_dir, "customer")
+    q = c.agg(
+        F.expr("percentile(c_acctbal, 0.05)").alias("p05"),
+        F.expr("percentile(c_acctbal, 0.95)").alias("p95"),
+    ).withColumn("__k", F.lit(1))
+    return (
+        c.withColumn("__k", F.lit(1))
+        .join(F.broadcast(q), "__k")
+        .select(
+            "c_custkey",
+            dround(
+                F.least(F.greatest(F.col("c_acctbal"), F.col("p05")), F.col("p95")),
+                4,
+            ).alias("acctbal_winsorized"),
+            ((F.col("c_acctbal") < F.col("p05")) | (F.col("c_acctbal") > F.col("p95")))
+            .alias("was_clipped"),
+        )
+    )

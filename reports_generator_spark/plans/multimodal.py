@@ -147,3 +147,76 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_hash"),
     )
+
+
+@query(
+    "multimodal_dedup_phash",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS ph
+      FROM documents
+    ),
+    bb AS (
+      SELECT doc_id, ph, band, (ph >> (band * 15)) & 32767 AS v
+      FROM h, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.ph AS ph_a,
+                      c.doc_id AS id_b, c.ph AS ph_b
+      FROM bb a JOIN bb c ON a.band = c.band AND a.v = c.v
+                         AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(ph_a, ph_b)) <= 6
+    """,
+)
+def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup for binary media — the image/video
+    counterpart of MinHash-LSH: a 60-bit fingerprint per asset, split
+    into 4×15-bit bands; assets sharing ANY band become candidates
+    (band equi-join — by pigeonhole, any pair within Hamming ≤ 3 of a
+    4-band split MUST collide on a whole band, and the ≤6 cutoff
+    still gets strong recall in practice), then the exact Hamming
+    distance (bit_count∘xor, pure integer codegen) filters. Never an
+    all-pairs stage: candidate volume is bounded by band-bucket sizes,
+    exactly the shingle-df story of dedup_near_minhash but over media
+    fingerprints. The fingerprint here is a deterministic md5-derived
+    stand-in (this sandbox ships no image codecs — a real pHash/DCT
+    kernel drops into the same column via mapInPandas, see
+    operators/multimodal.py); md5 has no locality, so the fixture
+    finds exact-payload duplicates (hamming 0), and BOTH engines
+    recompute the identical pipeline value-for-value."""
+    d = load_table(spark, sf_dir, "documents")
+    ph = F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    h = d.select("doc_id", ph.alias("ph"))
+    bands = h.select(
+        "doc_id",
+        "ph",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).select(
+        "doc_id",
+        "ph",
+        "band",
+        F.expr("shiftright(ph, band * 15) & 32767").alias("v"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("ph").alias("ph_a"), "band", "v"
+    )
+    c = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("ph").alias("ph_b"), "band", "v"
+    )
+    pairs = (
+        a.join(c, ["band", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "ph_a", "id_b", "ph_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return pairs.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= 6)

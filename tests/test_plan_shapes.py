@@ -152,6 +152,9 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # cross-join (map-side, zero shuffle of the big side) — the
         # inequality against the scalar leaves no equi-key to hash on
         "q11_important_parts", "q22_idle_customers", "feature_minmax_scale",
+        # same 1-row-stats broadcast-cross shape: zorder attaches the
+        # min/max frame, approx binning attaches the 9 GK cut-points
+        "zorder_cluster", "feature_quantile_bin_approx", "feature_winsorize",
         # calendar-spine cross type-dimension: both sides are provably
         # tiny derived frames (days × event types); the broadcast cross
         # is the intended plan
