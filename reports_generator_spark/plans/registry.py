@@ -141,9 +141,11 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "eval_classification_metrics", "join_scd2_pointintime",
         "window_ratio_to_report", "scan_schema_evolution",
         "sample_class_balanced", "cluster_kmeans_lloyd",
-        # round-4 continuation batch (exactly fills the 50-key window)
+        # round-4 continuation batch (fills the 50-key window exactly;
+        # sql_group_by_all and the later-session keys deliberately stay
+        # tier-1 — locally parity-green, driver row lands next round)
         "cdc_apply_changes", "agg_skew_salted", "dedup_containment",
-        "zorder_cluster", "text_entropy_quality", "sql_group_by_all",
+        "zorder_cluster", "text_entropy_quality",
         "udf_map_in_arrow",
     }
 )
