@@ -489,7 +489,7 @@ def semantic_dedup(
     centroids refreshed per ingest batch; the plan shape is unchanged).
     """
     base = with_norm(emb, vec_col)
-    hkey = (F.col(id_col) * F.lit(2654435761)) % F.lit(1000003)
+    hkey = ((F.col(id_col) % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(1000003)
     w_cent = Window.orderBy(hkey.asc(), F.col(id_col).asc())
     cents = (
         base.orderBy(hkey.asc(), F.col(id_col).asc())

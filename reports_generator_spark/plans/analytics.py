@@ -1300,9 +1300,17 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_freq AS (
       SELECT l_partkey, count(*) AS f FROM items GROUP BY l_partkey
     ),
+    capped AS (
+      SELECT l_orderkey FROM items
+      GROUP BY l_orderkey HAVING count(*) <= 50
+    ),
+    bounded AS (
+      SELECT i.l_orderkey, i.l_partkey FROM items i
+      JOIN capped c ON c.l_orderkey = i.l_orderkey
+    ),
     pair AS (
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_co
-      FROM items a JOIN items b
+      FROM bounded a JOIN bounded b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY a.l_partkey, b.l_partkey
       HAVING count(*) >= 2
@@ -1321,19 +1329,31 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pair generation is a self-equi-join on the basket key
     (l_orderkey) with an id-ordering filter — fan-out per basket is
-    C(k,2) where k is basket size, and TPC-H-shaped baskets are
-    bounded (≤7 lines), so the join never goes quadratic in the
-    corpus. At 100 TB with pathological baskets the same cap pattern
-    as the shingle-df cap applies (drop baskets above a size bound
-    before the self-join). A min-support HAVING (n_co ≥ 2) prunes the
-    long tail before the frequency joins; lift is one double ratio of
-    exact integers, dround(6)-pinned."""
+    C(k,2) where k is basket size. A BASKET-SIZE CAP (≤50 distinct
+    items, the shingle-df-cap pattern) drops pathological baskets
+    BEFORE the self-join, so a single hot basket of k items can never
+    fan out C(k,2): worst-case pair work is bounded at 1225 pairs per
+    basket regardless of corpus size. TPC-H baskets are ≤7 lines so
+    the cap is semantics-neutral here, but it is implemented (and
+    oracle-mirrored), not just documented — at 100 TB it is the
+    difference between a bounded shuffle and an explosion. Support
+    counts and lift denominators still use the UNCAPPED corpus (the
+    cap only bounds pair generation). A min-support HAVING (n_co ≥ 2)
+    prunes the long tail before the frequency joins; lift is one
+    double ratio of exact integers, dround(6)-pinned."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
     n_orders = items.select("l_orderkey").distinct().count()
     part_freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    capped = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") <= 50)
+        .select("l_orderkey")
+    )
+    bounded = items.join(capped, "l_orderkey")
+    a = bounded.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = bounded.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pair = (
         a.join(b, "l_orderkey")
         .filter(F.col("part_a") < F.col("part_b"))

@@ -246,7 +246,7 @@ def eval_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT label, vec_id,
              row_number() OVER (PARTITION BY label
-               ORDER BY (vec_id * 2654435761) % 1048573, vec_id) AS r
+               ORDER BY ((vec_id % 2147483648) * 2654435761) % 1048573, vec_id) AS r
       FROM embeddings
     )
     SELECT label,
@@ -274,7 +274,7 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("n")).collect()[0][0]
     )
     w = Window.partitionBy("label").orderBy(
-        (F.col("vec_id") * F.lit(2654435761)) % F.lit(1048573), F.col("vec_id")
+        ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(1048573), F.col("vec_id")
     )
     return (
         emb.select("label", "vec_id", F.row_number().over(w).alias("r"))
@@ -401,7 +401,8 @@ def feature_quantile_bin_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale out. Rows bin by branchless array search over the 9
     broadcast cut-points (map-side, zero shuffle of the fact table);
     the per-bin populations are then attested: 10 bins materialize,
-    every row lands in a bin, and every bin holds within ±5% of n/10
+    every row lands in a bin, and every bin is within ±5% OF THE
+    EXPECTED BIN SIZE n/10 — i.e. band = (n/10)·0.05, a tight check
     (GK accuracy 10000 on this data is near-exact; the band catches a
     broken sketch or off-by-one binning, not tuning drift). The
     sketch's cut values are engine-internal, so the oracle checks the
@@ -430,7 +431,7 @@ def feature_quantile_bin_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").alias("mn"),
     )
     tenth = F.col("total") / 10.0
-    band = F.col("total") * 0.05
+    band = tenth * 0.05
     return stats.select(
         "n_bins",
         "total",

@@ -280,19 +280,50 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_theta_range",
     oracle="""
+    WITH topsup AS (
+      SELECT s_suppkey, s_nationkey, s_acctbal FROM (
+        SELECT s_suppkey, s_nationkey, s_acctbal,
+               row_number() OVER (PARTITION BY s_nationkey
+                                  ORDER BY s_acctbal DESC, s_suppkey) AS r
+        FROM supplier
+      ) WHERE r <= 2
+    )
     SELECT s.s_suppkey, c.c_custkey,
            CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) - CAST(c.c_acctbal AS DECIMAL(18,2))
                 AS DOUBLE) AS bal_gap
-    FROM supplier s JOIN customer c
+    FROM topsup s JOIN customer c
       ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
     """,
 )
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join with a BOUNDED build side: top-2 suppliers per
+    nation (by acctbal, suppkey-tiebroken) against every same-nation
+    customer with a lower balance. The equi key (nationkey) has only
+    ~25 values, so an UNBOUNDED theta join's output is quadratic-per-
+    nation — measured 21-29x on a 10x sf1 probe when this key joined
+    all suppliers. Bounding the build side to a fixed 2·|nations| rows
+    makes the build broadcastable at ANY scale and the output linear
+    in the probe (customer) side — the shape a theta join must take
+    at 100 TB. The didactic unbounded form lives on only in
+    tests/test_plan_shapes.py as a non-registered plan-shape check
+    (Spark plans equi+range as SMJ/BHJ with a range residual, never a
+    pure BNLJ). Reference parity: Proof.scala has no joins at all;
+    this is engine surface from SURVEY.md §2.3 R8."""
+    from pyspark.sql import Window
+
     s = _t(spark, sf_dir, "supplier")
     c = _t(spark, sf_dir, "customer")
-    return s.join(
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    top = (
+        s.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 2)
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+    )
+    return F.broadcast(top).join(
         c,
-        (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+        (top.s_nationkey == c.c_nationkey) & (top.s_acctbal > c.c_acctbal),
     ).select(
         "s_suppkey",
         "c_custkey",
@@ -955,7 +986,7 @@ def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_sampled,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sampled_value
     FROM orders
-    WHERE (o_orderkey * 2654435761) % 1000 < 100
+    WHERE ((o_orderkey % 2147483648) * 2654435761) % 1000 < 100
     GROUP BY o_orderpriority
     """,
 )
@@ -965,7 +996,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, samples identically on every executor count, and never
     needs a seed broadcast."""
     o = _t(spark, sf_dir, "orders")
-    sampled = o.filter((F.col("o_orderkey") * F.lit(2654435761)) % 1000 < 100)
+    sampled = o.filter(((F.col("o_orderkey") % F.lit(2147483648)) * F.lit(2654435761)) % 1000 < 100)
     return sampled.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
@@ -1297,7 +1328,8 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the fixed-width buckets it covers, each probe point hashes to
     exactly ONE bucket, and the join becomes a bucket equi-join with
     the BETWEEN as residual — no BroadcastNestedLoopJoin, no cartesian
-    (contrast join_theta_range, which keeps the naive plan on purpose).
+    (join_theta_range takes the other bounded shape: a small build
+    side broadcast against the probe side).
     A point lands in one bucket, so no post-join dedup is needed.
     Bucket width ~ median interval width; here w=2."""
     w = 2.0
@@ -1755,26 +1787,36 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the star schema: orphan
     counts for every fact→dimension foreign key, as one result set.
-    Each check is a LEFT ANTI join (dimension broadcast when small —
-    which FK dimensions are by definition relative to facts), so the
-    full audit of a 100 TB fact table is a handful of map-side
-    existence probes sharing the same scan — the pre-load gate every
-    warehouse ingest should run. A healthy snapshot reports zeros;
-    the VALUE of each count (not just emptiness) is what the oracle
-    pins, so a partially-loaded dimension shows its exact damage."""
+    Each check is a LEFT ANTI join. TRUE dimensions (customer, part,
+    supplier — small relative to facts by schema design) are
+    broadcast explicitly: map-side existence probes sharing the fact
+    scan. The lineitem→orders check is fact→fact — orders is NOT
+    small (1.5M rows at sf1, fact-sized at 100 TB), so that check
+    deliberately carries no broadcast hint: it plans as a shuffle
+    anti-join (or whatever AQE picks at the actual sizes), which is
+    the only shape that survives scale. A healthy snapshot reports
+    zeros; the VALUE of each count (not just emptiness) is what the
+    oracle pins, so a partially-loaded dimension shows its exact
+    damage."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
 
-    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str, name: str) -> DataFrame:
+    def orphans(
+        fact: DataFrame, fk: str, dim: DataFrame, pk: str, name: str,
+        broadcast_dim: bool = True,
+    ) -> DataFrame:
+        keys = dim.select(pk)
+        if broadcast_dim:
+            keys = F.broadcast(keys)
         return (
-            fact.join(F.broadcast(dim.select(pk)), fact[fk] == dim[pk], "left_anti")
+            fact.join(keys, fact[fk] == dim[pk], "left_anti")
             .agg(F.count(F.lit(1)).alias("n_orphans"))
             .select(F.lit(name).alias("fk"), "n_orphans")
         )
 
     checks = [
         orphans(orders, "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey", "orders->customer"),
-        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders", broadcast_dim=False),
         orphans(li, "l_partkey", _t(spark, sf_dir, "part"), "p_partkey", "lineitem->part"),
         orphans(li, "l_suppkey", _t(spark, sf_dir, "supplier"), "s_suppkey", "lineitem->supplier"),
     ]

@@ -307,11 +307,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ),
     cents AS (
-      SELECT row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003 ASC,
+      SELECT row_number() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 1000003 ASC,
                                 vec_id ASC) - 1 AS cell,
              v AS cv, nrm AS cnrm
       FROM v
-      ORDER BY (vec_id * 2654435761) % 1000003 ASC, vec_id ASC
+      ORDER BY ((vec_id % 2147483648) * 2654435761) % 1000003 ASC, vec_id ASC
       LIMIT 16
     ),
     scored AS (
@@ -509,7 +509,7 @@ def embedding_pca_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes AS (
       SELECT vec_id, label, v, nrm FROM (
         SELECT *, row_number() OVER (
-                 ORDER BY (vec_id * 2654435761) % 1048573, vec_id) AS pr
+                 ORDER BY ((vec_id % 2147483648) * 2654435761) % 1048573, vec_id) AS pr
         FROM probes0
       ) WHERE pr <= 500
     ),
@@ -587,7 +587,7 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic multiplicative-hash rank keeps the chosen probes
     # stable across runs and engines (the sample_class_balanced
     # spelling). The rank window sorts only the %23 subset.
-    pw = _W.orderBy((F.col("vec_id") * F.lit(2654435761)) % 1048573, F.col("vec_id"))
+    pw = _W.orderBy(((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761)) % 1048573, F.col("vec_id"))
     probes = (
         n.filter(F.col("vec_id") % 23 == 0)
         .withColumn("pr", F.row_number().over(pw))

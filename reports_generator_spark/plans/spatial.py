@@ -29,21 +29,22 @@ from .registry import query
 #: Knuth multiplicative constants for the two pseudo-coordinates.
 _HX = 2654435761
 _HY = 2246822519
+_MASK = 2147483648  # 31-bit pre-mask: keeps id*multiplier inside int64 at any id scale
 _GRID = 1000  # coordinate domain [0, 1000)²
 _R = 25       # radius; cell width = _R so 3×3 neighborhood suffices
 
 
 def _pt(key: str, out_x: str, out_y: str) -> list:
     return [
-        F.pmod(F.col(key) * F.lit(_HX), F.lit(_GRID)).cast("long").alias(out_x),
-        F.pmod(F.col(key) * F.lit(_HY), F.lit(_GRID)).cast("long").alias(out_y),
+        F.pmod((F.col(key) % F.lit(_MASK)) * F.lit(_HX), F.lit(_GRID)).cast("long").alias(out_x),
+        F.pmod((F.col(key) % F.lit(_MASK)) * F.lit(_HY), F.lit(_GRID)).cast("long").alias(out_y),
     ]
 
 
 def _sql_pt(key: str, out_x: str, out_y: str) -> str:
     return (
-        f"(({key} * {_HX}) % {_GRID} + {_GRID}) % {_GRID} AS {out_x}, "
-        f"(({key} * {_HY}) % {_GRID} + {_GRID}) % {_GRID} AS {out_y}"
+        f"((({key} % {_MASK}) * {_HX}) % {_GRID} + {_GRID}) % {_GRID} AS {out_x}, "
+        f"((({key} % {_MASK}) * {_HY}) % {_GRID} + {_GRID}) % {_GRID} AS {out_y}"
     )
 
 

@@ -541,7 +541,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals against 'purchase' activity intervals, emitting the
     overlap duration (exact integer microseconds — no float time
     math). Complements the two existing range-join spellings:
-    `join_theta_range` (naive theta), `join_range_binned`
+    `join_theta_range` (bounded-build theta), `join_range_binned`
     (point-in-interval via bin replication). Here both sides are
     INTERVALS but carry an equi-key (user_id), so the plan is a
     shuffle hash-join on the key with the overlap predicate as a

@@ -558,7 +558,7 @@ _MIX_VALUES_SQL = ", ".join(f"('{k}', {v})" for k, v in MIX_RATES.items())
            CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
     FROM documents d
     JOIN rates r ON d.lang = r.lang
-    WHERE (d.doc_id * 2654435761) % 1000 < r.keep_permille
+    WHERE ((d.doc_id % 2147483648) * 2654435761) % 1000 < r.keep_permille
     GROUP BY d.lang, r.keep_permille
     """,
 )
@@ -573,7 +573,7 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(MIX_RATES.items()), "lang string, keep_permille int"
     )
     kept = d.join(F.broadcast(rates), "lang").filter(
-        (F.col("doc_id") * F.lit(2654435761)) % 1000 < F.col("keep_permille")
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % 1000 < F.col("keep_permille")
     )
     return kept.groupBy("lang", "keep_permille").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -693,7 +693,7 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Deterministic corpus shuffle + sharding (training-order assignment)
 # --------------------------------------------------------------------------
-_ORD_KEY_SQL = "(doc_id * 2654435761) % 4294967296"
+_ORD_KEY_SQL = "((doc_id % 2147483648) * 2654435761) % 4294967296"
 
 
 @query(
@@ -721,7 +721,7 @@ def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     modulus); nothing here is a global sort or single partition.
     """
     d = load_table(spark, sf_dir, "documents")
-    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    key = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)
     from pyspark.sql import Window
 
     w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
@@ -759,7 +759,7 @@ def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on the key, partial TopK per partition via the window.
     """
     d = load_table(spark, sf_dir, "documents")
-    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    key = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)
     from pyspark.sql import Window
 
     w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())

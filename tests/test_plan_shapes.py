@@ -117,6 +117,35 @@ def test_bucketed_join_has_no_exchange_on_join_keys(spark):
     assert not any("custkey" in ln for ln in ex_lines), plan
 
 
+def test_theta_range_bounded_build_is_bhj(spark):
+    """The registered join_theta_range bounds its build side (top-2
+    suppliers per nation) and must plan as a broadcast hash join with
+    the range predicate as a residual — never a nested-loop."""
+    df = registry.QUERIES["join_theta_range"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_theta_range_unbounded_didactic_plan(spark):
+    """The UNREGISTERED didactic form (all suppliers × same-nation
+    customers): Spark still plans the equi part as a hash/merge join
+    with the range as a post-join filter — not a pure BNLJ. Kept here
+    as a plan-shape note; the registered key bounds its build side
+    because the OUTPUT of this form is quadratic-per-nation."""
+    from pyspark.sql import functions as F
+
+    s = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    df = s.join(
+        c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal)
+    ).select("s_suppkey", "c_custkey")
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_salted_join_spreads_hot_keys(spark):
     """The salted join must shuffle on (key, salt), not the bare hot
     key."""
@@ -131,8 +160,7 @@ def test_no_antipatterns_in_any_batch_plan(spark):
     theta-range join) and row-at-a-time Python UDFs (BatchEvalPython —
     everything Python must go through Arrow)."""
     skip = {
-        # streaming queries execute at build time; theta-range is BNLJ by design
-        "join_theta_range",
+        # streaming queries execute at build time
         "stream_tumbling_agg", "stream_dedup_watermark", "stream_static_join",
         "stream_sessionize_stateful", "stream_report_ingest",
         "stream_stream_join",
