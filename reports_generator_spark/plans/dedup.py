@@ -43,6 +43,29 @@ _SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 #: any one shingle's pair fan-out to 100²/2 at any corpus size.
 _MAX_SHINGLE_DF = 100
 
+def _pagerank_round_ctes(n_iter: int) -> str:
+    """Unrolled damped power-iteration rounds as chained CTEs — the
+    DuckDB oracle RECOMPUTES PageRank rather than asserting TRUE
+    literals, so the mass-conservation / teleport-floor / stationarity
+    attestations are verified cross-engine (each engine derives the
+    booleans from its OWN independently computed rank vector; float
+    summation-order noise is orders of magnitude below the bands).
+    Mirrors operators/graph.py::pagerank_undirected exactly:
+    rank_{i+1}(v) = 0.15 + 0.85 * Σ_{u→v} rank_i(u)/deg(u), rank_0=1."""
+    rounds = []
+    for i in range(1, n_iter + 1):
+        rounds.append(
+            f"r{i} AS (\n"
+            f"      SELECT und.v AS node,\n"
+            f"             0.15 + 0.85 * sum(r.rank / d.deg) AS rank\n"
+            f"      FROM und JOIN deg d ON d.u = und.u\n"
+            f"      JOIN r{i - 1} r ON r.node = und.u\n"
+            f"      GROUP BY und.v\n"
+            f"    )"
+        )
+    return ",\n    ".join(rounds)
+
+
 #: shared capped-shingle CTE prefix: tokenize → distinct (doc, shingle)
 #: → drop shingles above the df cap → sizes AFTER the cap.
 _SQL_CAPPED_SHINGLES = f"""
@@ -461,22 +484,34 @@ def dedup_corpus_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
     ),
-    nodes AS (
-      SELECT id_a AS node FROM pairs UNION SELECT id_b FROM pairs
-    )
-    SELECT count(*) AS n_nodes,
-           TRUE AS mass_conserved_ok, TRUE AS all_positive_ok,
-           TRUE AS stationary_ok
-    FROM nodes
+    und AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+    r0 AS (SELECT u AS node, 1.0 AS rank FROM deg),
+    {_pagerank_round_ctes(n_iter=9)}
+    SELECT (SELECT count(*) FROM r8) AS n_nodes,
+           (SELECT abs(sum(rank) - count(*)) <= 1e-6 * count(*) FROM r8)
+             AS mass_conserved_ok,
+           (SELECT min(rank) >= 0.15 - 1e-9 FROM r8) AS all_positive_ok,
+           (SELECT sum(abs(r9.rank - r8.rank)) < 1e-3 * count(*)
+            FROM r8 JOIN r9 USING (node)) AS stationary_ok
     """,
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup pair graph (the second iterative
     algorithm next to CC — rank identifies the 'template' documents
-    that sit at the center of large near-dup families). Ranks are
-    float fixpoints no external oracle reproduces, so the key attests
-    the defining stationarity properties, with the node count
-    recomputed cross-engine by DuckDB:
+    that sit at the center of large near-dup families). Rank VALUES
+    are float fixpoints whose exact bits depend on summation order,
+    so the compared columns are the defining stationarity invariants
+    — but the oracle does NOT self-certify: DuckDB independently
+    recomputes the full 8-round damped power iteration (unrolled
+    CTEs, `_pagerank_round_ctes`) over its own pair graph and derives
+    the SAME booleans from its own rank vector, so a broken
+    expectation (a formulation for which mass is NOT conserved, say)
+    or a broken Spark result both surface as a hash mismatch:
 
     - mass_conserved_ok: Σ rank = |V| (±1e-6·|V|) — exact for the
       teleport formulation on a graph with no dangling nodes

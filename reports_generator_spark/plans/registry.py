@@ -109,44 +109,52 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "q5_local_supplier_volume", "q10_returned_items",
         # round 3 rows-only recorded
         "embedding_neardup_lsh",
+        # --- round 4 green (CORRECTNESS_r04.json, all 50 hash-match) ---
+        "agg_approx_topk", "agg_bitmap_intersect", "agg_linear_regression",
+        "agg_skew_salted", "anomaly_mad", "backlog_open_orders",
+        "cdc_apply_changes", "cluster_kmeans_lloyd", "data_profile_approx",
+        "dedup_containment", "dedup_corpus_end2end", "dedup_minhash_portable",
+        "eval_classification_metrics", "feature_minmax_scale",
+        "feature_onehot_topk", "feature_quantile_bin", "graph_triangle_count",
+        "join_interval_overlap", "join_scd2_pointintime", "join_spatial_grid",
+        "knn_label_accuracy", "pattern_detect_sequence", "quality_linear_score",
+        "report_ingest", "rfm_segmentation", "sample_class_balanced",
+        "scan_schema_evolution", "scan_xml_roundtrip", "similarity_topk_ivf",
+        "similarity_topk_lsh", "sql_parameterized", "sql_pipe_syntax",
+        "stream_foreachbatch_upsert", "stream_incremental_hll",
+        "stream_report_ingest", "table_diff_audit", "text_entropy_quality",
+        "time_bucket_ohlc", "udf_map_in_arrow", "window_ewma",
+        "window_ratio_to_report", "zorder_cluster",
+        # (dedup_near_minhash, dedup_simhash, dedup_cluster_cc,
+        # dedup_ngram_jaccard, embedding_neardup_lsh, graph_pagerank,
+        # market_basket_pairs, embedding_pca_per_label already listed
+        # above or re-tiered below)
     }
 )
 
 
-#: Keys whose ATTESTATION changed in the CURRENT round (round 4): new
-#: keys, keys whose rows-only declaration was upgraded to a real
-#: oracle (report ingest via the pure-Python golden CSV; PCA via
-#: invariant booleans), and keys whose oracle text changed (the
-#: shingle-df cap).  They must re-run through the driver's bounded
-#: 50-key window, so they sort FIRST.
+#: Keys whose ATTESTATION must (re-)run through the driver's bounded
+#: 50-key window in the CURRENT round (round 5), so they sort FIRST:
+#:  - the 15 late round-4 keys that never received a driver row
+#:    (locally parity-green since r4; VERDICT r4 item #1);
+#:  - keys whose plan or oracle changed this round: join_theta_range
+#:    (bounded build side — VALUES changed), market_basket_pairs
+#:    (basket-size cap in plan + oracle), graph_pagerank (oracle now
+#:    recomputes the power iteration in DuckDB), embedding_pca_per_label
+#:    (new cross-engine total_var column + Rayleigh bounds);
+#:  - every NEW round-5 key.
 _ADDED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "report_ingest", "stream_report_ingest", "embedding_pca_per_label",
-        "data_profile_approx", "dedup_ngram_jaccard", "dedup_cluster_cc",
-        # rows-only → attested conversions (quality booleans + oracle-
-        # recomputed exact-side counts; see each key's docstring)
-        "dedup_near_minhash", "dedup_simhash", "similarity_topk_lsh",
-        "similarity_topk_ivf", "embedding_neardup_lsh",
-        # new round-4 operators
-        "dedup_minhash_portable", "agg_bitmap_intersect", "agg_approx_topk",
-        "scan_xml_roundtrip", "stream_incremental_hll", "dedup_corpus_end2end",
-        "feature_quantile_bin", "feature_minmax_scale", "feature_onehot_topk",
-        "agg_linear_regression", "graph_pagerank",
-        "graph_triangle_count", "market_basket_pairs", "anomaly_mad",
-        "rfm_segmentation", "join_interval_overlap", "quality_linear_score",
-        "stream_foreachbatch_upsert", "join_spatial_grid",
-        "pattern_detect_sequence", "window_ewma", "table_diff_audit",
-        "time_bucket_ohlc", "sql_pipe_syntax", "sql_parameterized",
-        "backlog_open_orders", "knn_label_accuracy",
-        "eval_classification_metrics", "join_scd2_pointintime",
-        "window_ratio_to_report", "scan_schema_evolution",
-        "sample_class_balanced", "cluster_kmeans_lloyd",
-        # round-4 continuation batch (fills the 50-key window exactly;
-        # sql_group_by_all and the later-session keys deliberately stay
-        # tier-1 — locally parity-green, driver row lands next round)
-        "cdc_apply_changes", "agg_skew_salted", "dedup_containment",
-        "zorder_cluster", "text_entropy_quality",
-        "udf_map_in_arrow",
+        # 15 deferred round-4 keys (no driver row yet)
+        "embedding_matryoshka_energy", "eval_regression_metrics",
+        "feature_quantile_bin_approx", "feature_winsorize",
+        "fk_integrity_audit", "histogram_log2", "kanonymity_audit",
+        "multimodal_dedup_phash", "observe_metrics", "pivot_multi_agg",
+        "sql_group_by_all", "text_oov_rate", "top_k_with_ties",
+        "window_period_over_period", "window_rolling_median",
+        # changed this round
+        "join_theta_range", "market_basket_pairs", "graph_pagerank",
+        "embedding_pca_per_label",
     }
 )
 

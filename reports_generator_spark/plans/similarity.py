@@ -284,13 +284,23 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxabs = F.greatest(
         F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
     )
-    scale = 127.0 / maxabs
-    q = F.transform(v, lambda x: F.floor(x * scale + 0.5).cast("bigint"))
-    return e.select(
+    # Stage scale, then the quantized array, each as a named column:
+    # in a single projection Catalyst inlines the O(d) maxabs into
+    # every element lambda and the O(d) q array into both consumers —
+    # O(d²) per row (the r4 sf1-probe anomaly; see embedding_normalize).
+    s1 = e.select("vec_id", v.alias("v"), (127.0 / maxabs).alias("scale"))
+    s2 = s1.select(
         "vec_id",
-        dround(scale, 6).alias("scale"),
-        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q_vec"),
-        F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("q_sum"),
+        "scale",
+        F.transform(
+            "v", lambda x: F.floor(x * F.col("scale") + 0.5).cast("bigint")
+        ).alias("q"),
+    )
+    return s2.select(
+        "vec_id",
+        dround(F.col("scale"), 6).alias("scale"),
+        F.array_join(F.transform("q", lambda x: x.cast("string")), ",").alias("q_vec"),
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("q_sum"),
     )
 
 
@@ -372,21 +382,28 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row index-ordered float reduction is bit-deterministic on both
     engines, so the norm and the (≈1.0) self-dot of the normalized
     vector are value-checkable. Shuffle-free: at 100 TB this is pure
-    scan-speed map work."""
+    scan-speed map work.
+
+    The norm is STAGED as its own projection before the per-element
+    lambdas reference it. Expressed as one projection, Catalyst
+    inlines the O(d) norm aggregate into every element of the
+    normalize/zip_with lambdas — O(d²) work per row, measured 15 s vs
+    0.4 s on a 20k×64 fixture (the r4 sf1-probe anomaly on this key;
+    same class of fix as the knn probe cap)."""
     e = load_table(spark, sf_dir, "embeddings")
     sq_sum = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    nrm = F.sqrt(sq_sum)
-    unit = F.transform("embedding", lambda x: x.cast("double") / nrm)
+    staged = e.select("vec_id", "embedding", F.sqrt(sq_sum).alias("nrm"))
+    unit = F.transform("embedding", lambda x: x.cast("double") / F.col("nrm"))
     unit_dot = F.aggregate(
         F.zip_with(unit, unit, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
     )
-    return e.select(
+    return staged.select(
         "vec_id",
-        dround(nrm, 6).alias("l2_norm"),
+        dround(F.col("nrm"), 6).alias("l2_norm"),
         dround(unit_dot, 6).alias("unit_dot"),
     )
 
@@ -433,26 +450,54 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_pca_per_label",
     oracle="""
-    SELECT label, max(len(embedding)) AS n_dims,
-           TRUE AS unit_norm_ok, TRUE AS eigvec_ok
-    FROM embeddings GROUP BY label
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    var_d AS (
+      SELECT label, dim,
+             sum(v*v)/count(*) - (sum(v)/count(*))*(sum(v)/count(*)) AS vr
+      FROM ex GROUP BY label, dim
+    )
+    SELECT label, count(*) AS n_dims,
+           floor(sum(vr) * 1000000 + 0.5) / 1000000 AS total_var,
+           TRUE AS unit_norm_ok, TRUE AS eigvec_ok,
+           TRUE AS rayleigh_bounds_ok
+    FROM var_d GROUP BY label
     """,
 )
 def embedding_pca_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First principal component per label via applyInPandas
-    (operators/ml.py), attested through its mathematical invariants:
-    DuckDB has no SVD, so the raw component VALUES stay behavioral
-    (tests/test_corpus_ops.py), but the defining properties are
-    computed Spark-side as booleans and hash-checked as TRUE
-    constants — the same attestation pattern as agg_approx_distinct:
+    (operators/ml.py), attested through its mathematical invariants.
+    The attestation is deliberately two-tier, and the asymmetry is
+    explicit:
 
-    - unit_norm_ok: Σ_d v_d² = 1 (±1e-6) per label;
-    - eigvec_ok: v is an eigenvector of the group's covariance —
-      cos(Cov·v, v) > 0.999, with Cov·v computed distributively
-      (project each centered row onto v, re-expand: two groupBy
-      aggregations, never a materialized d×d matrix — at 100 TB the
-      check costs two shuffles on (label[, dim]), same as the
-      centroid op).
+    - CROSS-ENGINE VALUE CHECK: `total_var` (trace of the per-label
+      covariance, i.e. Σ_d Var_d under the population-n convention)
+      is recomputed INDEPENDENTLY by DuckDB from the raw embeddings
+      through its own centering path and value-matched at 6 dp — a
+      broken centering / variance pipeline on either engine is caught
+      by value, not by assertion.
+    - SPARK-SIDE BOOLEANS (DuckDB emits TRUE literals — it has no
+      SVD, and the fixture eigengap λ2/λ1 ≈ 0.85-0.96 makes an
+      unrolled SQL power iteration non-convergent, measured cos as
+      low as 0.71 after 12 rounds, so the component genuinely cannot
+      be recomputed in SQL):
+      * unit_norm_ok: Σ_d v_d² = 1 (±1e-6) per label;
+      * eigvec_ok: cos(Cov·v, v) > 0.999, with Cov·v computed
+        distributively (project each centered row onto v, re-expand:
+        two groupBy aggregations, never a materialized d×d matrix);
+      * rayleigh_bounds_ok: trace/d ≤ v·Cv ≤ trace — the Rayleigh
+        quotient of the claimed top component must beat the average
+        axis (theorem for the true top eigenvector, false for a
+        random direction ~half the time) and respect the trace upper
+        bound. Because `trace` is the SAME quantity DuckDB
+        value-checks, these booleans are anchored to a cross-checked
+        number, not free-floating.
+      A boolean flip on the Spark side still surfaces as a hash
+      mismatch; raw component values stay behaviorally pinned in
+      tests/test_corpus_ops.py.
     """
     from ..operators.ml import pca_top_component
 
@@ -486,13 +531,26 @@ def embedding_pca_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("component") * F.col("component")).alias("v2"),
         )
     )
-    return per_label.select(
+    # trace of the (unnormalized) covariance Σ_i xc², plus row count —
+    # total_var = trace/n is the DuckDB-value-checked column, and
+    # trace/d ≤ dot ≤ trace are the Rayleigh bounds for the claimed
+    # top component (dot = v·Cv with C unnormalized, same convention).
+    trace = xc.groupBy("label").agg(
+        F.sum(F.col("xc") * F.col("xc")).alias("tr"),
+        F.countDistinct("vec_id").alias("n_rows"),
+    )
+    return per_label.join(trace, "label").select(
         "label",
         "n_dims",
+        dround(F.col("tr") / F.col("n_rows"), 6).alias("total_var"),
         (F.abs(F.col("v2") - 1.0) < 1e-6).alias("unit_norm_ok"),
         (
             F.col("dot") / (F.sqrt(F.col("cv2")) * F.sqrt(F.col("v2"))) > 0.999
         ).alias("eigvec_ok"),
+        (
+            (F.col("dot") >= F.col("tr") / F.col("n_dims"))
+            & (F.col("dot") <= F.col("tr") * (1 + 1e-9))
+        ).alias("rayleigh_bounds_ok"),
     )
 
 

@@ -34,6 +34,18 @@ RUNTIME_CONF: dict[str, str] = {
     # 32 matches local[32]; on a real cluster this is overridden per-job
     # (AQE coalesces down from a high initial number anyway).
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Input-split sizing. The default 128 MB is right when a table is
+    # thousands of files; the local fixtures are ONE ~100-200 MB file
+    # per table, which the default carves into 1-2 splits — measured:
+    # the shuffle-free map keys (embedding_normalize 16 s,
+    # embedding_quantize 11 s at the sf1 probe) ran on 2 of 32 cores
+    # purely because of split count. 16 MB fans a single-file fixture
+    # across the machine while remaining a no-op for genuinely large
+    # multi-file tables (each file still yields >= 1 split). On a real
+    # cluster override via SPARK_GRAFT_MAX_PARTITION_BYTES.
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)
+    ),
 }
 
 
