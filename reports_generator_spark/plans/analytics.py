@@ -1690,3 +1690,525 @@ def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ==========================================================================
+# Round-5 analytics batch: inequality / concentration / distribution-audit
+# operators. All exact-arithmetic (integer cents, DECIMAL sums, window
+# cumsums over pinned total orders) so every value hash-matches DuckDB.
+# ==========================================================================
+
+
+@query(
+    "abc_pareto_classification",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey, sum({_REV}) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(revenue) OVER () AS total
+      FROM rev
+    )
+    SELECT CASE WHEN cum * 1.0 / total <= 0.7 THEN 'A'
+                WHEN cum * 1.0 / total <= 0.9 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*) AS n_parts,
+           CAST(sum(revenue) AS DOUBLE) AS class_revenue
+    FROM ranked GROUP BY 1
+    """,
+)
+def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    class A = the head covering 70% of cumulative revenue, B to 90%,
+    C the tail. Revenue is exact DECIMAL; the cumulative share is a
+    window cumsum over the pinned total order (revenue DESC, partkey)
+    — sequential within the frame on both engines, so the doubles
+    compared at the 0.7/0.9 boundaries are bit-identical. The ranked
+    cumsum is a global window: fine at dimension cardinality (parts),
+    and at 100 TB the same classes come from a two-pass plan
+    (approx-percentile revenue cut points + a map-side CASE, the
+    feature_quantile_bin_approx pattern) — the classification
+    contract, not the sort, is what this key pins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(F.sum(_revenue()).alias("revenue"))
+    w_cum = (
+        Window.orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum"),
+        F.sum("revenue").over(w_all).alias("total"),
+    )
+    share = F.col("cum") * F.lit(1.0) / F.col("total")
+    return (
+        ranked.select(
+            "revenue",
+            F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C").alias(
+                "abc_class"
+            ),
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("revenue").cast("double").alias("class_revenue"),
+        )
+    )
+
+
+@query(
+    "gini_coefficient",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS i
+      FROM spend
+    )
+    SELECT count(*) AS n_customers,
+           CAST(sum(cents) AS DOUBLE) / 100 AS total_spend,
+           floor((2.0 * sum(i * cents) - (count(*) + 1) * sum(cents))
+                 / (count(*) * sum(cents)) * 1000000 + 0.5) / 1000000 AS gini
+    FROM ranked
+    """,
+)
+def gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality audit run
+    on corpus/source contribution before training-data mixing (a
+    0.95-Gini source mix is one crawl domain in disguise). Exact
+    integer arithmetic end-to-end: spend folds to integer CENTS, the
+    rank-weighted sum Σi·xᵢ and ΣΣx stay BIGINT, and the classic
+    closed form G = (2Σi·xᵢ − (n+1)Σx)/(nΣx) divides once into a
+    double — no float accumulation anywhere, so both engines produce
+    the same bits. The global rank is a window over customer
+    cardinality (dimension-sized); at 100 TB rows the same statistic
+    comes from a sorted-bucket two-pass (per-bucket partial Σi·xᵢ
+    with offset correction), same contract."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    ranked = spend.select("cents", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_customers"),
+        (F.sum("cents").cast("double") / 100).alias("total_spend"),
+        dround(
+            (
+                2.0 * F.sum(F.col("i") * F.col("cents"))
+                - (n + 1) * F.sum("cents")
+            )
+            / (n * F.sum("cents")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "hhi_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(floor(sum(o.o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    tot AS (
+      SELECT c_nationkey, sum(cents) AS total_cents, count(*) AS n_customers
+      FROM spend GROUP BY c_nationkey
+    )
+    SELECT s.c_nationkey AS nationkey,
+           any_value(t.n_customers) AS n_customers,
+           floor(sum((s.cents * 1.0 / t.total_cents) ** 2) * 10000
+                 * 10000 + 0.5) / 10000 AS hhi
+    FROM spend s JOIN tot t ON s.c_nationkey = t.c_nationkey
+    GROUP BY s.c_nationkey
+    """,
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of customer spend per
+    nation (0-10,000 scale): Σ shareᵢ² over exact integer-cent shares
+    — the market-concentration audit, and for a data pipeline the
+    per-source duplication-concentration check. Two partial-agg
+    shuffles (customer spend, nation totals) + one broadcast-sized
+    join back; the share-squared sum is a float reduction over exact
+    rationals, rounded at 4 dp (reassociation noise ~1e-10, nine
+    orders below the band). Scales as a pure groupBy pipeline."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"))
+    )
+    tot = spend.groupBy("c_nationkey").agg(
+        F.sum("cents").alias("total_cents"), F.count(F.lit(1)).alias("n_customers")
+    )
+    share = F.col("cents") * F.lit(1.0) / F.col("total_cents")
+    return (
+        spend.join(F.broadcast(tot), "c_nationkey")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.any_value(F.col("n_customers")).alias("n_customers"),
+            dround(F.sum(share * share) * 10000, 4).alias("hhi"),
+        )
+    )
+
+
+@query(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+    tot AS (SELECT sum(n_obs) AS total FROM obs)
+    SELECT digit, n_obs,
+           floor(n_obs * 1.0 / total * 1000000 + 0.5) / 1000000 AS obs_pct,
+           floor(log10(1.0 + 1.0 / digit) * 1000000 + 0.5) / 1000000
+             AS benford_pct,
+           floor(abs(n_obs * 1.0 / total - log10(1.0 + 1.0 / digit))
+                 * 1000000 + 0.5) / 1000000 AS abs_dev
+    FROM obs, tot
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order amounts — the
+    classic fabricated-data / synthetic-data detector: natural
+    multi-scale amounts put digit d first with probability
+    log10(1+1/d); uniform synthetic generators (like TPC-H's! —
+    expect large abs_dev here) do not. The first digit is extracted
+    through exact integer/string ops (floor → BIGINT → first char),
+    NOT floor(log10(x)) whose last-ulp differences could flip a digit
+    cross-engine at exact powers of ten. One partial-agg groupBy over
+    9 groups + a 1-row total broadcast: scan-bound at any scale."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    tot = obs.agg(F.sum("n_obs").alias("total")).withColumn("__k", F.lit(1))
+    pct = F.col("n_obs") * F.lit(1.0) / F.col("total")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        obs.withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot), "__k")
+        .select(
+            "digit",
+            "n_obs",
+            dround(pct, 6).alias("obs_pct"),
+            dround(benford, 6).alias("benford_pct"),
+            dround(F.abs(pct - benford), 6).alias("abs_dev"),
+        )
+    )
+
+
+@query(
+    "anomaly_iqr",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           floor(any_value(q.q1) * 1000000 + 0.5) / 1000000 AS q1,
+           floor(any_value(q.q3) * 1000000 + 0.5) / 1000000 AS q3,
+           count(*) AS n,
+           CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) outlier counting per event type — the robust
+    complement to outlier_zscore (mean/σ) and anomaly_mad (median/MAD):
+    the three standard univariate detectors are now all registered.
+    Exact interpolated quartiles (Spark percentile = DuckDB
+    quantile_cont on the same sorted order → identical doubles), a
+    9-row fence frame broadcast back over the scan, and a map-side
+    fence test. The exact percentile is groupBy-sized; at 100 TB swap
+    approx_percentile like data_profile_approx does."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25D)").alias("q1"),
+        F.expr("percentile(value, 0.75D)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr
+    out = (F.col("value") < lo) | (F.col("value") > hi)
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            dround(F.any_value("q1"), 6).alias("q1"),
+            dround(F.any_value("q3"), 6).alias("q3"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "purchase_interarrival_stats",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS prev_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
+      FROM p WHERE prev_ts IS NOT NULL
+    )
+    SELECT count(*) AS n_gaps,
+           floor(avg(gap_us / 1000000.0) * 1000000 + 0.5) / 1000000 AS avg_gap_s,
+           floor(quantile_cont(gap_us / 1000000.0, 0.5) * 1000000 + 0.5) / 1000000
+             AS median_gap_s,
+           floor(quantile_cont(gap_us / 1000000.0, 0.9) * 1000000 + 0.5) / 1000000
+             AS p90_gap_s,
+           floor(max(gap_us / 1000000.0) * 1000000 + 0.5) / 1000000 AS max_gap_s
+    FROM gaps
+    """,
+)
+def purchase_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival (recurrence) statistics of purchase events per
+    user, aggregated corpus-wide — the arrival-process audit behind
+    retention/frequency models and streaming-watermark sizing (p90
+    inter-arrival bounds how much lateness a watermark must absorb).
+    One window (partition user, order ts,event_id) computes lag;
+    gaps are EXACT integer microseconds (epoch micros subtraction, no
+    float time math); avg is exact-sum/count; median/p90 are
+    interpolated percentiles over integers (identical doubles on both
+    engines). Window state is per-user bounded; the final global agg
+    is a 1-row reduce."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gaps = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+            ).alias("gap_us")
+        )
+    )
+    gap_s = F.col("gap_us") / F.lit(1000000.0)
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        dround(F.avg(gap_s), 6).alias("avg_gap_s"),
+        dround(F.expr("percentile(gap_us / 1000000.0, 0.5D)"), 6).alias("median_gap_s"),
+        dround(F.expr("percentile(gap_us / 1000000.0, 0.9D)"), 6).alias("p90_gap_s"),
+        dround(F.max(gap_s), 6).alias("max_gap_s"),
+    )
+
+
+@query(
+    "cohort_ltv_cumulative",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('month', min(ts)) AS cohort_month
+      FROM events GROUP BY user_id
+    ),
+    monthly AS (
+      SELECT f.cohort_month, e.user_id,
+             datediff('month', f.cohort_month, date_trunc('month', e.ts)) AS age_month,
+             sum(CAST(e.value AS DECIMAL(18,6))) AS rev
+      FROM events e JOIN firsts f USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2, 3
+    ),
+    cohort_age AS (
+      SELECT cohort_month, age_month,
+             count(DISTINCT user_id) AS n_active_users,
+             sum(rev) AS rev
+      FROM monthly GROUP BY 1, 2
+    )
+    SELECT strftime(cohort_month, '%Y-%m-%d') AS cohort_month,
+           age_month, n_active_users,
+           CAST(sum(rev) OVER (PARTITION BY cohort_month ORDER BY age_month
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_ltv
+    FROM cohort_age
+    """,
+)
+def cohort_ltv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-activity
+    month, purchase revenue bucketed by cohort age (months since
+    cohort), accumulated along age — the LTV complement of
+    retention_cohorts (which counts users; this follows money).
+    Revenue stays exact DECIMAL through the cumsum (order-independent
+    partials, then a sequential frame — bit-stable cross-engine);
+    ages are exact integer month arithmetic. Plan: user-first agg +
+    one (cohort,user,age) agg + a cohort-partitioned window over
+    (cohorts × ages) rows — every stage partial-aggregable, the
+    fact table shuffles once on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+    )
+    age = (
+        F.months_between(
+            F.date_trunc("month", F.col("ts")), F.col("cohort_month")
+        )
+    ).cast("bigint")
+    monthly = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy("cohort_month", "user_id", age.alias("age_month"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("rev"))
+    )
+    cohort_age = monthly.groupBy("cohort_month", "age_month").agg(
+        F.countDistinct("user_id").alias("n_active_users"),
+        F.sum("rev").alias("rev"),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cohort_age.select(
+        F.date_format("cohort_month", "yyyy-MM-dd").alias("cohort_month"),
+        "age_month",
+        "n_active_users",
+        F.sum("rev").over(w).cast("double").alias("cum_ltv"),
+    )
+
+
+@query(
+    "seasonality_dow_index",
+    oracle="""
+    WITH d AS (
+      SELECT (datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 4) % 7
+               AS dow,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    ),
+    per_dow AS (
+      SELECT dow, count(*) AS n_orders, sum(price) AS rev FROM d GROUP BY dow
+    ),
+    overall AS (
+      SELECT CAST(sum(rev) AS DOUBLE) / sum(n_orders) AS avg_all FROM per_dow
+    )
+    SELECT dow, n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           floor((CAST(rev AS DOUBLE) / n_orders) / avg_all * 1000000 + 0.5)
+             / 1000000 AS dow_index
+    FROM per_dow, overall
+    """,
+)
+def seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: average order value per weekday
+    relative to the overall average (1.0 = no seasonality) — the
+    periodicity audit before time-series features or traffic-shaped
+    sampling. Weekday is EXACT integer arithmetic on epoch days
+    ((days+4) % 7, 0=Monday) — deliberately NOT dayofweek(), whose
+    0-vs-1-based and Sunday-vs-Monday-first conventions differ across
+    engines. Exact DECIMAL revenue; one 7-group partial agg + a 1-row
+    overall broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    dow = (F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")) + 4) % 7
+    per = o.select(
+        dow.alias("dow"), F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    ).groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("price").alias("rev")
+    )
+    overall = per.agg(
+        (F.sum("rev").cast("double") / F.sum("n_orders")).alias("avg_all")
+    ).withColumn("__k", F.lit(1))
+    return (
+        per.withColumn("__k", F.lit(1))
+        .join(F.broadcast(overall), "__k")
+        .select(
+            "dow",
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+            dround(
+                (F.col("rev").cast("double") / F.col("n_orders")) / F.col("avg_all"),
+                6,
+            ).alias("dow_index"),
+        )
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT l_returnflag, price, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY price ASC
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS total_w
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(min(price) AS DOUBLE) AS weighted_median_price,
+           any_value(total_w) AS total_weight
+    FROM cum
+    WHERE cw * 2 >= total_w
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (price weighted by quantity) per return flag —
+    the robust central-price statistic plain median misses when line
+    sizes vary. Classic cumulative-weight spelling: sort by value
+    within group, running Σweight, first value whose cumulative
+    weight reaches half the total. All arithmetic exact (BIGINT
+    weights, DECIMAL prices; the half test is `2·cw ≥ W` in integers
+    — no division); ties on price need no tiebreak because min(price)
+    over the qualifying set is order-independent. One window sort per
+    group; at 100 TB the same answer comes from a two-pass histogram
+    narrowing, but the contract (exact weighted median) is what the
+    key pins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.col("price").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    win_all = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(win_all).alias("total_w"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("total_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").cast("double").alias("weighted_median_price"),
+            F.any_value("total_w").alias("total_weight"),
+        )
+    )

@@ -155,6 +155,13 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # changed this round
         "join_theta_range", "market_basket_pairs", "graph_pagerank",
         "embedding_pca_per_label",
+        # new round-5 operators
+        "abc_pareto_classification", "gini_coefficient", "hhi_concentration",
+        "benford_first_digit", "anomaly_iqr", "purchase_interarrival_stats",
+        "cohort_ltv_cumulative", "seasonality_dow_index", "agg_weighted_median",
+        "calendar_dim_generate", "time_interpolate_linear", "bollinger_bands",
+        "sink_mode_auto", "sql_agg_filter_clause", "sql_try_cast_safe",
+        "scan_csv_malformed_permissive", "stream_sliding_window_agg",
     }
 )
 

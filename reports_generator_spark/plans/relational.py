@@ -1824,3 +1824,68 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# --------------------------------------------------------------------------
+# PERMISSIVE malformed-CSV ingest: bad rows are counted and quarantined
+# by the reader itself, never fail the job, never corrupt good rows.
+# --------------------------------------------------------------------------
+@query(
+    "scan_csv_malformed_permissive",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(sum(CASE WHEN o_orderkey % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_good,
+           CAST(sum(CASE WHEN o_orderkey % 10 <> 0
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS sum_good_price
+    FROM orders
+    """,
+)
+def scan_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode CSV ingest of a deliberately dirty feed: every
+    10th row carries an unparseable numeric field. The reader (not the
+    pipeline) classifies rows — malformed rows surface once in
+    `_corrupt_record` with the typed columns NULL, good rows parse
+    normally, and the job NEVER fails (contrast FAILFAST) nor drops
+    rows silently (contrast DROPMALFORMED). This is the reference's
+    per-file error-isolation idea (SURVEY §2.1 P12,
+    ingest_with_quarantine) pushed down to row granularity, and at
+    100 TB it is the only viable posture: one bad row in a billion
+    must cost one quarantine row, not a job restart. The dirty fixture
+    is built from `orders` (key-modulo corruption, oracle-mirrored);
+    the double→string→double round-trip is exact, so the good-row
+    DECIMAL sum hash-matches the direct aggregation."""
+    import hashlib
+    import os
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"rg_dirty_csv_{tag}")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("N/A")).otherwise(
+            F.col("o_totalprice").cast("string")
+        ),
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    back = (
+        spark.read.schema("o_orderkey BIGINT, o_totalprice DOUBLE, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    corrupt = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(corrupt, 1).otherwise(0)).cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(~corrupt, 1).otherwise(0)).cast("bigint").alias("n_good"),
+        F.sum(
+            F.when(~corrupt, F.col("o_totalprice").cast("decimal(18,2)"))
+        ).cast("double").alias("sum_good_price"),
+    )

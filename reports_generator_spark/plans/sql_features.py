@@ -242,3 +242,66 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums make the values bit-comparable."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("rg_gba_lineitem")
     return spark.sql(_GROUP_BY_ALL_SQL.format(lineitem="rg_gba_lineitem"))
+
+
+# ==========================================================================
+# Round-5 SQL-surface batch: aggregate FILTER clause, TRY_CAST error-safe
+# parsing. Both keys run IDENTICAL SQL text on Spark and DuckDB (the
+# sql_surface / sql_group_by_all portability pattern).
+# ==========================================================================
+
+_AGG_FILTER_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_all,
+       count(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc,
+       count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+            FILTER (WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00')
+            AS DOUBLE) AS qty_96_on
+FROM {lineitem}
+GROUP BY l_returnflag
+"""
+
+
+@query("sql_agg_filter_clause", oracle=_AGG_FILTER_SQL.format(lineitem="lineitem"))
+def sql_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-SQL aggregate FILTER clause: per-aggregate predicates
+    inside ONE grouping pass — the portable replacement for the
+    sum(CASE WHEN ...) idiom, and the single-scan replacement for N
+    filtered subqueries (at 100 TB, one partial-agg pass instead of N
+    scans is the whole game). The identical SQL text executes on both
+    engines; DECIMAL-exact sums keep the filtered aggregate
+    bit-comparable. A filtered aggregate still participates in
+    map-side partial aggregation — the filter applies pre-partial, so
+    the shuffle still carries one row per (flag, aggregate)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("rg_af_lineitem")
+    return spark.sql(_AGG_FILTER_SQL.format(lineitem="rg_af_lineitem"))
+
+
+_TRY_CAST_SQL = """
+SELECT try_cast(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+       count(*) AS n_orders,
+       count(try_cast(o_orderpriority AS INT)) AS n_full_parse,
+       count(try_cast(substr(o_orderpriority, 3) AS INT)) AS n_word_parse,
+       CAST(sum(try_cast(substr(CAST(o_orderkey AS STRING), 1, 3) AS BIGINT))
+            AS BIGINT) AS sum_key_prefix
+FROM {orders}
+GROUP BY 1
+"""
+
+
+@query("sql_try_cast_safe", oracle=_TRY_CAST_SQL.format(orders="orders"))
+def sql_try_cast_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST error-safe parsing — the dirty-input contract every
+    ingest of external text needs: a malformed value yields NULL
+    instead of failing the job (ANSI mode on) or silently corrupting
+    (legacy mode off). Exercised three ways against the same strings:
+    a prefix that always parses, a full string that never does
+    (count = 0 — NULLs drop out of count(expr)), and a suffix that
+    never does ('1-URGENT' → 'URGENT'). Identical SQL text on both
+    engines. Map-side scalar work inside whole-stage codegen; at
+    100 TB this is the scan-speed schema-on-read path, feeding the
+    quarantine split (ingest_with_quarantine) for rows whose NULL
+    means 'reject'."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rg_tc_orders")
+    return spark.sql(_TRY_CAST_SQL.format(orders="rg_tc_orders"))

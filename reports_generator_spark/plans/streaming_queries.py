@@ -280,3 +280,36 @@ def stream_foreachbatch_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return stream_upsert_foreachbatch(spark, sf_dir)
 
+
+
+@query(
+    "stream_sliding_window_agg",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+             CAST(floor(epoch(ts) / 300) AS BIGINT) AS slot
+      FROM events
+    ),
+    expanded AS (
+      SELECT event_type, v, (slot - off.o) * 300 AS start_epoch
+      FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS o) off
+    )
+    SELECT TIMESTAMP '1970-01-01 00:00:00' + to_seconds(start_epoch)
+             AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(v) AS DOUBLE) AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sliding windows (10 min / 5 min hop) ≡
+    batch expansion of each event into its window/slide = 2 covering
+    windows (slot replication) + GROUP BY window start. The batch
+    oracle makes the overlap semantics explicit: replication factor =
+    window/slide, which is exactly the state multiplier the streaming
+    side pays — the documented trade when shrinking the hop."""
+    from ..streaming.windowed import stream_sliding_window_agg
+
+    return stream_sliding_window_agg(spark, sf_dir)

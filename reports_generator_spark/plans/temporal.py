@@ -812,3 +812,273 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("value"), 2).alias("last_value"),
         F.col("ts").alias("last_ts"),
     )
+
+
+# ==========================================================================
+# Round-5 temporal batch: calendar dimension, linear interpolation,
+# Bollinger bands, sink-mode auto-selection.
+# ==========================================================================
+
+
+@query(
+    "calendar_dim_generate",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1996-12-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS d,
+           CAST(extract(year FROM d) AS BIGINT) AS year,
+           CAST(extract(month FROM d) AS BIGINT) AS month,
+           CAST(extract(day FROM d) AS BIGINT) AS day,
+           CAST((extract(month FROM d) + 2) // 3 AS BIGINT) AS quarter,
+           CAST((datediff('day', DATE '1970-01-01', d) + 4) % 7 AS BIGINT) AS dow,
+           (datediff('day', DATE '1970-01-01', d) + 4) % 7 >= 5 AS is_weekend,
+           extract(day FROM d) = 1 AS is_month_start,
+           extract(month FROM d + INTERVAL 1 DAY) <> extract(month FROM d)
+             AS is_month_end
+    FROM spine
+    """,
+)
+def calendar_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generation — the spine table every
+    time-grain rollup joins against, generated (not loaded): 731 days
+    of derived attributes from pure integer date arithmetic. Weekday
+    uses the epoch-day formula ((days+4) % 7, 0=Monday) rather than
+    dayofweek(), whose 0/1-base and week-start conventions differ
+    across engines; quarter is integer month arithmetic; month-end is
+    the month-changes-tomorrow test (leap-February-proof). sequence()
+    + explode generates N rows from none — a generator, not a scan —
+    and a real deployment materializes this once per grain. Output is
+    dimension-sized at any fact scale."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1996-12-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    epoch_days = F.datediff(F.col("d"), F.lit("1970-01-01"))
+    dow = (epoch_days + 4) % 7
+    return spine.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.year("d").cast("bigint").alias("year"),
+        F.month("d").cast("bigint").alias("month"),
+        F.dayofmonth("d").cast("bigint").alias("day"),
+        F.floor((F.month("d") + 2) / 3).cast("bigint").alias("quarter"),
+        dow.cast("bigint").alias("dow"),
+        (dow >= 5).alias("is_weekend"),
+        (F.dayofmonth("d") == 1).alias("is_month_start"),
+        (F.month(F.date_add("d", 1)) != F.month("d")).alias("is_month_end"),
+    )
+
+
+@query(
+    "time_interpolate_linear",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM obs),
+    spine AS (
+      SELECT unnest(generate_series(h0, h1)) AS h FROM bounds
+    ),
+    joined AS (
+      SELECT s.h, o.y,
+             max(CASE WHEN o.y IS NOT NULL THEN s.h END)
+               OVER (ORDER BY s.h ROWS UNBOUNDED PRECEDING) AS h_prev,
+             min(CASE WHEN o.y IS NOT NULL THEN s.h END)
+               OVER (ORDER BY s.h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS h_next
+      FROM spine s LEFT JOIN obs o USING (h)
+    ),
+    walled AS (
+      SELECT h, y, h_prev, h_next,
+             max(y) OVER (PARTITION BY h_prev) AS y_prev,
+             max(y) OVER (PARTITION BY h_next) AS y_next
+      FROM joined
+    )
+    SELECT h,
+           CASE WHEN y IS NOT NULL THEN 'obs' ELSE 'interp' END AS src,
+           floor(CASE
+                   WHEN y IS NOT NULL THEN y
+                   ELSE y_prev + (y_next - y_prev) * (h - h_prev)
+                                 / (h_next - h_prev)
+                 END * 1000000 + 0.5) / 1000000 AS value
+    FROM walled
+    """,
+)
+def time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over an hourly spine — the resampling step
+    between raw events and fixed-step time-series features, and the
+    interpolating complement of `window_fill_forward` (step-hold) and
+    `time_spine_gapfill` (zero-fill). Observed hours carry the exact
+    per-hour mean (DECIMAL sum / count); missing hours take
+    y0 + (y1−y0)·(h−h0)/(h1−h0) between the bracketing observations —
+    hour indices are exact integers so both engines evaluate the same
+    IEEE expression. Neighbor discovery is two running extrema over
+    the spine order (no self-join); the interior spine is bounded by
+    the time range, not the corpus. The spine never extrapolates: its
+    bounds are min/max observed hours, so y_prev/y_next always exist.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    obs = e.groupBy(
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600)
+        .cast("bigint")
+        .alias("h")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("y")
+    )
+    bounds = obs.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    j = spine.join(obs, "h", "left")
+    w_prev = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    j = j.select(
+        "h",
+        "y",
+        F.max(F.when(F.col("y").isNotNull(), F.col("h"))).over(w_prev).alias("h_prev"),
+        F.min(F.when(F.col("y").isNotNull(), F.col("h"))).over(w_next).alias("h_next"),
+    )
+    walled = j.select(
+        "h",
+        "y",
+        "h_prev",
+        "h_next",
+        F.max("y").over(Window.partitionBy("h_prev")).alias("y_prev"),
+        F.max("y").over(Window.partitionBy("h_next")).alias("y_next"),
+    )
+    interp = F.col("y_prev") + (F.col("y_next") - F.col("y_prev")) * (
+        F.col("h") - F.col("h_prev")
+    ) / (F.col("h_next") - F.col("h_prev"))
+    return walled.select(
+        "h",
+        F.when(F.col("y").isNotNull(), "obs").otherwise("interp").alias("src"),
+        dround(F.when(F.col("y").isNotNull(), F.col("y")).otherwise(interp), 6).alias(
+            "value"
+        ),
+    )
+
+
+@query(
+    "bollinger_bands",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    win AS (
+      SELECT d, n,
+             sum(n)   OVER w AS s,
+             sum(n*n) OVER w AS ss,
+             count(*) OVER w AS k
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS d, n,
+           floor(s * 1.0 / k * 1000000 + 0.5) / 1000000 AS ma7,
+           floor((s * 1.0 / k + 2 * sqrt((k * ss - s * s) * 1.0 / (k * k)))
+                 * 1000000 + 0.5) / 1000000 AS upper_band,
+           floor((s * 1.0 / k - 2 * sqrt((k * ss - s * s) * 1.0 / (k * k)))
+                 * 1000000 + 0.5) / 1000000 AS lower_band
+    FROM win
+    """,
+)
+def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (7-day moving mean ± 2σ) over the daily order
+    count — the volatility envelope used for rate anomaly monitoring
+    on ingest volumes. All window arithmetic stays EXACT integer
+    (Σn, Σn² over the 7-row frame as BIGINT — no incremental float
+    sliding-sum drift, which differs between Spark's frame recompute
+    and DuckDB's segment-tree accumulation); mean and population σ
+    convert to double only in the final closed form
+    σ² = (kΣx² − (Σx)²)/k². The series is date-cardinality so the
+    global-order window is dimension-sized; per-key series at scale
+    partition the window by key."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    win = daily.select(
+        "d",
+        "n",
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    ma = F.col("s") * F.lit(1.0) / F.col("k")
+    sigma = F.sqrt(
+        (F.col("k") * F.col("ss") - F.col("s") * F.col("s"))
+        * F.lit(1.0)
+        / (F.col("k") * F.col("k"))
+    )
+    return win.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "n",
+        dround(ma, 6).alias("ma7"),
+        dround(ma + 2 * sigma, 6).alias("upper_band"),
+        dround(ma - 2 * sigma, 6).alias("lower_band"),
+    )
+
+
+@query(
+    "sink_mode_auto",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_mode_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence-probed sink-mode selection — the reference's
+    verificateIntoParquet contract (Proof.scala:51-53,147-151): the
+    FIRST write of a dataset must create it (overwrite), every later
+    write must APPEND, and the decision comes from an explicit
+    filesystem existence probe (ingest/sinks.dataset_exists), never
+    from a read failure. The key drives both branches in one run:
+    slice A (¾ of orders) hits the missing-dataset branch, slice B
+    (the rest) hits the exists→append branch; the read-back
+    aggregation hash-matching the direct aggregation proves the two
+    writes composed to exactly the source (no loss, no duplication).
+    Minus the reference's repartition(1): both writes stay parallel.
+    The probe-then-write pattern is what makes nightly re-ingest
+    idempotent at the job level; row-level idempotency is the
+    companion merge_upsert / write_parquet_idempotent."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..ingest.sinks import dataset_exists
+
+    o = load_table(spark, sf_dir, "orders")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"rg_sink_mode_{tag}")
+    shutil.rmtree(path, ignore_errors=True)  # fixture reset, not semantics
+
+    for part in (
+        o.filter(F.col("o_orderkey") % 4 != 0),
+        o.filter(F.col("o_orderkey") % 4 == 0),
+    ):
+        mode = "append" if dataset_exists(spark, path) else "overwrite"
+        part.write.mode(mode).parquet(path)
+
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

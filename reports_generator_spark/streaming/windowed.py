@@ -181,3 +181,35 @@ def stream_stream_interval_join(
         "inner",
     ).select("user_id", "view_event_id", "purchase_event_id", "view_ts", "purchase_ts")
     return _run_to_memory(joined, "append")
+
+
+def stream_sliding_window_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding (overlapping) windowed aggregation: each event lands in
+    window/slide = 2 windows, so the state store carries 2× the
+    tumbling key count — the overlap factor, not the data rate, sizes
+    sliding-window state. Complete mode for the bounded availableNow
+    pass (same rationale as stream_tumbling_agg)."""
+    ev = _stream_events(_stream_session(spark), sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
