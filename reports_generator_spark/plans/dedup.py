@@ -643,3 +643,77 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dr(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6),
         ).alias("global_clustering"),
     )
+
+
+# ==========================================================================
+# Round-5: blocked entity resolution over structured records (the
+# record-linkage counterpart of the document-dedup family above).
+# ==========================================================================
+@query(
+    "entity_resolution_blocked",
+    oracle="""
+    WITH ents AS (
+      SELECT DISTINCT p_name, p_brand, p_size FROM part
+    ),
+    blocked AS (
+      SELECT string_split(p_name, ' ')[1] AS blk_tok, p_brand,
+             p_name, p_size
+      FROM ents
+    )
+    SELECT a.blk_tok, a.p_brand,
+           count(*) AS n_candidate_pairs,
+           CAST(sum(CASE WHEN a.p_name = b.p_name
+                          AND abs(a.p_size - b.p_size) <= 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+    FROM blocked a JOIN blocked b
+      ON a.blk_tok = b.blk_tok AND a.p_brand = b.p_brand
+     AND (a.p_name < b.p_name
+          OR (a.p_name = b.p_name AND a.p_size < b.p_size))
+    GROUP BY a.blk_tok, a.p_brand
+    """,
+)
+def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution over structured records — the
+    record-linkage counterpart of document dedup: candidate pairs are
+    generated ONLY inside blocks (first name-token × brand), then
+    scored by a field-match rule (same name, size within ±2). The two
+    scale levers this family lives or dies by are both explicit:
+    (1) pairing runs over DISTINCT entity tuples, never raw rows —
+    the fuzzy_join_levenshtein lesson: duplicate-heavy data multiplies
+    every block quadratically unless collapsed first; (2) the block
+    key bounds candidate generation to Σ block², with the key chosen
+    so blocks stay record-linkage-sized (~10² here) as the corpus
+    grows. Pair ordering uses the full (name, size) lexicographic
+    tiebreak so each unordered pair counts exactly once. Exact
+    string/integer matching — every count hash-checks."""
+    p = load_table(spark, sf_dir, "part")
+    ents = p.select("p_name", "p_brand", "p_size").distinct()
+    blocked = ents.select(
+        F.split("p_name", " ").getItem(0).alias("blk_tok"),
+        "p_brand",
+        "p_name",
+        "p_size",
+    ).localCheckpoint()
+    a = blocked.select(
+        "blk_tok",
+        "p_brand",
+        F.col("p_name").alias("name_a"),
+        F.col("p_size").alias("size_a"),
+    )
+    b = blocked.select(
+        "blk_tok",
+        "p_brand",
+        F.col("p_name").alias("name_b"),
+        F.col("p_size").alias("size_b"),
+    )
+    pairs = a.join(b, ["blk_tok", "p_brand"]).filter(
+        (F.col("name_a") < F.col("name_b"))
+        | ((F.col("name_a") == F.col("name_b")) & (F.col("size_a") < F.col("size_b")))
+    )
+    match = (F.col("name_a") == F.col("name_b")) & (
+        F.abs(F.col("size_a") - F.col("size_b")) <= 2
+    )
+    return pairs.groupBy("blk_tok", "p_brand").agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum(F.when(match, 1).otherwise(0)).cast("bigint").alias("n_matches"),
+    )

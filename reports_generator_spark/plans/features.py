@@ -512,3 +512,153 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("was_clipped"),
         )
     )
+
+
+# ==========================================================================
+# Round-5 feature-engineering batch: hashing trick, target encoding,
+# robust scaling.
+# ==========================================================================
+
+
+@query(
+    "feature_hash_bucket",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT tok,
+             CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 256 AS bucket
+      FROM toks
+    )
+    SELECT bucket,
+           count(*) AS n_tokens,
+           count(DISTINCT tok) AS n_distinct_tokens
+    FROM hashed GROUP BY bucket
+    """,
+)
+def feature_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick — unbounded token vocabulary → fixed 256-dim
+    feature space with NO vocabulary table: bucket = md5(token) mod
+    256, the portable hash family (dedup_minhash_portable's 60-bit
+    md5 prefix, reproducible by any engine) so the bucket assignment
+    itself is cross-engine value-checked. This is the
+    vocabulary-free alternative to feature_onehot_topk: no fit pass,
+    no broadcast dict, new tokens land deterministically — the only
+    featurizer whose cost model is flat at 100 TB (pure map +
+    one 256-group partial agg). Collision load per bucket is what the
+    per-bucket distinct count audits."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint") % 256
+    )
+    return toks.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+    )
+
+
+@query(
+    "feature_target_encode",
+    oracle="""
+    WITH t AS (
+      SELECT c_mktsegment,
+             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+      FROM customer
+    ),
+    g AS (SELECT CAST(sum(y) AS DOUBLE) / count(*) AS gmean FROM t),
+    enc AS (
+      SELECT c_mktsegment, count(*) AS n, sum(y) AS n_pos FROM t
+      GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n, n_pos,
+           floor((n_pos + 10.0 * gmean) / (n + 10.0) * 1000000 + 0.5) / 1000000
+             AS encoded
+    FROM enc, g
+    """,
+)
+def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical: category →
+    (Σy + m·ȳ_global)/(n + m), m=10 — the high-cardinality-safe
+    replacement for one-hot when a category has few rows (it shrinks
+    toward the global rate instead of memorizing noise). All counts
+    exact integers; the global mean is one 1-row broadcast; the final
+    expression is the same IEEE arithmetic on both engines. One
+    partial-agg groupBy over category cardinality — the fit pass of a
+    production encoder, scan-bound at any scale. (Leakage control —
+    out-of-fold encoding — composes with train_test_split's key-mod
+    folds; the arithmetic is identical per fold.)"""
+    c = load_table(spark, sf_dir, "customer")
+    t = c.select(
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") > 0, 1).otherwise(0).alias("y"),
+    )
+    g = t.agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("gmean")
+    ).withColumn("__k", F.lit(1))
+    enc = t.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+    return (
+        enc.withColumn("__k", F.lit(1))
+        .join(F.broadcast(g), "__k")
+        .select(
+            "c_mktsegment",
+            "n",
+            "n_pos",
+            dround(
+                (F.col("n_pos") + 10.0 * F.col("gmean")) / (F.col("n") + 10.0), 6
+            ).alias("encoded"),
+        )
+    )
+
+
+@query(
+    "feature_robust_scale",
+    oracle="""
+    WITH s AS (
+      SELECT quantile_cont(c_acctbal, 0.5) AS med,
+             quantile_cont(c_acctbal, 0.75) - quantile_cont(c_acctbal, 0.25)
+               AS iqr
+      FROM customer
+    )
+    SELECT c_custkey,
+           floor((c_acctbal - med) / iqr * 1000000 + 0.5) / 1000000
+             AS acctbal_robust
+    FROM customer, s
+    """,
+)
+def feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust scaling (x − median)/IQR — the outlier-immune companion
+    of feature_minmax_scale (one heavy-tailed row saturates min-max;
+    median/IQR shrug it off). Exact interpolated percentiles (Spark
+    percentile ≡ DuckDB quantile_cont) in a 1-row stats frame
+    broadcast back over the table: map-side scaling, zero shuffle of
+    the big side. At 100 TB the stats pass swaps to approx_percentile
+    (the GK path feature_quantile_bin_approx already demonstrates);
+    the scaling contract is unchanged."""
+    c = load_table(spark, sf_dir, "customer")
+    s = c.agg(
+        F.expr("percentile(c_acctbal, 0.5D)").alias("med"),
+        (
+            F.expr("percentile(c_acctbal, 0.75D)")
+            - F.expr("percentile(c_acctbal, 0.25D)")
+        ).alias("iqr"),
+    ).withColumn("__k", F.lit(1))
+    return (
+        c.withColumn("__k", F.lit(1))
+        .join(F.broadcast(s), "__k")
+        .select(
+            "c_custkey",
+            dround((F.col("c_acctbal") - F.col("med")) / F.col("iqr"), 6).alias(
+                "acctbal_robust"
+            ),
+        )
+    )

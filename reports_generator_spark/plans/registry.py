@@ -162,6 +162,11 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "calendar_dim_generate", "time_interpolate_linear", "bollinger_bands",
         "sink_mode_auto", "sql_agg_filter_clause", "sql_try_cast_safe",
         "scan_csv_malformed_permissive", "stream_sliding_window_agg",
+        "feature_hash_bucket", "feature_target_encode", "feature_robust_scale",
+        "text_clean_normalize", "text_pmi_cooccurrence",
+        "text_unigram_lm_perplexity", "bpe_pair_counts",
+        "entity_resolution_blocked", "eval_ranking_metrics",
+        "table_checksum_blocks", "spatial_heatmap_bin",
     }
 )
 

@@ -1889,3 +1889,55 @@ def scan_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame
             F.when(~corrupt, F.col("o_totalprice").cast("decimal(18,2)"))
         ).cast("double").alias("sum_good_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Order-independent block checksums: replication/migration verification
+# --------------------------------------------------------------------------
+@query(
+    "table_checksum_blocks",
+    oracle="""
+    WITH rows_c AS (
+      SELECT o_orderkey // 10000 AS block,
+             CAST(('0x' || substring(md5(
+                    CAST(o_orderkey AS STRING) || '|' || o_orderstatus || '|'
+                    || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                            AS STRING)), 1, 15)) AS BIGINT) AS h
+      FROM orders
+    )
+    SELECT block, count(*) AS n_rows,
+           bit_xor(h) AS checksum
+    FROM rows_c GROUP BY block
+    """,
+)
+def table_checksum_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level table checksums — the replication/migration
+    verifier: after copying a 100 TB table between stores, comparing
+    per-block (n_rows, checksum) pairs localizes any divergence to a
+    10k-key block without moving data. Three portability requirements,
+    each explicit: the row hash is the md5-prefix family ANY engine
+    reproduces (dedup_minhash_portable's); the canonical row string
+    uses only integers and verbatim strings (money folds to integer
+    cents — never a double→string format, which engines disagree on);
+    and the block aggregate is bit_xor — order-independent and
+    overflow-free, so any partitioning, any engine, any row order
+    yields identical checksums. One partial-agg groupBy: scan-bound."""
+    o = _t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return (
+        o.select(
+            F.floor(F.col("o_orderkey") / 10000).cast("bigint").alias("block"),
+            h.alias("h"),
+        )
+        .groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("h").alias("checksum"),
+        )
+    )

@@ -823,3 +823,175 @@ def embedding_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sqrt(e64), 6).alias("norm64"),
         dround(e16 / e64, 6).alias("energy_kept"),
     )
+
+
+# ==========================================================================
+# Round-5: retrieval-quality evaluation (MRR / precision@k / NDCG)
+# ==========================================================================
+@query(
+    "eval_ranking_metrics",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    probes0 AS (SELECT * FROM n WHERE vec_id % 23 = 0),
+    probes AS (
+      SELECT vec_id, label, v, nrm FROM (
+        SELECT *, row_number() OVER (
+                 ORDER BY ((vec_id % 2147483648) * 2654435761) % 1048573, vec_id) AS pr
+        FROM probes0
+      ) WHERE pr <= 200
+    ),
+    train AS (SELECT * FROM n WHERE vec_id % 23 <> 0),
+    n_rel AS (
+      SELECT p.vec_id AS probe_id, count(*) AS n_rel_total
+      FROM probes p JOIN train t ON t.label = p.label
+      GROUP BY p.vec_id
+    ),
+    scored AS (
+      SELECT p.vec_id AS probe_id, p.label AS true_label,
+             t.label AS nbr_label,
+             round(list_dot_product(p.v, t.v) / (p.nrm * t.nrm), 4) AS score,
+             t.vec_id AS nbr_id
+      FROM probes p CROSS JOIN train t
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                   ORDER BY score DESC, nbr_id ASC) AS rnk
+      FROM scored
+    ),
+    top10 AS (SELECT * FROM ranked WHERE rnk <= 10),
+    per_probe AS (
+      SELECT t.probe_id, any_value(t.true_label) AS true_label,
+             coalesce(max(CASE WHEN t.nbr_label = t.true_label
+                               THEN 1.0 / t.rnk END), 0.0) AS mrr10,
+             sum(CASE WHEN t.rnk <= 5 AND t.nbr_label = t.true_label
+                      THEN 1 ELSE 0 END) / 5.0 AS p_at_5,
+             sum(CASE WHEN t.nbr_label = t.true_label
+                      THEN 1.0 / (ln(t.rnk + 1) / ln(2)) ELSE 0.0 END) AS dcg10,
+             any_value(r.n_rel_total) AS n_rel_total
+      FROM top10 t JOIN n_rel r ON r.probe_id = t.probe_id
+      GROUP BY t.probe_id
+    ),
+    idcg AS (
+      SELECT probe_id,
+             (SELECT sum(1.0 / (ln(i + 1) / ln(2)))
+              FROM unnest(range(1, CAST(least(10, n_rel_total) AS BIGINT) + 1))
+                   AS u(i)) AS idcg10
+      FROM per_probe
+    )
+    SELECT p.true_label,
+           count(*) AS n_probes,
+           floor(avg(p.mrr10) * 1000000 + 0.5) / 1000000 AS mrr_at_10,
+           floor(avg(p.p_at_5) * 1000000 + 0.5) / 1000000 AS precision_at_5,
+           floor(avg(p.dcg10 / i.idcg10) * 1000000 + 0.5) / 1000000 AS ndcg_at_10
+    FROM per_probe p JOIN idcg i USING (probe_id)
+    GROUP BY p.true_label
+    """,
+)
+def eval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the similarity index: MRR@10,
+    precision@5 and NDCG@10 of cosine retrieval, judged by label
+    agreement, macro-averaged per query label — the metric suite a
+    RAG/embedding pipeline runs before swapping index or model. Same
+    bounded-probe harness as knn_label_accuracy (200 deterministic
+    probes broadcast against the corpus — evaluation cost stays linear
+    in the corpus at any scale; rank ties broken on the 4-dp score +
+    id so both engines rank identically). NDCG's ideal normalizer
+    uses min(10, #relevant-in-corpus), computed exactly; logs are of
+    exact integers, so every metric is the same IEEE arithmetic
+    cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "v", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    from pyspark.sql import Window as _W
+
+    pw = _W.orderBy(
+        ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761)) % 1048573,
+        F.col("vec_id"),
+    )
+    probes = (
+        n.filter(F.col("vec_id") % 23 == 0)
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= 200)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("label").alias("true_label"),
+            F.col("v").alias("pv"),
+            F.col("nrm").alias("pn"),
+        )
+    )
+    train = n.filter(F.col("vec_id") % 23 != 0)
+    sc = spark.sparkContext
+    if train.rdd.getNumPartitions() < sc.defaultParallelism:
+        train = train.repartition(sc.defaultParallelism)
+    train = train.localCheckpoint(eager=False)
+
+    n_rel = (
+        F.broadcast(probes.select("probe_id", "true_label"))
+        .join(train, train.label == F.col("true_label"))
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_rel_total"))
+    )
+    dot = F.aggregate(
+        F.zip_with("pv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = F.broadcast(probes).crossJoin(train).select(
+        "probe_id",
+        "true_label",
+        F.col("label").alias("nbr_label"),
+        F.round(dot / (F.col("pn") * F.col("nrm")), 4).alias("score"),
+        F.col("vec_id").alias("nbr_id"),
+    )
+    w = _W.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("nbr_id").asc())
+    top10 = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+    rel = F.col("nbr_label") == F.col("true_label")
+    log2rnk = F.log(F.col("rnk") + 1) / F.log(F.lit(2.0))
+    per_probe = (
+        top10.join(F.broadcast(n_rel), "probe_id")
+        .groupBy("probe_id")
+        .agg(
+            F.any_value("true_label").alias("true_label"),
+            F.coalesce(
+                F.max(F.when(rel, 1.0 / F.col("rnk"))), F.lit(0.0)
+            ).alias("mrr10"),
+            (
+                F.sum(F.when(rel & (F.col("rnk") <= 5), 1).otherwise(0)) / 5.0
+            ).alias("p_at_5"),
+            F.sum(F.when(rel, 1.0 / log2rnk).otherwise(0.0)).alias("dcg10"),
+            F.any_value("n_rel_total").alias("n_rel_total"),
+        )
+    )
+    ideal = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(10), F.col("n_rel_total"))),
+            lambda i: 1.0 / (F.log(i.cast("double") + 1.0) / F.log(F.lit(2.0))),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        per_probe.withColumn("idcg10", ideal)
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            dround(F.avg("mrr10"), 6).alias("mrr_at_10"),
+            dround(F.avg("p_at_5"), 6).alias("precision_at_5"),
+            dround(F.avg(F.col("dcg10") / F.col("idcg10")), 6).alias("ndcg_at_10"),
+        )
+    )

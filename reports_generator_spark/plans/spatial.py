@@ -110,3 +110,48 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(d2).cast("bigint").alias("min_dist2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 2-D heatmap binning (density grid aggregation)
+# --------------------------------------------------------------------------
+@query(
+    "spatial_heatmap_bin",
+    oracle=f"""
+    WITH pts AS (
+      SELECT ((c_custkey % {_MASK}) * {_HX}) % {_GRID} AS x,
+             ((c_custkey % {_MASK}) * {_HY}) % {_GRID} AS y,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT CAST(x // 100 AS BIGINT) AS cell_x,
+           CAST(y // 100 AS BIGINT) AS cell_y,
+           count(*) AS n_points,
+           CAST(sum(cents) AS DOUBLE) / 100 AS total_acctbal
+    FROM pts GROUP BY 1, 2
+    """,
+)
+def spatial_heatmap_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D density-grid aggregation (heatmap binning): points bucket
+    into a 10×10 coarse grid, each cell reporting count + exact mass —
+    the tile-aggregation shape behind map heatmaps and spatial
+    histograms, and the density pre-pass before the grid radius join
+    (join_spatial_grid) picks its cell width. Coordinates come from
+    the module's deterministic pseudo-geography (masked multiplicative
+    hashes, oracle-identical); binning is pure integer division, the
+    aggregate is one partial-agg groupBy with output bounded by grid
+    size — the ideal 100 TB shape (cells, not points, cross the
+    shuffle). Money folds to integer cents before summing."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.pmod((F.col("c_custkey") % _MASK) * _HX, F.lit(_GRID)).alias("x"),
+        F.pmod((F.col("c_custkey") % _MASK) * _HY, F.lit(_GRID)).alias("y"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    return pts.groupBy(
+        F.floor(F.col("x") / 100).cast("bigint").alias("cell_x"),
+        F.floor(F.col("y") / 100).cast("bigint").alias("cell_y"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.sum("cents").cast("double") / 100).alias("total_acctbal"),
+    )

@@ -1063,3 +1063,214 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         dround(F.lit(1) - F.col("n_in") * 1.0 / F.col("n_tok"), 4).alias("oov_rate"),
     )
+
+
+# ==========================================================================
+# Round-5 text batch: normalization, PMI co-occurrence, unigram-LM
+# perplexity, BPE pair counts.
+# ==========================================================================
+
+
+@query(
+    "text_clean_normalize",
+    oracle="""
+    WITH cleaned AS (
+      SELECT c_custkey,
+             trim(regexp_replace(
+                    regexp_replace(lower(c_name), '[^a-z0-9 ]', ' ', 'g'),
+                    ' +', ' ', 'g')) AS clean
+      FROM customer
+    )
+    SELECT c_custkey, clean,
+           length(clean) AS n_chars,
+           len(list_filter(string_split(clean, ' '), x -> x <> '')) AS n_tokens
+    FROM cleaned
+    """,
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the first stage of every text
+    pipeline: lowercase, non-alphanumerics to spaces, whitespace
+    collapse, trim. Kept to regex constructs whose semantics are
+    identical in Java regex and RE2 (character classes and ' +' only
+    — no \\b, no lookaround, the dialect-portability lesson of
+    text_redact_pii), so the normalized STRING itself is the
+    hash-checked value, not a statistic of it. Pure map work in
+    whole-stage codegen; Unicode NFC folding (no JVM-builtin
+    expression) would slot in here as the documented Arrow-UDF
+    upgrade for non-ASCII corpora."""
+    c = load_table(spark, sf_dir, "customer")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("c_name")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return c.select("c_custkey", clean.alias("clean")).select(
+        "c_custkey",
+        "clean",
+        F.length("clean").alias("n_chars"),
+        F.size(F.filter(F.split(F.col("clean"), " "), lambda x: x != "")).alias(
+            "n_tokens"
+        ),
+    )
+
+
+@query(
+    "text_pmi_cooccurrence",
+    oracle=f"""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+    ),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS nd FROM dw),
+    wf AS (SELECT w, count(*) AS f FROM dw GROUP BY w),
+    pairs AS (
+      SELECT a.w AS w_a, b.w AS w_b, count(*) AS n_co
+      FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w
+      HAVING count(*) >= 5
+    )
+    SELECT w_a, w_b, n_co,
+           floor(ln(n_co * 1.0 * nd / (fa.f * fb.f)) * 1000000 + 0.5) / 1000000
+             AS pmi
+    FROM pairs
+    JOIN wf fa ON fa.w = w_a
+    JOIN wf fb ON fb.w = w_b
+    CROSS JOIN n_docs
+    """,
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of word pairs co-occurring in the
+    same document — the association-mining step behind collocation
+    extraction and distributional embeddings:
+    PMI = ln(P(a,b)/(P(a)P(b))) over document-level presence. The
+    market_basket_pairs shape applied to text: distinct (doc, word),
+    self-equi-join on doc_id with an ordering filter, min-support 5.
+    The pair space after partial aggregation is bounded by vocabulary²
+    (the shuffle carries distinct pairs per task, not occurrences);
+    on an open-vocabulary corpus the rare-token filter
+    (text_rare_token_stats) and the basket cap (market_basket_pairs)
+    compose in front. PMI is one ln() of an exact integer rational —
+    identical doubles cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    dw = d.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w")
+    ).distinct().localCheckpoint()
+    nd = dw.select("doc_id").distinct().count()
+    wf = dw.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    a = dw.select("doc_id", F.col("w").alias("w_a"))
+    b = dw.select("doc_id", F.col("w").alias("w_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("w_a") < F.col("w_b"))
+        .groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 5)
+    )
+    fa = wf.select(F.col("w").alias("w_a"), F.col("f").alias("fa"))
+    fb = wf.select(F.col("w").alias("w_b"), F.col("f").alias("fb"))
+    return (
+        pairs.join(fa, "w_a")
+        .join(fb, "w_b")
+        .select(
+            "w_a",
+            "w_b",
+            "n_co",
+            dround(
+                F.log(F.col("n_co") * F.lit(1.0) * nd / (F.col("fa") * F.col("fb"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "text_unigram_lm_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+    ),
+    wf AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
+    corpus AS (
+      SELECT (SELECT count(*) FROM toks) AS total,
+             (SELECT count(*) FROM wf) AS vocab
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           floor(-sum(ln((f + 1.0) / (total + vocab))) / count(*)
+                 * 1000000 + 0.5) / 1000000 AS cross_entropy
+    FROM toks t JOIN wf USING (w) CROSS JOIN corpus
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an add-1-smoothed unigram
+    language model trained on the corpus itself — the classic cheap
+    LM-quality filter (documents whose token distribution diverges
+    from the corpus score high = surprising = gibberish or off-domain;
+    the heavy-LM perplexity filter's shape with a train-free model).
+    Two passes: token counts (partial-agg groupBy), then per-doc
+    −Σ ln P(w)/n with the count table joined back (broadcast at
+    vocabulary size). P(w) = (f+1)/(N+V) is an exact integer rational
+    → identical ln() doubles; the per-doc sum reassociates at ~1e-15
+    against a 1e-6 rounding band."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w")
+    ).localCheckpoint()
+    wf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    total = toks.count()
+    vocab = wf.count()
+    lp = F.log((F.col("f") + 1.0) / F.lit(float(total + vocab)))
+    return (
+        toks.join(F.broadcast(wf), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dround(-F.sum(lp) / F.count(F.lit(1)), 6).alias("cross_entropy"),
+        )
+    )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest({_SQL_TOKS}) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, CAST(i AS INT), 2))) AS pair
+      FROM words WHERE length(w) >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs
+    GROUP BY pair
+    HAVING count(*) >= 10
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent character-pair frequencies over the corpus — the
+    candidate-scoring step of byte-pair-encoding tokenizer training
+    (each BPE merge round picks argmax of exactly this table; the
+    iterative merge loop re-runs this count over re-segmented text,
+    so its cost model IS tokenizer training's cost model). Explode
+    words → explode the length-1 positions per word via sequence()
+    (a generator, not a join) → one partial-agg groupBy bounded by
+    alphabet², with a min-count floor mirroring BPE's merge
+    threshold. Pure integer/string ops — exact cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") >= 10
+    )

@@ -183,6 +183,13 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # same 1-row-stats broadcast-cross shape: zorder attaches the
         # min/max frame, approx binning attaches the 9 GK cut-points
         "zorder_cluster", "feature_quantile_bin_approx", "feature_winsorize",
+        # round-5 members of the same 1-row-stats broadcast-cross class:
+        # benford attaches the 9-digit total, target-encode the global
+        # mean, robust-scale the median/IQR frame, seasonality the
+        # overall-average frame; eval_ranking_metrics broadcasts the
+        # bounded 200-probe set against the corpus (the knn posture)
+        "benford_first_digit", "feature_target_encode", "feature_robust_scale",
+        "seasonality_dow_index", "eval_ranking_metrics",
         # calendar-spine cross type-dimension: both sides are provably
         # tiny derived frames (days × event types); the broadcast cross
         # is the intended plan
