@@ -155,6 +155,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # changed this round
         "join_theta_range", "market_basket_pairs", "graph_pagerank",
         "embedding_pca_per_label",
+        # ANN attestation anchored to a DuckDB-recomputed exact-top-k
+        # checksum (new exact_id_sum column) — schema changed, re-attest
+        "similarity_topk_lsh", "similarity_topk_ivf",
         # new round-5 operators
         "abc_pareto_classification", "gini_coefficient", "hhi_concentration",
         "benford_first_digit", "anomaly_iqr", "purchase_interarrival_stats",

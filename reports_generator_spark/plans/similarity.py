@@ -58,9 +58,13 @@ def _ann_attestation(
     """One-row quality attestation of an ANN top-k result against the
     exact top-k — the pattern that turns a hash-family-dependent key
     (bucket membership is seeded-LSH/xxhash64, which no external
-    oracle reproduces) into a hash-attested one: every boolean below
-    is checked by the oracle as a TRUE constant, and the counts are
-    independently recomputed by DuckDB.
+    oracle reproduces) into a hash-attested one. The attestation is
+    ANCHORED to cross-engine data, not free-floating: `exact_id_sum`
+    (Σ neighbor_id over the exact top-k reference lists) is
+    independently recomputed by DuckDB through its own brute-force
+    ranking, so a drifted exact side — which every boolean is judged
+    against — surfaces as a value mismatch; the booleans themselves
+    are Spark-derived (TRUE in the oracle).
 
     - per_query_complete_ok: every query returned exactly k neighbors;
     - no_self_ok / ranked_ok: structural contract of the result
@@ -106,10 +110,14 @@ def _ann_attestation(
         (~F.max("misranked")).alias("ranked_ok"),
         F.sum("n_hits").alias("n_hits"),
     ).collect()[0]
+    exact_id_sum = (
+        exact.agg(F.sum("neighbor_id").cast("bigint").alias("s")).collect()[0].s
+    )
     spark = approx.sparkSession
     return spark.range(1).select(
         F.lit(m.n_queries).cast("bigint").alias("n_queries"),
         F.lit(TOPK).cast("bigint").alias("k"),
+        F.lit(exact_id_sum).cast("bigint").alias("exact_id_sum"),
         F.lit(bool(m.per_query_complete_ok)).alias("per_query_complete_ok"),
         F.lit(bool(m.no_self_ok)).alias("no_self_ok"),
         F.lit(bool(m.ranked_ok)).alias("ranked_ok"),
@@ -118,10 +126,32 @@ def _ann_attestation(
 
 
 _ANN_ATTEST_ORACLE = f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+          WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qv, c.v) / (q.qn * c.nrm), 4)
+                            DESC,
+                          c.vec_id ASC) AS rank
+        FROM q CROSS JOIN n c
+        WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= {TOPK}
+    )
     SELECT CAST({len(QUERY_IDS)} AS BIGINT) AS n_queries,
            CAST({TOPK} AS BIGINT) AS k,
+           CAST(sum(neighbor_id) AS BIGINT) AS exact_id_sum,
            TRUE AS per_query_complete_ok, TRUE AS no_self_ok,
            TRUE AS ranked_ok, TRUE AS pooled_recall_ok
+    FROM exact
 """
 
 

@@ -1,0 +1,191 @@
+"""Behavioral tests for the round-5 operators — planted-case
+properties the DuckDB parity harness can't express: a checksum that
+actually detects a mutation, interpolation hitting the exact midpoint,
+ER blocking never crossing blocks, Gini's closed-form extremes,
+sink-mode idempotency, Bollinger degeneracy on a constant series."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from reports_generator_spark.plans import registry
+
+from conftest import SF_DIR
+
+registry.load_all()
+
+
+def _mini_sf(spark, tmp, **tables):
+    """Write small DataFrames as <tmp>/<name>.parquet and return tmp —
+    a synthetic sf_dir any registered key can run against."""
+    for name, df in tables.items():
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/{name}.parquet")
+    return tmp
+
+
+def test_table_checksum_detects_single_row_mutation(spark):
+    """Flipping ONE row's status must change exactly that row's block
+    checksum and no other — the divergence-localization contract."""
+    base = registry.QUERIES["table_checksum_blocks"](spark, SF_DIR)
+    with tempfile.TemporaryDirectory() as tmp:
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        mutated = o.withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") == 1, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        _mini_sf(spark, tmp, orders=mutated)
+        mut = registry.QUERIES["table_checksum_blocks"](spark, tmp)
+        diff = (
+            base.alias("a")
+            .join(mut.alias("b"), "block")
+            .filter(F.col("a.checksum") != F.col("b.checksum"))
+            .select("block")
+            .collect()
+        )
+        assert [r.block for r in diff] == [0]  # orderkey 1 // 10000
+        # row counts unchanged everywhere
+        nc = (
+            base.alias("a")
+            .join(mut.alias("b"), "block")
+            .filter(F.col("a.n_rows") != F.col("b.n_rows"))
+            .count()
+        )
+        assert nc == 0
+
+
+def test_interpolation_hits_exact_midpoint(spark):
+    """Two purchase observations two hours apart: the missing middle
+    hour interpolates to exactly the mean of the endpoints."""
+    with tempfile.TemporaryDirectory() as tmp:
+        ev = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:30:00", 7, "purchase", 10.0, "{}"),
+                (2, "2024-01-01 02:30:00", 7, "purchase", 30.0, "{}"),
+            ],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        _mini_sf(spark, tmp, events=ev)
+        rows = {
+            r.h: r
+            for r in registry.QUERIES["time_interpolate_linear"](spark, tmp).collect()
+        }
+        assert len(rows) == 3
+        hs = sorted(rows)
+        assert rows[hs[0]].src == "obs" and rows[hs[0]].value == 10.0
+        assert rows[hs[1]].src == "interp" and rows[hs[1]].value == 20.0
+        assert rows[hs[2]].src == "obs" and rows[hs[2]].value == 30.0
+
+
+def test_entity_resolution_never_pairs_across_blocks(spark):
+    """Identical names under different brands share no block, so they
+    are never even candidates — the blocking contract."""
+    with tempfile.TemporaryDirectory() as tmp:
+        p = spark.createDataFrame(
+            [
+                (1, "cold widget", "B1", "PROMO", 10, 1.0),
+                (2, "cold widget", "B1", "PROMO", 11, 1.0),   # match (size 1 apart)
+                (3, "cold widget", "B2", "PROMO", 10, 1.0),   # other block
+                (4, "cold gadget", "B1", "PROMO", 10, 1.0),   # candidate, no match
+            ],
+            "p_partkey long, p_name string, p_brand string, p_type string,"
+            " p_size int, p_retailprice double",
+        )
+        _mini_sf(spark, tmp, part=p)
+        out = registry.QUERIES["entity_resolution_blocked"](spark, tmp).collect()
+        by_block = {(r.blk_tok, r.p_brand): r for r in out}
+        b1 = by_block[("cold", "B1")]
+        # 3 distinct B1 entities -> 3 candidate pairs, 1 true match
+        assert b1.n_candidate_pairs == 3 and b1.n_matches == 1
+        assert ("cold", "B2") not in by_block  # single entity, no pairs
+
+
+def test_gini_extremes(spark):
+    """Equal spend per customer → Gini 0; one customer holding
+    everything → Gini → (n-1)/n."""
+    def run(rows):
+        with tempfile.TemporaryDirectory() as tmp:
+            o = spark.createDataFrame(
+                rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string,"
+                " o_totalprice double, o_orderdate timestamp,"
+                " o_orderpriority string",
+            )
+            _mini_sf(spark, tmp, orders=o)
+            return registry.QUERIES["gini_coefficient"](spark, tmp).collect()[0]
+
+    equal = run([(i, i, "O", 100.0, None, "1-URGENT") for i in range(1, 11)])
+    assert equal.gini == 0.0
+    skewed = run(
+        [(1, 1, "O", 10000.0, None, "1-URGENT")]
+        + [(i, i, "O", 0.01, None, "1-URGENT") for i in range(2, 11)]
+    )
+    assert skewed.gini > 0.85  # → 0.9 as the small spends → 0
+
+
+def test_sink_mode_auto_is_idempotent_across_runs(spark):
+    """Running the key twice yields identical results — the fixture
+    reset + probe-then-write sequence never double-appends."""
+    a = registry.QUERIES["sink_mode_auto"](spark, SF_DIR).collect()
+    b = registry.QUERIES["sink_mode_auto"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bollinger_constant_series_has_zero_width(spark):
+    """A constant daily count series: sigma = 0, both bands equal the
+    mean equal the value."""
+    with tempfile.TemporaryDirectory() as tmp:
+        rows = [
+            (d * 10 + i, 1, "O", 5.0, f"1994-01-{d:02d} 00:00:00", "1-URGENT")
+            for d in range(1, 11)
+            for i in range(3)  # exactly 3 orders per day
+        ]
+        o = spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+        _mini_sf(spark, tmp, orders=o)
+        out = registry.QUERIES["bollinger_bands"](spark, tmp).collect()
+        assert len(out) == 10
+        for r in out:
+            assert r.n == 3 and r.ma7 == 3.0
+            assert r.upper_band == 3.0 and r.lower_band == 3.0
+
+
+def test_feature_hash_bucket_conserves_tokens(spark):
+    """Bucketing is a partition of the token stream: bucket counts sum
+    to the corpus token count and every bucket id is in [0, 256)."""
+    out = registry.QUERIES["feature_hash_bucket"](spark, SF_DIR).collect()
+    total = sum(r.n_tokens for r in out)
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    expect = d.select(
+        F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != "")).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert total == expect
+    assert all(0 <= r.bucket < 256 for r in out)
+
+
+def test_weighted_median_hand_case(spark):
+    """Hand-checkable: prices 1,2,3 with weights 1,1,8 → half the
+    total weight (5) is reached at price 3."""
+    with tempfile.TemporaryDirectory() as tmp:
+        li = spark.createDataFrame(
+            [
+                (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "A", "F", None),
+                (1, 2, 1, 2, 1.0, 2.0, 0.0, 0.0, "A", "F", None),
+                (1, 3, 1, 3, 8.0, 3.0, 0.0, 0.0, "A", "F", None),
+            ],
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+            " l_quantity double, l_extendedprice double, l_discount double,"
+            " l_tax double, l_returnflag string, l_linestatus string,"
+            " l_shipdate timestamp",
+        )
+        _mini_sf(spark, tmp, lineitem=li)
+        r = registry.QUERIES["agg_weighted_median"](spark, tmp).collect()[0]
+        assert r.weighted_median_price == 3.0 and r.total_weight == 10
