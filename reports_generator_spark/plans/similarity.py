@@ -78,6 +78,11 @@ def _ann_attestation(
     """
     from pyspark.sql import Window
 
+    # two actions read `exact` (the metrics join and the exact_id_sum
+    # anchor); persist the tiny n_queries*k-row result so the
+    # brute-force ranking underneath runs once, not twice
+    exact = exact.persist()
+
     a = approx.select("query_id", "neighbor_id", "score", "rank")
     # hit flag via left join, then ONE aggregation computes every
     # attestation quantity in a single job
@@ -113,6 +118,7 @@ def _ann_attestation(
     exact_id_sum = (
         exact.agg(F.sum("neighbor_id").cast("bigint").alias("s")).collect()[0].s
     )
+    exact.unpersist()
     spark = approx.sparkSession
     return spark.range(1).select(
         F.lit(m.n_queries).cast("bigint").alias("n_queries"),
