@@ -148,3 +148,156 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("keep_doc"),
     )
+
+
+# ==========================================================================
+# URL canonicalization — the stage-0 dedup key of every web-scale corpus
+# pipeline (C4 / RefinedWeb / FineWeb dedupe by canonical URL before any
+# content-level pass). The fixture has no URL column, so messy variants
+# are synthesized deterministically from doc_id on BOTH engines (the
+# text_redact_pii pattern): scheme-case, WWW. prefix, host case, default
+# :443 port, utm tracking query, fragment, trailing slash — with doc
+# pairs floor(doc_id/2) sharing a landing page so canonicalization
+# provably collapses them.
+# ==========================================================================
+
+_URL_SYNTH_SQL = """
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+             || '://'
+             || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0
+                      THEN upper('cdn' || CAST((doc_id // 2) % 7 AS VARCHAR)
+                           || '.' || (CASE CAST((doc_id // 2) % 3 AS INT)
+                                      WHEN 0 THEN 'example.com'
+                                      WHEN 1 THEN 'example.org'
+                                      ELSE 'example.net' END))
+                      ELSE 'cdn' || CAST((doc_id // 2) % 7 AS VARCHAR)
+                           || '.' || (CASE CAST((doc_id // 2) % 3 AS INT)
+                                      WHEN 0 THEN 'example.com'
+                                      WHEN 1 THEN 'example.org'
+                                      ELSE 'example.net' END) END)
+             || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+             || '/docs/' || CAST(doc_id // 2 AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 0
+                      THEN '?utm_source=feed&utm_medium=rss' ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)
+             AS url
+      FROM documents
+"""
+
+_URL_CANON_ORACLE = f"""
+    WITH raw AS ({_URL_SYNTH_SQL}),
+    s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+    s2 AS (SELECT doc_id, regexp_replace(u, '\\?utm[^#]*$', '') AS u FROM s1),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]*)', 1)),
+               '^www\\.', ''), ':443$', '') AS host,
+             regexp_replace(
+               regexp_extract(u, '^[A-Za-z]+://[^/?#]*(.*)$', 1),
+               '/$', '') AS path
+      FROM s2
+    ),
+    canon AS (
+      SELECT doc_id, scheme || '://' || host || path AS canonical_url,
+             regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+      FROM parts
+    ),
+    per_url AS (
+      SELECT domain, canonical_url, count(*) AS n
+      FROM canon GROUP BY 1, 2
+    )
+    SELECT domain,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_canonical_urls,
+           CAST(sum(n - 1) AS BIGINT) AS n_url_dup_docs,
+           CAST(max(n) AS BIGINT) AS max_docs_per_url,
+           min(canonical_url) AS sample_url
+    FROM per_url
+    GROUP BY domain
+"""
+
+
+@query("corpus_url_canonicalize", oracle=_URL_CANON_ORACLE)
+def corpus_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-keyed dup grouping — stage 0 of
+    web-corpus curation (C4/RefinedWeb/FineWeb all dedupe on the
+    canonical URL before any content pass). Variants normalized:
+    scheme/host case, `www.` prefix, default `:443` port, `utm_*`
+    tracking query, fragment, trailing slash. Output per registered
+    domain: doc count, distinct canonical URLs, docs collapsed by
+    URL-level dedup, the hottest URL's multiplicity, and a
+    deterministic sample.
+
+    The fixture synthesizes the messy URLs from doc_id identically on
+    both engines (each floor(doc_id/2) pair decorates one landing page
+    two different ways, so every pair MUST collapse — n_url_dup_docs
+    directly attests the canonicalizer).
+
+    Scale: the synthesis + canonicalization is shuffle-free
+    whole-stage-codegen string work at scan speed; the only shuffles
+    are the two partial-agg hash aggregations (per-URL, then
+    per-domain), both with map-side combine. At 100 TB the per-URL
+    aggregation is the standard first dedup shuffle every web pipeline
+    pays; domains are few, and a hot URL is a single hot key handled
+    by AQE skew split (the groupBy carries no row payload beyond the
+    count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pid = F.floor(did / 2).cast("long")
+    tld = (
+        F.when((pid % 3) == 0, F.lit("example.com"))
+        .when((pid % 3) == 1, F.lit("example.org"))
+        .otherwise(F.lit("example.net"))
+    )
+    hostbase = F.concat(F.lit("cdn"), (pid % 7).cast("string"), F.lit("."), tld)
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.upper(hostbase)).otherwise(hostbase),
+        F.when(did % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"), pid.cast("string"),
+        F.when(did % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.lit("?utm_source=feed&utm_medium=rss")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 7 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    u = F.regexp_replace(
+        F.regexp_replace(url, r"#.*$", ""), r"\?utm[^#]*$", ""
+    )
+    staged = docs.select(did.alias("doc_id"), u.alias("u")).select(
+        "doc_id",
+        F.lower(F.regexp_extract("u", r"^([A-Za-z]+)://", 1)).alias("scheme"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.regexp_extract("u", r"^[A-Za-z]+://([^/?#]*)", 1)),
+                r"^www\.", "",
+            ),
+            r":443$", "",
+        ).alias("host"),
+        F.regexp_replace(
+            F.regexp_extract("u", r"^[A-Za-z]+://[^/?#]*(.*)$", 1), r"/$", ""
+        ).alias("path"),
+    )
+    canon = staged.select(
+        F.concat("scheme", F.lit("://"), "host", F.col("path")).alias(
+            "canonical_url"
+        ),
+        F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1).alias("domain"),
+    )
+    per_url = canon.groupBy("domain", "canonical_url").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_url.groupBy("domain").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_canonical_urls"),
+        F.sum(F.col("n") - 1).cast("bigint").alias("n_url_dup_docs"),
+        F.max("n").cast("bigint").alias("max_docs_per_url"),
+        F.min("canonical_url").alias("sample_url"),
+    )

@@ -170,6 +170,7 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "text_unigram_lm_perplexity", "bpe_pair_counts",
         "entity_resolution_blocked", "eval_ranking_metrics",
         "table_checksum_blocks", "spatial_heatmap_bin",
+        "corpus_url_canonicalize",
     }
 )
 

@@ -189,3 +189,21 @@ def test_weighted_median_hand_case(spark):
         _mini_sf(spark, tmp, lineitem=li)
         r = registry.QUERIES["agg_weighted_median"](spark, tmp).collect()[0]
         assert r.weighted_median_price == 3.0 and r.total_weight == 10
+
+
+def test_url_canonicalize_collapses_every_pair(spark):
+    """Each floor(doc_id/2) pair decorates ONE landing page two ways,
+    so canonical URLs == distinct pair ids and every second doc is a
+    URL-level dup."""
+    out = registry.QUERIES["corpus_url_canonicalize"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    n_pids = docs.select((F.floor(F.col("doc_id") / 2)).alias("p")).distinct().count()
+    assert sum(r.n_docs for r in out) == n_docs
+    assert sum(r.n_canonical_urls for r in out) == n_pids
+    assert sum(r.n_url_dup_docs for r in out) == n_docs - n_pids
+    for r in out:
+        assert r.domain in {"example.com", "example.org", "example.net"}
+        assert r.sample_url.startswith("https://cdn")
+        assert "utm" not in r.sample_url and "#" not in r.sample_url
+        assert ":443" not in r.sample_url and "www." not in r.sample_url
