@@ -199,7 +199,7 @@ _URL_CANON_ORACLE = f"""
                '^www\\.', ''), ':443$', '') AS host,
              regexp_replace(
                regexp_extract(u, '^[A-Za-z]+://[^/?#]*(.*)$', 1),
-               '/$', '') AS path
+               '/+$', '') AS path
       FROM s2
     ),
     canon AS (
@@ -268,28 +268,11 @@ def corpus_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(did % 7 == 0, F.lit("#section-2")).otherwise(F.lit("")),
     )
-    u = F.regexp_replace(
-        F.regexp_replace(url, r"#.*$", ""), r"\?utm[^#]*$", ""
-    )
-    staged = docs.select(did.alias("doc_id"), u.alias("u")).select(
-        "doc_id",
-        F.lower(F.regexp_extract("u", r"^([A-Za-z]+)://", 1)).alias("scheme"),
-        F.regexp_replace(
-            F.regexp_replace(
-                F.lower(F.regexp_extract("u", r"^[A-Za-z]+://([^/?#]*)", 1)),
-                r"^www\.", "",
-            ),
-            r":443$", "",
-        ).alias("host"),
-        F.regexp_replace(
-            F.regexp_extract("u", r"^[A-Za-z]+://[^/?#]*(.*)$", 1), r"/$", ""
-        ).alias("path"),
-    )
-    canon = staged.select(
-        F.concat("scheme", F.lit("://"), "host", F.col("path")).alias(
-            "canonical_url"
-        ),
-        F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1).alias("domain"),
+    from ..functions.url import canonical_host, canonicalize_url, registered_domain
+
+    canon = docs.select(url.alias("url")).select(
+        canonicalize_url("url").alias("canonical_url"),
+        registered_domain(canonical_host("url")).alias("domain"),
     )
     per_url = canon.groupBy("domain", "canonical_url").agg(
         F.count(F.lit(1)).alias("n")
