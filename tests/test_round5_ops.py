@@ -207,3 +207,68 @@ def test_url_canonicalize_collapses_every_pair(spark):
         assert r.sample_url.startswith("https://cdn")
         assert "utm" not in r.sample_url and "#" not in r.sample_url
         assert ":443" not in r.sample_url and "www." not in r.sample_url
+
+
+def test_table_checksum_permutation_invariant(spark):
+    """Row order must not change any block checksum (bit_xor is
+    commutative): a fully shuffled rewrite of orders produces
+    identical (block, checksum, n_rows) triples."""
+    base = {
+        (r.block): (r.checksum, r.n_rows)
+        for r in registry.QUERIES["table_checksum_blocks"](spark, SF_DIR).collect()
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        o = (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .orderBy(F.rand(seed=7))
+            .repartition(13)
+        )
+        _mini_sf(spark, tmp, orders=o)
+        shuf = {
+            (r.block): (r.checksum, r.n_rows)
+            for r in registry.QUERIES["table_checksum_blocks"](spark, tmp).collect()
+        }
+    assert shuf == base
+
+
+def test_gini_scale_invariant(spark):
+    """Gini is scale-free: multiplying every order's price by 3 leaves
+    the coefficient unchanged (exact-cents pipeline permitting)."""
+    base = registry.QUERIES["gini_coefficient"](spark, SF_DIR).collect()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 3
+        )
+        _mini_sf(spark, tmp, orders=o)
+        scaled = registry.QUERIES["gini_coefficient"](spark, tmp).collect()[0]
+    assert abs(scaled.gini - base.gini) < 1e-9
+    assert scaled.n_customers == base.n_customers
+
+
+def test_weighted_median_matches_numpy(spark):
+    """Cumulative-weight median against an independent numpy
+    recomputation on the real sf fixture, per return flag."""
+    import numpy as np
+
+    rows = registry.QUERIES["agg_weighted_median"](spark, SF_DIR).collect()
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice").cast("double").alias("p"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .collect()
+    )
+    by_flag = {}
+    for r in li:
+        by_flag.setdefault(r.l_returnflag, []).append((r.p, r.w))
+    for out in rows:
+        vals = sorted(by_flag[out.l_returnflag])
+        p = np.array([v for v, _ in vals])
+        w = np.array([x for _, x in vals], dtype=np.int64)
+        cw = np.cumsum(w)
+        total = int(cw[-1])
+        idx = int(np.argmax(2 * cw >= total))
+        assert out.weighted_median_price == p[idx]
+        assert out.total_weight == total
