@@ -193,6 +193,12 @@ def load_all() -> None:
     from . import corpus  # noqa: F401
     from . import features  # noqa: F401
     from . import spatial  # noqa: F401
+    # experiments.py registered LATE in round 5 with the 50-key
+    # attestation window already full: its six keys are deliberately
+    # tier-1 backlog (locally parity-verified; driver rows land at the
+    # start of the round-6 window — move them into that round's
+    # _ADDED_THIS_ROUND when the round turns over)
+    from . import experiments  # noqa: F401
 
     # Reorder for the driver's bounded attestation window (round 1 cut off
     # at exactly 50 entries): keys added/changed this round first (their

@@ -194,6 +194,9 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # tiny derived frames (days × event types); the broadcast cross
         # is the intended plan
         "time_spine_gapfill",
+        # 1-row-stats broadcast-cross again: the holdout cutoff date is
+        # a 1-row max aggregate attached to the date-cardinality series
+        "forecast_seasonal_naive",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
