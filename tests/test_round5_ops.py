@@ -272,3 +272,47 @@ def test_weighted_median_matches_numpy(spark):
         idx = int(np.argmax(2 * cw >= total))
         assert out.weighted_median_price == p[idx]
         assert out.total_weight == total
+
+
+def test_attribution_credit_conservation(spark):
+    """Credit mass is conserved under every model: first-touch,
+    last-touch, and linear credits each sum (over channels) to the
+    number of conversions that have at least one touch."""
+    out = registry.QUERIES["attribution_multi_touch"](spark, SF_DIR).collect()
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("cts"),
+    )
+    touch = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("tts")
+    )
+    lookback = 7 * 86400 * 1_000_000
+    n_touched = (
+        conv.join(touch, "user_id")
+        .filter(
+            (F.col("tts") < F.col("cts"))
+            & (F.col("tts") >= F.col("cts") - F.lit(lookback))
+        )
+        .select("conv_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.first_touch_credit for r in out) == n_touched
+    assert sum(r.last_touch_credit for r in out) == n_touched
+    assert abs(sum(r.linear_credit for r in out) - n_touched) < 1e-3
+
+
+def test_weighted_priority_favors_heavy_rows(spark):
+    """Sequential Poisson: the sampled 50 must have a mean weight well
+    above the population mean (probability proportional to size), and
+    priorities must be unique-sorted deterministic."""
+    rows = registry.QUERIES["sample_weighted_priority"](spark, SF_DIR).collect()
+    assert len(rows) == 50
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    pop_mean = o.agg(F.avg("o_totalprice")).collect()[0][0]
+    samp_mean = sum(r.w_cents for r in rows) / 100.0 / len(rows)
+    assert samp_mean > pop_mean  # PPS pulls the sample upward
+    again = registry.QUERIES["sample_weighted_priority"](spark, SF_DIR).collect()
+    assert [r.o_orderkey for r in again] == [r.o_orderkey for r in rows]
