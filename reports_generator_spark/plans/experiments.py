@@ -3,7 +3,7 @@ weighted-sampling operators — the decision-analytics layer on top of
 the event/order tables.
 
 Registered late in round 5: the driver's 50-key attestation window is
-full, so these six keys are deliberately tier-1 backlog (registry.py
+full, so these keys are deliberately tier-1 backlog (registry.py
 sorts them directly after this round's window) and will receive their
 driver CORRECTNESS rows at the start of round 6; every one is
 value-verified against DuckDB locally at sf0.001/0.01 in the
@@ -455,4 +455,137 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         dround(noise, 6).alias("noise"),
         dround(F.col("n_exact") + noise, 6).alias("noisy_n"),
+    )
+
+
+@query(
+    "drift_psi",
+    oracle="""
+    WITH binned AS (
+      SELECT CAST(least(floor(o_totalprice / 60000.0), 9) AS BIGINT) AS bin,
+             CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+                  THEN 1 ELSE 0 END AS is_train
+      FROM orders
+    ),
+    g AS (
+      SELECT bin,
+             CAST(sum(is_train) AS BIGINT) AS n_a,
+             CAST(sum(1 - is_train) AS BIGINT) AS n_b
+      FROM binned GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM g)
+    SELECT bin, n_a, n_b,
+           floor((n_a + 0.5) / (ta + 5.0) * 1000000 + 0.5) / 1000000 AS p_a,
+           floor((n_b + 0.5) / (tb + 5.0) * 1000000 + 0.5) / 1000000 AS p_b,
+           floor(((n_b + 0.5) / (tb + 5.0) - (n_a + 0.5) / (ta + 5.0))
+                 * ln(((n_b + 0.5) / (tb + 5.0)) / ((n_a + 0.5) / (ta + 5.0)))
+                 * 1000000 + 0.5) / 1000000 AS psi_term
+    FROM g, tot
+    """,
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — THE standard feature-drift monitor
+    between a training period and a serving period: order totals fall
+    into 10 fixed-width bins, and each bin contributes
+    (p_serve − p_train)·ln(p_serve/p_train); Σ psi_term > 0.2 is the
+    classic retrain trigger. Laplace-smoothed (+0.5 per bin over the
+    10-bin grid) so an empty bin never produces ln(0), with the SAME
+    smoothing on both engines. Fixed-width bins keep the bin edges
+    engine-independent (the quantile-bin variant of this monitor is
+    feature_quantile_bin_approx's GK path).
+
+    Scale: one conditional-count partial agg over the scan (bins ×
+    2 counters of state), a 1-row total, and scalar math on 10 rows —
+    the monitor costs one map-side pass at any fact scale."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(F.floor(F.col("o_totalprice") / 60000.0), F.lit(9))
+        .cast("bigint")
+        .alias("bin"),
+        F.when(
+            F.col("o_orderdate")
+            < F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_train"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.sum("is_train").cast("bigint").alias("n_a"),
+        F.sum(1 - F.col("is_train")).cast("bigint").alias("n_b"),
+    )
+    tot = g.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    j = g.crossJoin(F.broadcast(tot))
+    pa = (F.col("n_a") + 0.5) / (F.col("ta") + 5.0)
+    pb = (F.col("n_b") + 0.5) / (F.col("tb") + 5.0)
+    return j.select(
+        "bin",
+        "n_a",
+        "n_b",
+        dround(pa, 6).alias("p_a"),
+        dround(pb, 6).alias("p_b"),
+        dround((pb - pa) * F.log(pb / pa), 6).alias("psi_term"),
+    )
+
+
+@query(
+    "anomaly_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS s, count(*) AS k FROM daily),
+    cus AS (
+      SELECT d, n,
+             sum(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+               - row_number() OVER (ORDER BY d) * (s * 1.0 / k) AS cusum
+      FROM daily, tot
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS d, CAST(n AS BIGINT) AS n,
+           floor(cusum * 1000000 + 0.5) / 1000000 AS cusum,
+           abs(cusum) = max(abs(cusum)) OVER () AS is_changepoint
+    FROM cus
+    """,
+)
+def anomaly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the daily order-count series:
+    the cumulative sum of deviations from the series mean peaks (in
+    absolute value) at the most likely level-shift point — the
+    classic single-changepoint estimator behind pipeline-volume drift
+    alarms. Exact arithmetic: integer running Σn minus
+    rank·(exact Σn/k mean), one float multiply at the end,
+    dround-pinned; the changepoint flag compares each row's |CUSUM|
+    to the series max — computed independently on both engines.
+
+    Scale: the series is date-cardinality (the daily rollup is the
+    only fact-scale pass), so the ordered windows run over a
+    dimension-sized frame; per-key monitoring at scale partitions
+    every window by key, same shape."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = daily.agg(F.sum("n").alias("s"), F.count(F.lit(1)).alias("k"))
+    j = daily.crossJoin(F.broadcast(tot))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cus = j.select(
+        "d",
+        "n",
+        (
+            F.sum("n").over(w)
+            - F.row_number().over(Window.orderBy("d"))
+            * (F.col("s") * F.lit(1.0) / F.col("k"))
+        ).alias("cusum"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return cus.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.col("n").cast("bigint"),
+        dround(F.col("cusum"), 6).alias("cusum"),
+        (F.abs("cusum") == F.max(F.abs("cusum")).over(w_all)).alias(
+            "is_changepoint"
+        ),
     )

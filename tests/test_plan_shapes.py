@@ -197,6 +197,9 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # 1-row-stats broadcast-cross again: the holdout cutoff date is
         # a 1-row max aggregate attached to the date-cardinality series
         "forecast_seasonal_naive",
+        # same class: PSI attaches the 1-row period totals to 10 bins,
+        # CUSUM the 1-row series mean to the date-cardinality series
+        "drift_psi", "anomaly_cusum_changepoint",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
