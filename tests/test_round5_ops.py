@@ -316,3 +316,51 @@ def test_weighted_priority_favors_heavy_rows(spark):
     assert samp_mean > pop_mean  # PPS pulls the sample upward
     again = registry.QUERIES["sample_weighted_priority"](spark, SF_DIR).collect()
     assert [r.o_orderkey for r in again] == [r.o_orderkey for r in rows]
+
+
+def test_cusum_flags_planted_level_shift(spark):
+    """10 days at 3 orders/day then 10 days at 9/day: |CUSUM| peaks at
+    the last low-level day — the classic changepoint estimate."""
+    with tempfile.TemporaryDirectory() as tmp:
+        rows = []
+        oid = 0
+        for d in range(1, 21):
+            for _ in range(3 if d <= 10 else 9):
+                oid += 1
+                rows.append((oid, oid, "O", 10.0, f"1994-01-{d:02d} 00:00:00", "1-URGENT"))
+        o = spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+        _mini_sf(spark, tmp, orders=o)
+        out = registry.QUERIES["anomaly_cusum_changepoint"](spark, tmp).collect()
+        flagged = [r.d for r in out if r.is_changepoint]
+        assert flagged == ["1994-01-10"]
+
+
+def test_psi_zero_when_distributions_match(spark):
+    """Train and serve periods drawn identically (same totals per
+    bin): every psi_term is ~0 and the PSI sum is far below the 0.2
+    retrain trigger."""
+    with tempfile.TemporaryDirectory() as tmp:
+        rows = []
+        oid = 0
+        # identical price ladder in both periods
+        for year in ("1994", "1997"):   # before/after the 1996 split
+            for price in (10_000, 130_000, 250_000, 370_000, 590_000):
+                for _ in range(20):
+                    oid += 1
+                    rows.append(
+                        (oid, oid, "O", float(price), f"{year}-06-01 00:00:00", "1-URGENT")
+                    )
+        o = spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+        _mini_sf(spark, tmp, orders=o)
+        out = registry.QUERIES["drift_psi"](spark, tmp).collect()
+        assert sum(abs(r.psi_term) for r in out) < 1e-6
+        for r in out:
+            assert r.n_a == r.n_b
