@@ -589,3 +589,147 @@ def anomaly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_changepoint"
         ),
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_event,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS to_event
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_event, to_event, count(*) AS n
+      FROM seq WHERE to_event IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_event, to_event, CAST(n AS BIGINT) AS n,
+           floor(n * 1.0 / sum(n) OVER (PARTITION BY from_event)
+                 * 1000000 + 0.5) / 1000000 AS prob
+    FROM pairs
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the user event stream:
+    P(next event type | current event type), estimated from every
+    consecutive same-user pair — the path-analysis primitive behind
+    next-action prediction, funnel-shortcut discovery, and bot
+    detection (a near-deterministic row is a script). Transition
+    counts are exact; the row-normalized probability is one float
+    division, dround-pinned.
+
+    Scale: ONE per-user window (hash shuffle on user_id, per-user
+    sort) produces the lagged pairs; the transition aggregation is
+    event-type²-bounded (25 cells here) with map-side partials, and
+    the row normalization is a window over those cells — nothing
+    downstream of the first shuffle grows with fact rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        F.col("event_type").alias("from_event"),
+        F.lead("event_type").over(w).alias("to_event"),
+    ).filter(F.col("to_event").isNotNull())
+    pairs = seq.groupBy("from_event", "to_event").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_from = Window.partitionBy("from_event")
+    return pairs.select(
+        "from_event",
+        "to_event",
+        F.col("n").cast("bigint").alias("n"),
+        dround(F.col("n") * F.lit(1.0) / F.sum("n").over(w_from), 6).alias(
+            "prob"
+        ),
+    )
+
+
+#: Splice-detection boundary width (tokens) and hot-boundary cap.
+_SPLICE_K = 5
+_SPLICE_MAX_DF = 50
+
+
+@query(
+    "dedup_splice_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS w
+      FROM documents
+    ),
+    ok AS (SELECT doc_id, w FROM toks WHERE len(w) >= {_SPLICE_K}),
+    tails AS (
+      SELECT doc_id AS id_a,
+             array_to_string(w[greatest(len(w) - {_SPLICE_K} + 1, 1):], ' ')
+               AS boundary
+      FROM ok
+    ),
+    heads AS (
+      SELECT doc_id AS id_b,
+             array_to_string(w[:{_SPLICE_K}], ' ') AS boundary
+      FROM ok
+    ),
+    capped_t AS (
+      SELECT id_a, boundary FROM (
+        SELECT id_a, boundary,
+               count(*) OVER (PARTITION BY boundary) AS df
+        FROM tails) WHERE df <= {_SPLICE_MAX_DF}
+    ),
+    capped_h AS (
+      SELECT id_b, boundary FROM (
+        SELECT id_b, boundary,
+               count(*) OVER (PARTITION BY boundary) AS df
+        FROM heads) WHERE df <= {_SPLICE_MAX_DF}
+    )
+    SELECT t.id_a, h.id_b, t.boundary
+    FROM capped_t t JOIN capped_h h ON h.boundary = t.boundary
+    WHERE t.id_a <> h.id_b
+    """,
+)
+def dedup_splice_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-document splice detection: doc A's last k tokens equal
+    doc B's first k tokens — the crawl-dedup signal for articles
+    split across pages (A's continuation is B), which no whole-doc
+    or shingle-set dedup catches because the OVERLAP is tiny relative
+    to both docs. One equi-join on the k-token boundary string; both
+    sides pre-capped on boundary document-frequency (the same hot-key
+    discipline as the shingle-df cap: a boilerplate boundary — '(c)
+    all rights reserved …' — in f docs would otherwise fan out f²).
+
+    Scale: boundary extraction is shuffle-free array slicing in
+    codegen; the join shuffles k-token strings (at 100 TB, hash the
+    boundary to 64 bits first — same plan, thinner rows); output is
+    bounded by true splice pairs + capped-collision noise."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    ok = d.select("doc_id", w.alias("w")).filter(F.size("w") >= _SPLICE_K)
+    tails = ok.select(
+        F.col("doc_id").alias("id_a"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                "w", F.greatest(F.size("w") - _SPLICE_K + 1, F.lit(1)), _SPLICE_K
+            ),
+        ).alias("boundary"),
+    )
+    heads = ok.select(
+        F.col("doc_id").alias("id_b"),
+        F.concat_ws(" ", F.slice("w", 1, _SPLICE_K)).alias("boundary"),
+    )
+    w_df = Window.partitionBy("boundary")
+    capped_t = (
+        tails.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("df") <= _SPLICE_MAX_DF)
+        .drop("df")
+    )
+    capped_h = (
+        heads.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("df") <= _SPLICE_MAX_DF)
+        .drop("df")
+    )
+    return capped_t.join(capped_h, "boundary").filter(
+        F.col("id_a") != F.col("id_b")
+    ).select("id_a", "id_b", "boundary")
