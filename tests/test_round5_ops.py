@@ -364,3 +364,36 @@ def test_psi_zero_when_distributions_match(spark):
         assert sum(abs(r.psi_term) for r in out) < 1e-6
         for r in out:
             assert r.n_a == r.n_b
+
+
+def test_transition_matrix_rows_are_distributions(spark):
+    """Per source event type, transition probabilities sum to ~1 and
+    counts equal the (user, consecutive-pair) ground truth total."""
+    out = registry.QUERIES["event_transition_matrix"](spark, SF_DIR).collect()
+    by_from = {}
+    for r in out:
+        by_from.setdefault(r.from_event, []).append(r)
+    for rows in by_from.values():
+        assert abs(sum(r.prob for r in rows) - 1.0) < 1e-4
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r.n for r in out) == e.count() - n_users  # pairs = rows - users
+
+
+def test_splice_overlap_finds_planted_split(spark):
+    """A document split into two halves with a k-token overlap is
+    recovered as exactly the (first-half, second-half) pair."""
+    with tempfile.TemporaryDirectory() as tmp:
+        words = [f"w{i}" for i in range(40)]
+        a = " ".join(words[:22])          # ...ends with w17..w21
+        b = " ".join(words[17:])          # starts with w17..w21
+        other = "zz " * 30
+        d = spark.createDataFrame(
+            [(1, a, "en", "s", len(a)), (2, b, "en", "s", len(b)),
+             (3, other.strip(), "en", "s", 60)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        d.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        out = registry.QUERIES["dedup_splice_overlap"](spark, tmp).collect()
+        assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+        assert out[0].boundary == " ".join(words[17:22])
