@@ -1,0 +1,115 @@
+"""Randomized differential query fuzzing: hypothesis generates
+filter/group/aggregate specs over `orders`, each spec is compiled
+BOTH to a Spark DataFrame plan and to DuckDB SQL from the same tree,
+and results must match exactly — the correctness layer beyond the
+fixed per-key oracles (it explores predicate/aggregation combinations
+no hand-written key covers; all outputs are integers, so matches are
+exact, never tolerance-based)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from conftest import assert_matches_oracle
+
+# --- predicate atoms: (spark_column_fn, sql_text) pairs built together
+# so both engines always see the same semantic tree ---------------------
+
+
+def _price_cmp(op, v):
+    sql = f"o_totalprice {op} {v}"
+    col = (
+        (F.col("o_totalprice") < v) if op == "<" else (F.col("o_totalprice") >= v)
+    )
+    return col, sql
+
+
+def _status_eq(neg, s):
+    sql = f"o_orderstatus {'<>' if neg else '='} '{s}'"
+    col = (F.col("o_orderstatus") != s) if neg else (F.col("o_orderstatus") == s)
+    return col, sql
+
+
+def _prio_in(subset):
+    quoted = ", ".join(f"'{p}'" for p in subset)
+    sql = f"o_orderpriority IN ({quoted})"
+    return F.col("o_orderpriority").isin(*subset), sql
+
+
+def _cust_mod(k, r):
+    sql = f"o_custkey % {k} = {r}"
+    return (F.col("o_custkey") % k) == r, sql
+
+
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+_atom = st.one_of(
+    st.tuples(
+        st.sampled_from(["<", ">="]), st.integers(1_000, 500_000)
+    ).map(lambda t: _price_cmp(*t)),
+    st.tuples(st.booleans(), st.sampled_from(["O", "F", "P"])).map(
+        lambda t: _status_eq(*t)
+    ),
+    st.lists(st.sampled_from(_PRIOS), min_size=1, max_size=3, unique=True).map(
+        _prio_in
+    ),
+    st.tuples(st.integers(2, 7), st.integers(0, 1)).map(
+        lambda t: _cust_mod(t[0], min(t[1], t[0] - 1))
+    ),
+)
+
+
+@st.composite
+def _specs(draw):
+    atoms = draw(st.lists(_atom, min_size=1, max_size=3))
+    conj = draw(st.booleans())  # AND vs OR fold
+    group = draw(st.sampled_from([None, "o_orderstatus", "o_orderpriority"]))
+    return atoms, conj, group
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(_specs())
+def test_generated_filter_agg_matches_duckdb(spark, duck, spec):
+    """Any generated WHERE + GROUP BY + integer-aggregate query must
+    produce identical results on Spark and DuckDB."""
+    atoms, conj, group = spec
+    col = atoms[0][0]
+    sql_pred = atoms[0][1]
+    for c, s in atoms[1:]:
+        col = (col & c) if conj else (col | c)
+        sql_pred = f"({sql_pred}) {'AND' if conj else 'OR'} ({s})"
+
+    o = spark.read.parquet(
+        "%s/orders.parquet" % __import__("conftest").SF_DIR
+    ).filter(col)
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("sum_cents"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    ]
+    agg_sql = (
+        "CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+        "   AS sum_cents,"
+        " CAST(min(o_orderkey) AS BIGINT) AS min_key,"
+        " CAST(max(o_orderkey) AS BIGINT) AS max_key"
+    )
+    if group is None:
+        sdf = o.agg(*aggs)
+        sql = f"SELECT {agg_sql} FROM orders WHERE {sql_pred}"
+    else:
+        sdf = o.groupBy(group).agg(*aggs)
+        sql = (
+            f"SELECT {group}, {agg_sql} FROM orders"
+            f" WHERE {sql_pred} GROUP BY {group}"
+        )
+    assert_matches_oracle(sdf, duck, sql)
