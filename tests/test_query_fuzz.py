@@ -113,3 +113,65 @@ def test_generated_filter_agg_matches_duckdb(spark, duck, spec):
             f" WHERE {sql_pred} GROUP BY {group}"
         )
     assert_matches_oracle(sdf, duck, sql)
+
+
+# --- join fuzzing: orders x customer with generated per-side filters ---
+
+def _cust_bal(op, v):
+    sql = f"c_acctbal {op} {v}"
+    col = (F.col("c_acctbal") < v) if op == "<" else (F.col("c_acctbal") >= v)
+    return col, sql
+
+
+def _cust_key_mod(k, r):
+    r = min(r, k - 1)
+    return (F.col("c_custkey") % k) == r, f"c_custkey % {k} = {r}"
+
+
+_cust_atom = st.one_of(
+    st.tuples(st.sampled_from(["<", ">="]), st.integers(-999, 9999)).map(
+        lambda t: _cust_bal(*t)
+    ),
+    st.tuples(st.integers(2, 5), st.integers(0, 1)).map(
+        lambda t: _cust_key_mod(*t)
+    ),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(_atom, _cust_atom, st.sampled_from(["inner", "left"]))
+def test_generated_join_matches_duckdb(spark, duck, o_atom, c_atom, how):
+    """orders ⋈ customer with generated per-side predicates and an
+    integer rollup per nation must match DuckDB under inner AND left
+    join semantics (left keeps filtered-out-match orders with NULL
+    customer columns)."""
+    sf = __import__("conftest").SF_DIR
+    o_col, o_sql = o_atom
+    c_col, c_sql = c_atom
+    o = spark.read.parquet(f"{sf}/orders.parquet").filter(o_col)
+    c = spark.read.parquet(f"{sf}/customer.parquet").filter(c_col)
+    j = o.join(c, o.o_custkey == c.c_custkey, how)
+    sdf = j.groupBy(F.coalesce("c_nationkey", F.lit(-1)).alias("nk")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+        F.count("c_custkey").cast("bigint").alias("n_matched"),
+    )
+    jk = "JOIN" if how == "inner" else "LEFT JOIN"
+    sql = f"""
+      SELECT coalesce(c_nationkey, -1) AS nk,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sum_cents,
+             CAST(count(c_custkey) AS BIGINT) AS n_matched
+      FROM (SELECT * FROM orders WHERE {o_sql}) o
+      {jk} (SELECT * FROM customer WHERE {c_sql}) c
+        ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    """
+    assert_matches_oracle(sdf, duck, sql)
