@@ -2168,7 +2168,7 @@ def seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(min(price) AS DOUBLE) AS weighted_median_price,
-           any_value(total_w) AS total_weight
+           CAST(any_value(total_w) AS BIGINT) AS total_weight
     FROM cum
     WHERE cw * 2 >= total_w
     GROUP BY l_returnflag

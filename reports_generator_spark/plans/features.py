@@ -575,7 +575,7 @@ def feature_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (SELECT CAST(sum(y) AS DOUBLE) / count(*) AS gmean FROM t),
     enc AS (
-      SELECT c_mktsegment, count(*) AS n, sum(y) AS n_pos FROM t
+      SELECT c_mktsegment, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos FROM t
       GROUP BY c_mktsegment
     )
     SELECT c_mktsegment, n, n_pos,

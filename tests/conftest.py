@@ -38,6 +38,25 @@ def duck():
     con.close()
 
 
+def _dtype_kind(dtype) -> str:
+    """Collapse a pandas dtype into the kind class the driver's value
+    hash is sensitive to.  DuckDB HUGEINT / DECIMAL surface as float64
+    or object(Decimal) in ``fetchdf()`` while Spark's bigint surfaces
+    as int64 — the r5 failure class (`agg_weighted_median`,
+    `feature_target_encode`).  Nullable ints become float64 on BOTH
+    engines (pandas), so strict kind equality stays fair."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in ("M", "m"):
+        return "time"
+    return "obj"
+
+
 def _norm_cell(v):
     if v is None:
         return None
@@ -69,6 +88,30 @@ def assert_matches_oracle(spark_df, duck_con, sql, check_types=True):
     d_cols = sorted(ddf.columns)
     assert s_cols == d_cols, f"column mismatch: spark={s_cols} oracle={d_cols}"
     assert len(sdf) == len(ddf), f"row count: spark={len(sdf)} oracle={len(ddf)}"
+    if check_types:
+        # dtype-kind agreement per column: the driver's value hash is
+        # type-sensitive (bigint 506627 != HUGEINT-as-float 506627.0),
+        # so an int column on one engine must be an int column on the
+        # other.  Exception: an all-NULL column collapses to object/
+        # float ambiguously — skip kind check for those.
+        for c in s_cols:
+            if sdf[c].isna().all() and ddf[c].isna().all():
+                continue
+            sk, dk = _dtype_kind(sdf[c].dtype), _dtype_kind(ddf[c].dtype)
+            # pandas object columns (strings, Decimals with nulls) are
+            # opaque; only flag the unambiguous int-vs-float/obj splits
+            if sk != dk and not (sk == "obj" or dk == "obj"):
+                raise AssertionError(
+                    f"dtype-kind mismatch on '{c}': spark={sdf[c].dtype}"
+                    f" ({sk}) oracle={ddf[c].dtype} ({dk}) — un-cast"
+                    " HUGEINT/DECIMAL oracle output?"
+                )
+            if (sk, dk) in (("int", "obj"), ("float", "obj"), ("obj", "int"), ("obj", "float")):
+                raise AssertionError(
+                    f"dtype-kind mismatch on '{c}': spark={sdf[c].dtype}"
+                    f" ({sk}) oracle={ddf[c].dtype} ({dk}) — numeric vs"
+                    " object (Decimal?) would hash-diverge on the driver"
+                )
     s_rows = sorted(
         (
             tuple(_norm_cell(v) for v in row)
