@@ -45,7 +45,7 @@ def registered_domain(host: Column | str) -> Column:
 
 def canonicalize_url(url: Column | str) -> Column:
     """Canonical form of a URL: fragment stripped, pure-tracking
-    ``utm`` query stripped, scheme and host lower-cased, ``www.``
+    ``utm_*``-only query stripped, scheme and host lower-cased, ``www.``
     and default ``:443`` removed, trailing slash removed.
 
     Idempotent by construction — canonicalize(canonicalize(u)) ==
@@ -53,7 +53,7 @@ def canonicalize_url(url: Column | str) -> Column:
     re-canonicalize already-clean URLs for free (property-tested in
     tests/test_url_functions.py)."""
     u = F.regexp_replace(
-        F.regexp_replace(_c(url), r"#.*$", ""), r"\?utm[^#]*$", ""
+        F.regexp_replace(_c(url), r"#.*$", ""), r"\?utm_[^#]*$", ""
     )
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
     host = F.regexp_replace(

@@ -349,10 +349,12 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pri AS (
       SELECT o_orderkey,
-             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w_cents,
+             greatest(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 1)
+               AS w_cents,
              CAST(('0x' || substring(md5('wr:' || CAST(o_orderkey AS VARCHAR)),
                                      1, 15)) AS BIGINT)
-               // CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS priority
+               // greatest(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 1)
+               AS priority
       FROM orders
     )
     SELECT o_orderkey, w_cents, priority
@@ -378,7 +380,11 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample_reservoir_per_key (unweighted, per-key) with the
     probability-proportional-to-size draw corpus mixing uses."""
     o = load_table(spark, sf_dir, "orders")
-    w_cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    # greatest(.,1): a zero/negative-price row must not NULL the Spark
+    # priority while erroring the oracle's integer division (ADVICE r5)
+    w_cents = F.greatest(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"), F.lit(1)
+    )
     u64 = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("wr:"), F.col("o_orderkey").cast("string"))), 1, 15

@@ -129,48 +129,56 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         # dedup_ngram_jaccard, embedding_neardup_lsh, graph_pagerank,
         # market_basket_pairs, embedding_pca_per_label already listed
         # above or re-tiered below)
+        # --- round 5 green (CORRECTNESS_r05.json: 48/50 hash-match;
+        #     the 2 fails re-enter the round-6 window below) ---
+        "market_basket_pairs", "pivot_multi_agg", "eval_regression_metrics",
+        "abc_pareto_classification", "gini_coefficient", "hhi_concentration",
+        "benford_first_digit", "anomaly_iqr", "purchase_interarrival_stats",
+        "cohort_ltv_cumulative", "seasonality_dow_index", "join_theta_range",
+        "top_k_with_ties", "histogram_log2", "observe_metrics",
+        "fk_integrity_audit", "scan_csv_malformed_permissive",
+        "table_checksum_blocks", "window_period_over_period",
+        "window_rolling_median", "text_oov_rate", "text_clean_normalize",
+        "text_unigram_lm_perplexity", "bpe_pair_counts", "graph_pagerank",
+        "entity_resolution_blocked", "similarity_topk_lsh",
+        "similarity_topk_ivf", "embedding_pca_per_label",
+        "embedding_matryoshka_energy", "eval_ranking_metrics",
+        "multimodal_dedup_phash", "stream_sliding_window_agg",
+        "calendar_dim_generate", "time_interpolate_linear", "bollinger_bands",
+        "sink_mode_auto", "sql_group_by_all", "sql_agg_filter_clause",
+        "sql_try_cast_safe", "feature_quantile_bin_approx",
+        "kanonymity_audit", "feature_winsorize", "feature_hash_bucket",
+        "feature_robust_scale", "spatial_heatmap_bin",
     }
 )
 
 
 #: Keys whose ATTESTATION must (re-)run through the driver's bounded
-#: 50-key window in the CURRENT round (round 5), so they sort FIRST:
-#:  - the 15 late round-4 keys that never received a driver row
-#:    (locally parity-green since r4; VERDICT r4 item #1);
-#:  - keys whose plan or oracle changed this round: join_theta_range
-#:    (bounded build side — VALUES changed), market_basket_pairs
-#:    (basket-size cap in plan + oracle), graph_pagerank (oracle now
-#:    recomputes the power iteration in DuckDB), embedding_pca_per_label
-#:    (new cross-engine total_var column + Rayleigh bounds);
-#:  - every NEW round-5 key.
+#: 50-key window in the CURRENT round (round 6), so they sort FIRST:
+#:  - the 10 experiments.py keys registered late in r5 (no driver row
+#:    yet; locally parity-green — VERDICT r5 item #2);
+#:  - the 2 r5 hash-fail keys whose oracles are now BIGINT-cast
+#:    (agg_weighted_median, feature_target_encode);
+#:  - re-attestations: embedding_normalize / embedding_quantize (plans
+#:    changed by the r5 lambda-inlining fix, driver rows predate it),
+#:    corpus_url_canonicalize (utm_ regex tightened per ADVICE),
+#:    text_pmi_cooccurrence (per-doc distinct-token cap added per
+#:    ADVICE — values can change on token-rich docs);
+#:  - every NEW round-6 key.
 _ADDED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # 15 deferred round-4 keys (no driver row yet)
-        "embedding_matryoshka_energy", "eval_regression_metrics",
-        "feature_quantile_bin_approx", "feature_winsorize",
-        "fk_integrity_audit", "histogram_log2", "kanonymity_audit",
-        "multimodal_dedup_phash", "observe_metrics", "pivot_multi_agg",
-        "sql_group_by_all", "text_oov_rate", "top_k_with_ties",
-        "window_period_over_period", "window_rolling_median",
-        # changed this round
-        "join_theta_range", "market_basket_pairs", "graph_pagerank",
-        "embedding_pca_per_label",
-        # ANN attestation anchored to a DuckDB-recomputed exact-top-k
-        # checksum (new exact_id_sum column) — schema changed, re-attest
-        "similarity_topk_lsh", "similarity_topk_ivf",
-        # new round-5 operators
-        "abc_pareto_classification", "gini_coefficient", "hhi_concentration",
-        "benford_first_digit", "anomaly_iqr", "purchase_interarrival_stats",
-        "cohort_ltv_cumulative", "seasonality_dow_index", "agg_weighted_median",
-        "calendar_dim_generate", "time_interpolate_linear", "bollinger_bands",
-        "sink_mode_auto", "sql_agg_filter_clause", "sql_try_cast_safe",
-        "scan_csv_malformed_permissive", "stream_sliding_window_agg",
-        "feature_hash_bucket", "feature_target_encode", "feature_robust_scale",
-        "text_clean_normalize", "text_pmi_cooccurrence",
-        "text_unigram_lm_perplexity", "bpe_pair_counts",
-        "entity_resolution_blocked", "eval_ranking_metrics",
-        "table_checksum_blocks", "spatial_heatmap_bin",
-        "corpus_url_canonicalize",
+        # 10 experiments.py keys (registered r5, never driver-attested)
+        "attribution_multi_touch", "expectations_audit",
+        "forecast_seasonal_naive", "ab_test_zscore",
+        "sample_weighted_priority", "dp_noisy_counts", "drift_psi",
+        "anomaly_cusum_changepoint", "event_transition_matrix",
+        "dedup_splice_overlap",
+        # r5 hash-fails, oracles fixed this round
+        "agg_weighted_median", "feature_target_encode",
+        # re-attestations (plan/oracle changed since last green row)
+        "embedding_normalize", "embedding_quantize",
+        "corpus_url_canonicalize", "text_pmi_cooccurrence",
+        # new round-6 operators registered below as they land
     }
 )
 
@@ -193,11 +201,12 @@ def load_all() -> None:
     from . import corpus  # noqa: F401
     from . import features  # noqa: F401
     from . import spatial  # noqa: F401
-    # experiments.py registered LATE in round 5 with the 50-key
-    # attestation window already full: its six keys are deliberately
-    # tier-1 backlog (locally parity-verified; driver rows land at the
-    # start of the round-6 window — move them into that round's
-    # _ADDED_THIS_ROUND when the round turns over)
+    # experiments.py registers 10 keys (attribution_multi_touch,
+    # expectations_audit, forecast_seasonal_naive, ab_test_zscore,
+    # sample_weighted_priority, dp_noisy_counts, drift_psi,
+    # anomaly_cusum_changepoint, event_transition_matrix,
+    # dedup_splice_overlap) — registered late in round 5, front of the
+    # round-6 window via _ADDED_THIS_ROUND
     from . import experiments  # noqa: F401
 
     # Reorder for the driver's bounded attestation window (round 1 cut off

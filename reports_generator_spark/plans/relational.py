@@ -1863,7 +1863,10 @@ def scan_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame
     import tempfile
 
     o = _t(spark, sf_dir, "orders")
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # appId in the tag: concurrent sessions get isolated fixture dirs
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"rg_dirty_csv_{tag}")
     line = F.concat_ws(
         ",",

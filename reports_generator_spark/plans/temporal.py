@@ -1064,7 +1064,11 @@ def sink_mode_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ingest.sinks import dataset_exists
 
     o = load_table(spark, sf_dir, "orders")
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # appId in the tag: concurrent sessions (pytest workers / bench
+    # overlap) get isolated fixture dirs — no rmtree/append races
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"rg_sink_mode_{tag}")
     shutil.rmtree(path, ignore_errors=True)  # fixture reset, not semantics
 

@@ -1116,12 +1116,22 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-document distinct-token cap for PMI pair generation — bounds the
+#: self-join fan-out to cap²/doc (the market_basket_pairs discipline).
+_PMI_MAX_DOC_TOKENS = 200
+
+
 @query(
     "text_pmi_cooccurrence",
     oracle=f"""
-    WITH dw AS (
+    WITH dw0 AS (
       SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
     ),
+    keep AS (
+      SELECT doc_id FROM dw0 GROUP BY doc_id
+      HAVING count(*) <= {_PMI_MAX_DOC_TOKENS}
+    ),
+    dw AS (SELECT dw0.* FROM dw0 JOIN keep USING (doc_id)),
     n_docs AS (SELECT count(DISTINCT doc_id) AS nd FROM dw),
     wf AS (SELECT w, count(*) AS f FROM dw GROUP BY w),
     pairs AS (
@@ -1146,16 +1156,24 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     PMI = ln(P(a,b)/(P(a)P(b))) over document-level presence. The
     market_basket_pairs shape applied to text: distinct (doc, word),
     self-equi-join on doc_id with an ordering filter, min-support 5.
-    The pair space after partial aggregation is bounded by vocabulary²
-    (the shuffle carries distinct pairs per task, not occurrences);
-    on an open-vocabulary corpus the rare-token filter
-    (text_rare_token_stats) and the basket cap (market_basket_pairs)
-    compose in front. PMI is one ln() of an exact integer rational —
+    Documents above _PMI_MAX_DOC_TOKENS distinct tokens are DROPPED
+    before the join (oracle-mirrored) — the same in-plan fan-out cap
+    as market_basket_pairs, so one token-rich document can never fan
+    out quadratically. The remaining pair space is bounded by
+    cap²·docs; the shuffle carries distinct pairs per task, not
+    occurrences. PMI is one ln() of an exact integer rational —
     identical doubles cross-engine."""
     d = load_table(spark, sf_dir, "documents")
-    dw = d.select(
+    dw0 = d.select(
         "doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w")
-    ).distinct().localCheckpoint()
+    ).distinct()
+    keep = (
+        dw0.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("ntok"))
+        .filter(F.col("ntok") <= _PMI_MAX_DOC_TOKENS)
+        .select("doc_id")
+    )
+    dw = dw0.join(keep, "doc_id").localCheckpoint()
     nd = dw.select("doc_id").distinct().count()
     wf = dw.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
     a = dw.select("doc_id", F.col("w").alias("w_a"))
