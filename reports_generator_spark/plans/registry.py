@@ -178,7 +178,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # re-attestations (plan/oracle changed since last green row)
         "embedding_normalize", "embedding_quantize",
         "corpus_url_canonicalize", "text_pmi_cooccurrence",
-        # new round-6 operators registered below as they land
+        # new round-6 operators
+        "sql_exists_not_exists", "sql_distinct_on", "sql_qualify_topn",
+        "sql_values_inline_lookup", "set_ops_all", "explode_posexplode",
     }
 )
 

@@ -10,7 +10,7 @@ spelling of the same semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, sql_dround
@@ -322,3 +322,242 @@ def sql_try_cast_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial; results are identical to the per-row form."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("rg_tc_orders")
     return spark.sql(_TRY_CAST_SQL.format(orders="rg_tc_orders"))
+
+
+# --------------------------------------------------------------------------
+# Round 6: correlated existence predicates, DISTINCT ON / QUALIFY
+# dialect forms, inline VALUES dims, multiset (ALL) set ops, and
+# positional explode — the remaining dialect surface a warehouse
+# migration exercises.
+# --------------------------------------------------------------------------
+
+# Identical text on both engines (the sql_surface pattern): correlated
+# EXISTS / NOT EXISTS — the canonical semi/anti-join spelling.  Spark
+# rewrites both into LeftSemi/LeftAnti joins; the DataFrame twins are
+# join_semi / join_anti, this key pins the SQL front door.
+_EXISTS_SQL = """
+SELECT c.c_custkey, c.c_name
+FROM {customer} c
+WHERE EXISTS (SELECT 1 FROM {orders} o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+  AND NOT EXISTS (SELECT 1 FROM {orders} o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_totalprice > 250000)
+"""
+
+
+@query(
+    "sql_exists_not_exists",
+    oracle=_EXISTS_SQL.format(customer="customer", orders="orders"),
+)
+def sql_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS in one predicate: customers with
+    at least one fulfilled order and no quarter-million-dollar order.
+    Catalyst rewrites the pair into a LeftSemi join followed by a
+    LeftAnti join on the same key — two hash joins, no subquery
+    re-execution per row (the .explain shape test asserts no
+    nested-loop). Both joins shuffle on c_custkey once under AQE;
+    at 100 TB the semi/anti pair is the cheapest existence check
+    there is (build side is just the key column)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rg_ex_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rg_ex_orders")
+    return spark.sql(_EXISTS_SQL.format(customer="rg_ex_customer", orders="rg_ex_orders"))
+
+
+@query(
+    "sql_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey,
+           o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_order_date,
+           CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM orders
+    WHERE o_custkey < 200
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """,
+)
+def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest order per customer — DuckDB/Postgres spell it DISTINCT
+    ON, the engine spells it row_number()=1 over (key ORDER BY ts
+    DESC, id DESC): same semantics, and the deterministic tiebreak
+    (orderkey) is what makes the answer engine-independent. At scale
+    this is ONE hash shuffle on the key with the sort confined to
+    each partition; for top-1 Spark can also use max_by, but the
+    window form generalizes to top-n and carries whole rows."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_order_date"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+    )
+
+
+@query(
+    "sql_qualify_topn",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC,
+                                            o_orderkey ASC) AS BIGINT) AS rn
+    FROM orders
+    QUALIFY rn <= 3
+    """,
+)
+def sql_qualify_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority — the QUALIFY clause (DuckDB/
+    Snowflake/BigQuery dialect) filtering on a window function without
+    a subquery. Spark has no QUALIFY; the engine's canonical rewrite
+    is window → filter, which Catalyst executes identically to the
+    QUALIFY plan: one shuffle on the partition key, per-partition
+    TopK sort (the WindowGroupLimit optimization prunes each
+    partition to 3 rows BEFORE the full sort at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "sql_values_inline_lookup",
+    oracle="""
+    SELECT m.label,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o
+    JOIN (VALUES ('O', 'open'), ('F', 'fulfilled'), ('P', 'pending'))
+         m(status, label)
+      ON m.status = o.o_orderstatus
+    GROUP BY m.label
+    """,
+)
+def sql_values_inline_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES dimension — the literal lookup table (status code
+    → label) every pipeline embeds for code-to-name mapping. The
+    engine builds it with createDataFrame and BROADCASTS it: a
+    literal dim never shuffles the fact side, the join is map-side at
+    any fact scale. The decimal-exact sum crosses engines as one
+    double cast at the end."""
+    o = load_table(spark, sf_dir, "orders")
+    m = spark.createDataFrame(
+        [("O", "open"), ("F", "fulfilled"), ("P", "pending")],
+        "status string, label string",
+    )
+    return (
+        o.join(F.broadcast(m), o.o_orderstatus == m.status)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@query(
+    "set_ops_all",
+    oracle="""
+    WITH a AS (SELECT c_nationkey AS nk FROM customer),
+         b AS (SELECT s_nationkey AS nk FROM supplier),
+         u AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_union_all
+               FROM (SELECT nk FROM a UNION ALL SELECT nk FROM b)
+               GROUP BY nk),
+         i AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_intersect_all
+               FROM (SELECT nk FROM a INTERSECT ALL SELECT nk FROM b)
+               GROUP BY nk),
+         e AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_except_all
+               FROM (SELECT nk FROM a EXCEPT ALL SELECT nk FROM b)
+               GROUP BY nk)
+    SELECT u.nk,
+           u.n_union_all,
+           coalesce(i.n_intersect_all, 0) AS n_intersect_all,
+           coalesce(e.n_except_all, 0) AS n_except_all
+    FROM u
+    LEFT JOIN i ON i.nk = u.nk
+    LEFT JOIN e ON e.nk = u.nk
+    """,
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — UNION ALL / INTERSECT ALL /
+    EXCEPT ALL, where multiplicity matters: INTERSECT ALL keeps
+    min(count_a, count_b) copies, EXCEPT ALL keeps count_a − count_b.
+    Spark's intersectAll/exceptAll implement exactly these SQL:2003
+    semantics (hash-aggregate on (value, side-count) internally — one
+    shuffle each, no join explosion). The per-key multiplicity
+    summary makes the bag semantics hash-checkable without comparing
+    raw multisets row-by-row."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    u = c.unionAll(s).groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_union_all")
+    )
+    i = c.intersectAll(s).groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intersect_all")
+    )
+    e = c.exceptAll(s).groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_except_all")
+    )
+    return (
+        u.join(i, "nk", "left")
+        .join(e, "nk", "left")
+        .select(
+            "nk",
+            "n_union_all",
+            F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+            F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+        )
+    )
+
+
+@query(
+    "explode_posexplode",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(w, 1) AS BIGINT) AS pos,
+           unnest(w) AS tok
+    FROM toks
+    """,
+)
+def explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (UNNEST WITH ORDINALITY): every token of a
+    document with its 1-based position — the array-to-rows primitive
+    that keeps ORDER, which plain explode loses and sequence models
+    need (position-aware n-grams, alignment joins). posexplode is
+    codegen'd generator expansion: no shuffle at all, output rows
+    stream out of the scan stage; the doc_id%20 slice bounds fixture
+    output, the operator itself is linear in tokens at any scale."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("w"),
+    )
+    return toks.select(
+        "doc_id", F.posexplode("w").alias("pos0", "tok")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok"
+    )
