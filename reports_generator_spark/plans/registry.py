@@ -181,6 +181,10 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # new round-6 operators
         "sql_exists_not_exists", "sql_distinct_on", "sql_qualify_topn",
         "sql_values_inline_lookup", "set_ops_all", "explode_posexplode",
+        "timeseries_acf", "anomaly_seasonal_residual",
+        "seasonal_decompose_ma", "rolling_corr_pair",
+        "streak_consecutive_days", "window_reset_cumsum",
+        "survival_kaplan_meier", "interval_allocate_daily",
     }
 )
 
@@ -210,6 +214,7 @@ def load_all() -> None:
     # dedup_splice_overlap) — registered late in round 5, front of the
     # round-6 window via _ADDED_THIS_ROUND
     from . import experiments  # noqa: F401
+    from . import timeseries  # noqa: F401
 
     # Reorder for the driver's bounded attestation window (round 1 cut off
     # at exactly 50 entries): keys added/changed this round first (their
