@@ -185,6 +185,10 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "seasonal_decompose_ma", "rolling_corr_pair",
         "streak_consecutive_days", "window_reset_cumsum",
         "survival_kaplan_meier", "interval_allocate_daily",
+        "eval_auc_rank", "eval_calibration_bins", "assoc_rules_lift",
+        "lorenz_curve_deciles", "feature_impute_median",
+        "ldiversity_audit", "chisq_independence",
+        "customer_migration_matrix",
     }
 )
 
@@ -215,6 +219,7 @@ def load_all() -> None:
     # round-6 window via _ADDED_THIS_ROUND
     from . import experiments  # noqa: F401
     from . import timeseries  # noqa: F401
+    from . import insights  # noqa: F401
 
     # Reorder for the driver's bounded attestation window (round 1 cut off
     # at exactly 50 entries): keys added/changed this round first (their
