@@ -189,6 +189,11 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "lorenz_curve_deciles", "feature_impute_median",
         "ldiversity_audit", "chisq_independence",
         "customer_migration_matrix",
+        "ks_test_two_sample", "mann_whitney_u_test", "bootstrap_ci_mean",
+        "price_elasticity_loglog", "demand_variability_xyz",
+        "revenue_bridge_pvm", "otif_delivery_metrics",
+        "duplicate_payment_audit", "dau_wau_stickiness",
+        "session_path_topk",
     }
 )
 
@@ -220,6 +225,8 @@ def load_all() -> None:
     from . import experiments  # noqa: F401
     from . import timeseries  # noqa: F401
     from . import insights  # noqa: F401
+    from . import stattests  # noqa: F401
+    from . import commerce  # noqa: F401
 
     # Reorder for the driver's bounded attestation window (round 1 cut off
     # at exactly 50 entries): keys added/changed this round first (their
