@@ -227,6 +227,12 @@ def load_all() -> None:
     from . import insights  # noqa: F401
     from . import stattests  # noqa: F401
     from . import commerce  # noqa: F401
+    # quant.py registers 7 keys (fifo_inventory_matching,
+    # max_drawdown_monthly, time_decay_score, theil_sen_trend,
+    # graph_degree_distribution, ab_test_ratio_delta_method,
+    # diff_in_diff_estimator) — tier-1 backlog: the round-6 window is
+    # full at 48, so their driver rows land at the start of round 7
+    from . import quant  # noqa: F401
 
     # Reorder for the driver's bounded attestation window (round 1 cut off
     # at exactly 50 entries): keys added/changed this round first (their

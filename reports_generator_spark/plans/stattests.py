@@ -190,9 +190,8 @@ _B = 64  #: bootstrap replicas
     WITH drawn AS (
       SELECT b.b,
              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
-             CAST(('0x' || substring(md5('boot:' ||
-                    CAST(o_orderkey * {_B} + b.b AS VARCHAR)), 1, 15))
-                  AS BIGINT) % 1000000 AS u
+             (((o_orderkey * {_B} + b.b) % 2147483648) * 2654435761)
+               % 1000000 AS u
       FROM orders CROSS JOIN (SELECT unnest(range({_B})) AS b) b
     ),
     weighted AS (
@@ -236,9 +235,13 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     resampling n rows per replica (a global shuffle per replica), each
     row independently draws a Poisson(1) weight per replica, so all
     {B} replicas materialize as ONE explode → ONE partial-agg shuffle
-    of {B} scalar pairs per partition. Weights come from the portable
-    md5-uniform through an integer inverse-CDF table, so both engines
-    draw the SAME multiset. Replica means are dround-pinned BEFORE the
+    of {B} scalar pairs per partition. Weights come from the masked
+    multiplicative hash on (orderkey·B + b) — a multiply+mod in
+    whole-stage codegen vs a per-(row×replica) string md5, measurably
+    cheaper on the exploded relation; its Weyl-sequence structure is
+    equidistributed mod 1e6, ample for Poisson draws — through an
+    integer inverse-CDF table, so both engines draw the SAME
+    multiset. Replica means are dround-pinned BEFORE the
     order-statistic pick (rank 2 / rank B−1 of B=64 ≈ 2.5th/97.5th
     percentile), making the CI endpoints engine-exact. At 100 TB the
     exploded relation never materializes — it streams through the
@@ -256,22 +259,11 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         "v",
         (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("boot:"),
-                            (F.col("o_orderkey") * _B + F.col("b")).cast(
-                                "string"
-                            ),
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("bigint")
+            (
+                (F.col("o_orderkey") * _B + F.col("b"))
+                % F.lit(2147483648)
+                * F.lit(2654435761)
+            )
             % 1000000
         ).alias("u"),
     )

@@ -200,6 +200,16 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # same class: PSI attaches the 1-row period totals to 10 bins,
         # CUSUM the 1-row series mean to the date-cardinality series
         "drift_psi", "anomaly_cusum_changepoint",
+        # round-6 members of the 1-row-stats broadcast-cross class:
+        # bootstrap joins its two 1-row frames (full mean × CI pick),
+        # time-decay attaches the 1-row corpus-max timestamp anchor,
+        # assoc-rules the 1-row basket total, impute-median the 1-row
+        # global median, streaks / Kaplan-Meier / ACF their 1-row
+        # series totals (ACF also crosses the 7-row lag dimension —
+        # a bounded spine, same class as time_spine_gapfill)
+        "bootstrap_ci_mean", "time_decay_score", "assoc_rules_lift",
+        "feature_impute_median", "streak_consecutive_days",
+        "survival_kaplan_meier", "timeseries_acf",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
