@@ -432,13 +432,16 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     ),
     moments AS (
+      -- cross/second moments stay HUGEINT: sums of products of
+      -- per-user cents overflow BIGINT at large user counts (same
+      -- hardening as diff_in_diff_estimator's sf1 probe catch)
       SELECT arm,
              CAST(count(*) AS BIGINT) AS k,
              CAST(sum(num_c) AS BIGINT) AS sn,
              CAST(sum(den) AS BIGINT) AS sd,
-             CAST(sum(num_c * num_c) AS BIGINT) AS snn,
-             CAST(sum(den * den) AS BIGINT) AS sdd,
-             CAST(sum(num_c * den) AS BIGINT) AS snd
+             sum(num_c * num_c) AS snn,
+             sum(den * den) AS sdd,
+             sum(num_c * den) AS snd
       FROM per_user GROUP BY arm
     ),
     stats AS (
@@ -502,9 +505,15 @@ def ab_test_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("num_c").cast("bigint").alias("sn"),
         F.sum("den").cast("bigint").alias("sd"),
-        F.sum(F.col("num_c") * F.col("num_c")).cast("bigint").alias("snn"),
-        F.sum(F.col("den") * F.col("den")).cast("bigint").alias("sdd"),
-        F.sum(F.col("num_c") * F.col("den")).cast("bigint").alias("snd"),
+        F.sum(
+            (F.col("num_c") * F.col("num_c")).cast("decimal(38,0)")
+        ).alias("snn"),
+        F.sum(
+            (F.col("den") * F.col("den")).cast("decimal(38,0)")
+        ).alias("sdd"),
+        F.sum(
+            (F.col("num_c") * F.col("den")).cast("decimal(38,0)")
+        ).alias("snd"),
     )
     r = F.col("sn").cast("double") / F.col("sd")
     var_r = (
@@ -554,10 +563,12 @@ _DID_SPLIT_YEAR = 1998
       FROM orders
     ),
     m AS (
+      -- s2 stays HUGEINT: sum of squared cents overflows BIGINT past
+      -- ~1.5M rows/cell (caught by the sf1 scale probe)
       SELECT treat, post,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(y_c) AS BIGINT) AS s,
-             CAST(sum(y_c * y_c) AS BIGINT) AS s2
+             sum(y_c * y_c) AS s2
       FROM cells GROUP BY treat, post
     ),
     wide AS (
@@ -620,10 +631,14 @@ def diff_in_diff_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("post"),
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("y_c"),
     )
+    # second moment in DECIMAL(38,0): the per-product fits a long, the
+    # SUM does not past ~1.5M rows/cell (sf1 scale-probe overflow)
     m = o.groupBy("treat", "post").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y_c").cast("bigint").alias("s"),
-        F.sum(F.col("y_c") * F.col("y_c")).cast("bigint").alias("s2"),
+        F.sum(
+            (F.col("y_c") * F.col("y_c")).cast("decimal(38,0)")
+        ).alias("s2"),
     )
     mean = F.col("s").cast("double") / F.col("n")
     sem2 = (
