@@ -2212,3 +2212,108 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("total_w").alias("total_weight"),
         )
     )
+
+
+#: windowFunnel horizon: all later steps must land within 24 h of the
+#: user's first step-1 event (exact integer microseconds).
+_FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+@query(
+    "funnel_window",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (
+      SELECT user_id, event_type, us,
+             min(CASE WHEN event_type = 'view' THEN us END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM e
+    ),
+    s2 AS (
+      SELECT user_id, event_type, us, t1,
+             min(CASE WHEN event_type = 'click' AND us > t1
+                       AND us <= t1 + {_FUNNEL_WINDOW_US} THEN us END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT user_id, t1, t2,
+             min(CASE WHEN event_type = 'purchase' AND us > t2
+                       AND us <= t1 + {_FUNNEL_WINDOW_US} THEN us END)
+               OVER (PARTITION BY user_id) AS t3
+      FROM s2
+    ),
+    per_user AS (
+      SELECT DISTINCT user_id, t1, t2, t3 FROM s3
+    )
+    SELECT CASE WHEN t3 IS NOT NULL THEN 3
+                WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1
+                ELSE 0 END AS level,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user
+    GROUP BY 1
+    """,
+)
+def funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ordered funnel (the windowFunnel operator):
+    deepest view→click→purchase prefix a user completes with every
+    later step inside 24 h of their FIRST view — the time-to-convert
+    semantics `funnel_conversion` (unbounded first-touch) cannot
+    express; anchoring at the first step-1 event makes the chain
+    t1 → t2 = min click after t1 → t3 = min purchase after t2 a total
+    order, so the level is deterministic. Plan: ONE hash shuffle on
+    user_id, then three chained unordered window aggregates over the
+    same partitioning (no sort, no self-joins — the per-stage
+    re-join formulation shuffles the event table once per stage;
+    this shuffles once, full stop), a per-user distinct, and a 4-row
+    rollup. Exact integer microseconds end-to-end."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+    w = Window.partitionBy("user_id")
+    s1 = e.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("us") > F.col("t1"))
+                & (F.col("us") <= F.col("t1") + _FUNNEL_WINDOW_US),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") > F.col("t2"))
+                & (F.col("us") <= F.col("t1") + _FUNNEL_WINDOW_US),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    per_user = s3.select("user_id", "t1", "t2", "t3").distinct()
+    level = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return per_user.select(level.alias("level")).groupBy("level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

@@ -233,6 +233,11 @@ def load_all() -> None:
     # diff_in_diff_estimator) — tier-1 backlog: the round-6 window is
     # full at 48, so their driver rows land at the start of round 7
     from . import quant  # noqa: F401
+    # corpus_quality.py registers 4 keys (corpus_source_profile,
+    # corpus_kl_divergence, token_fertility_by_lang,
+    # dedup_minhash_recall_audit); funnel_window registers from
+    # analytics.py — all five tier-1 backlog for round 7 with quant.py
+    from . import corpus_quality  # noqa: F401
 
     # Reorder for the driver's bounded attestation window (round 1 cut off
     # at exactly 50 entries): keys added/changed this round first (their

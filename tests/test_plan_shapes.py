@@ -210,6 +210,9 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         "bootstrap_ci_mean", "time_decay_score", "assoc_rules_lift",
         "feature_impute_median", "streak_consecutive_days",
         "survival_kaplan_meier", "timeseries_acf",
+        # recall audit folds its three 1-row pair counts (truth /
+        # candidates / hits) into one row — same 1-row-stats class
+        "dedup_minhash_recall_audit",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
