@@ -52,8 +52,13 @@ def canonicalize_url(url: Column | str) -> Column:
     canonicalize(u) — which is what lets incremental corpus builds
     re-canonicalize already-clean URLs for free (property-tested in
     tests/test_url_functions.py)."""
+    # query dropped only when EVERY parameter is utm_* — a mixed query
+    # like ?utm_source=a&id=5 keeps its identity (two resources that
+    # differ in id must not conflate in URL dedup)
     u = F.regexp_replace(
-        F.regexp_replace(_c(url), r"#.*$", ""), r"\?utm_[^#]*$", ""
+        F.regexp_replace(_c(url), r"#.*$", ""),
+        r"\?utm_[^#&]*(&utm_[^#&]*)*$",
+        "",
     )
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
     host = F.regexp_replace(

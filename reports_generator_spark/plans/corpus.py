@@ -190,7 +190,9 @@ _URL_SYNTH_SQL = """
 _URL_CANON_ORACLE = f"""
     WITH raw AS ({_URL_SYNTH_SQL}),
     s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
-    s2 AS (SELECT doc_id, regexp_replace(u, '\\?utm_[^#]*$', '') AS u FROM s1),
+    s2 AS (SELECT doc_id,
+                  regexp_replace(u, '\\?utm_[^#&]*(&utm_[^#&]*)*$', '') AS u
+           FROM s1),
     parts AS (
       SELECT doc_id,
              lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,

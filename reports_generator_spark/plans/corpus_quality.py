@@ -3,8 +3,10 @@ pipeline: per-source dataset-card profiles, cross-slice unigram KL
 divergence, tokenizer-fertility by language, and a cross-engine
 recall audit of the MinHash-LSH banding against exact Jaccard truth.
 
-Tier-1 backlog for the round-7 attestation window (the round-6 window
-ships full at 48); locally parity-verified at sf0.001/0.01 meanwhile.
+Tier-1 backlog for the round-7 attestation window (the round-6
+window's 50 slots are spoken for: 48 changed/new keys plus
+funnel_window and fifo_inventory_matching in the two spare slots);
+locally parity-verified at sf0.001/0.01 meanwhile.
 The reference computes none of these (SURVEY §0) — north-star surface
 on the `documents` corpus fixture.
 """
@@ -124,7 +126,12 @@ def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the ENTIRE statistic is one word-level aggregate (integer
     counts, ln of integer ratios) plus one scalar row — no broadcast
     of corpus totals back to the word level, no second pass. Two
-    shuffles total (word counts, scalar fold) at any corpus size."""
+    shuffles total (word counts, scalar fold) at any corpus size.
+    Determinism note: S is a float fold over the vocabulary, so its
+    last ulps are merge-order dependent (the same documented
+    concession as time_decay_score); the 6 dp pin absorbs it — this
+    key is NOT in the bit-identical integer-moment class of
+    ks_test_two_sample."""
     toks = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("lang").isin(_KL_P, _KL_Q))

@@ -204,7 +204,7 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     market-basket step AFTER pair counting (market_basket_pairs) that
     turns co-occurrence into ranked rules (lift > 1 ⇒ genuinely
     associated, not just both popular). Baskets above
-    {_RULE_MAX_BASKET} items are dropped pre-join (bounded fan-out);
+    _RULE_MAX_BASKET = 50 items are dropped pre-join (bounded fan-out);
     metrics are exact-integer ratios. Scale: pair generation is the
     capped self-equi-join; the two frequency joins are item-dimension
     sized; n_baskets is a 1-row broadcast."""

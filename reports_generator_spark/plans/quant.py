@@ -2,11 +2,12 @@
 robust Theil-Sen trend, bipartite degree distributions, delta-method
 ratio A/B testing, and difference-in-differences.
 
-Registered AFTER the round-6 attestation window (tier-1 backlog, same
-staging the round-5 experiments batch used): the driver's 50-key
-window is full, so these keys take their driver rows at the start of
-round 7; every one is locally parity-verified at sf0.001/0.01
-meanwhile. Determinism: integer cents / integer day arithmetic /
+Registered as tier-1 backlog (same staging the round-5 experiments
+batch used): the round-6 window holds 48 changed/new keys, so
+`fifo_inventory_matching` rides one of its two spare slots (with
+`funnel_window` from analytics.py) and the other six keys here take
+their driver rows at the start of round 7; every one is locally
+parity-verified at sf0.001/0.01 meanwhile. Determinism: integer cents / integer day arithmetic /
 integer moment sums end-to-end, one dround-pinned double per metric
 (the [[spark-graft-build-workflow]] recipes). The reference computes
 none of these (SURVEY §0) — north-star engine surface.

@@ -194,6 +194,10 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "revenue_bridge_pvm", "otif_delivery_metrics",
         "duplicate_payment_audit", "dau_wau_stickiness",
         "session_path_topk",
+        # the two backlog keys that ride this round's 2 spare window
+        # slots (they'd land there by tier-1 registration order anyway;
+        # listing them keeps the ledger's 'queued' column truthful)
+        "funnel_window", "fifo_inventory_matching",
     }
 )
 

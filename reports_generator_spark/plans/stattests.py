@@ -234,8 +234,8 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     bootstrap — the distributed-bootstrap formulation: instead of
     resampling n rows per replica (a global shuffle per replica), each
     row independently draws a Poisson(1) weight per replica, so all
-    {B} replicas materialize as ONE explode → ONE partial-agg shuffle
-    of {B} scalar pairs per partition. Weights come from the masked
+    _B = 64 replicas materialize as ONE explode → ONE partial-agg
+    shuffle of 64 scalar pairs per partition. Weights come from the masked
     multiplicative hash on (orderkey·B + b) — a multiply+mod in
     whole-stage codegen vs a per-(row×replica) string md5, measurably
     cheaper on the exploded relation; its Weyl-sequence structure is

@@ -61,12 +61,15 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN rn b ON b.rn = a.rn - l.k
     ),
     s AS (
+      -- sums stay HUGEINT: the cross-multiplied moment terms
+      -- (np*sxx - sx*sx) overflow BIGINT at extreme series scale —
+      -- the width-budget discipline of diff_in_diff_estimator
       SELECT k,
              CAST(count(*) AS BIGINT) AS np,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(y * y) AS BIGINT) AS syy,
-             CAST(sum(x * y) AS BIGINT) AS sxy
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx,
+             sum(y * y) AS syy,
+             sum(x * y) AS sxy
       FROM pairs GROUP BY k
     )
     SELECT CAST(k AS BIGINT) AS lag, np AS n_pairs,
@@ -83,8 +86,10 @@ def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function of the daily order-count series at row
     lags 1..7 — the seasonality detector (a weekly cycle shows as an
     ACF spike at lag 7) every forecast and anomaly monitor starts
-    from. Pearson r per lag from exact bigint sums (Σx, Σx², Σxy of
-    integer counts), one closed-form double at the end: the statistic
+    from. Pearson r per lag from exact integer moment sums (Σx, Σx²,
+    Σxy of integer counts, DECIMAL(38,0)/HUGEINT so the derived
+    np·Σx²−(Σx)² products can't overflow long at any series scale),
+    one closed-form double at the end: the statistic
     is bit-reproducible regardless of partial-agg merge order, which
     built-in corr() is not. Scale: the series is date-cardinality;
     the 7-lag pairing is a dimension-sized self-join after one
@@ -101,13 +106,16 @@ def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, F.col("rn_b") == F.col("rn_a") - F.col("k"))
         .select("k", "x", "y")
     )
+    # DECIMAL(38,0) moments: the derived np*sxx − sx² products overflow
+    # long at extreme series scale (same width budget as
+    # diff_in_diff_estimator's sf1 probe catch)
     s = pairs.groupBy("k").agg(
         F.count(F.lit(1)).cast("bigint").alias("np"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
     )
     dx = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
     dy = F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
@@ -244,13 +252,15 @@ def seasonal_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
                  row_number() OVER (ORDER BY d) AS rn
           FROM daily),
     win AS (
+      -- sums stay HUGEINT: np*sxx - sx*sx overflows BIGINT at extreme
+      -- daily volumes (width-budget discipline, see timeseries_acf)
       SELECT d, x, y, rn,
              CAST(count(*) OVER w AS BIGINT) AS np,
-             CAST(sum(x) OVER w AS BIGINT) AS sx,
-             CAST(sum(y) OVER w AS BIGINT) AS sy,
-             CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
-             CAST(sum(y * y) OVER w AS BIGINT) AS syy,
-             CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+             sum(x) OVER w AS sx,
+             sum(y) OVER w AS sy,
+             sum(x * x) OVER w AS sxx,
+             sum(y * y) OVER w AS syy,
+             sum(x * y) OVER w AS sxy
       FROM u
       WINDOW w AS (ORDER BY d ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
     )
@@ -267,8 +277,9 @@ def seasonal_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rolling_corr_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-day rolling Pearson correlation between daily order count
-    and daily revenue (kilodollar integer units — the scale that
-    keeps Σy² inside bigint at ANY fact scale). All window sums are
+    and daily revenue (kilodollar integer units; window moments widen
+    to DECIMAL(38,0)/HUGEINT so the derived np·Σy²−(Σy)² products
+    can't overflow long at any fact scale). All window sums are
     exact integers; the correlation is one closed-form double per
     row, NULL until the frame is full or when either side is
     constant. The co-movement monitor behind mix-shift detection
@@ -280,15 +291,17 @@ def rolling_corr_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("x"),
         F.expr("cents div 100000").alias("y"),
     )
+    # DECIMAL(38,0) window moments — the np*sxx − sx² products must not
+    # overflow long at extreme daily volumes (see timeseries_acf)
     w = Window.orderBy("d").rowsBetween(-29, 0)
     win = u.select(
         "d",
         F.count(F.lit(1)).over(w).cast("bigint").alias("np"),
-        F.sum("x").over(w).alias("sx"),
-        F.sum("y").over(w).alias("sy"),
-        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)")).over(w).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).over(w).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).over(w).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).over(w).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).over(w).alias("sxy"),
     )
     dx = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
     dy = F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
@@ -553,7 +566,7 @@ _ALLOC_MAX_DAYS = 90
 def interval_allocate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact daily proration: each January-1995 line item's revenue is
     allocated across the days from order to ship (capped at
-    {_ALLOC_MAX_DAYS} days), integer-cent exact — base = cents div
+    _ALLOC_MAX_DAYS = 90 days), integer-cent exact — base = cents div
     n_days with the remainder given to the EARLIEST days, so the
     shares re-sum to the source to the cent (the accounting
     constraint float proration violates). The revenue-recognition /
