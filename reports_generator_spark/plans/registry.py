@@ -242,6 +242,10 @@ def load_all() -> None:
     # dedup_minhash_recall_audit); funnel_window registers from
     # analytics.py — all five tier-1 backlog for round 7 with quant.py
     from . import corpus_quality  # noqa: F401
+    # scale_patterns.py registers 2 keys (exact_median_histogram_2pass,
+    # sample_consistent_multitable); spatial_dbscan_corepoints registers
+    # from spatial.py — all round-7 backlog
+    from . import scale_patterns  # noqa: F401
 
     # Reorder for the driver's bounded attestation window (round 1 cut off
     # at exactly 50 entries): keys added/changed this round first (their

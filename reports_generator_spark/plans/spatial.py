@@ -155,3 +155,91 @@ def spatial_heatmap_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         (F.sum("cents").cast("double") / 100).alias("total_acctbal"),
     )
+
+
+#: DBSCAN parameters: eps-neighborhood radius and the core-point
+#: density threshold (neighbor count INCLUDING the point itself).
+_EPS = 100
+_MINPTS = 4
+
+
+#: Dense-cell shortcut width: with cell ≤ eps/√2 the cell diagonal is
+#: ≤ eps, so ≥ _MINPTS points in ONE cell are all mutually within eps.
+_DB_CELL = 70
+#: 5×5 neighborhood of 70-cells covers the eps=100 disc (2·70 ≥ 100+70).
+_DB_RINGS = 2
+
+
+@query(
+    "spatial_dbscan_corepoints",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey, {_sql_pt('c_custkey', 'px', 'py')} FROM customer
+    )
+    SELECT a.c_custkey
+    FROM pts a JOIN pts b
+      ON (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)
+         <= {_EPS * _EPS}
+    GROUP BY a.c_custkey
+    HAVING count(*) >= {_MINPTS}
+    """,
+)
+def spatial_dbscan_corepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN stage 1 — core points (eps=100 neighborhood, itself
+    included, holds ≥ 4 points) via the GRID-DENSITY SHORTCUT that
+    keeps the step sub-quadratic at any density: with cell width
+    70 ≤ eps/√2 the cell diagonal is ≤ eps, so every point of a cell
+    already holding ≥ 4 points is core with ZERO pair work; only
+    sparse-cell points (< 4 in-cell) probe the 5×5 cell neighborhood
+    for exact integer-distance counting. The two regimes bound each
+    other out: high density ⇒ almost all cells dense ⇒ almost no
+    probes; low density ⇒ probes many but candidates-per-probe tiny.
+    The naive all-pairs spelling went 144× on 10× data on the sf1
+    probe (fixed domain ⇒ density grows with SF ⇒ O(n²) pairs) — THIS
+    plan replaces it; the DuckDB oracle keeps the naive spelling, so
+    the shortcut is value-attested to lose/invent no core point.
+    Stage 2 (cluster expansion) is connected components over
+    core-core edges — [[dedup_cluster_cc]]'s operator applies
+    verbatim."""
+    cell = lambda c: F.floor(c / _DB_CELL).cast("long")  # noqa: E731
+    pts = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", *_pt("c_custkey", "px", "py")
+    ).select(
+        "c_custkey", "px", "py",
+        cell(F.col("px")).alias("cx"), cell(F.col("py")).alias("cy"),
+    )
+    # one partial-agg shuffle: in-cell occupancy
+    cell_n = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n_cell"))
+    tagged = pts.join(cell_n, ["cx", "cy"])
+    dense_core = tagged.filter(F.col("n_cell") >= _MINPTS).select("c_custkey")
+    sparse = tagged.filter(F.col("n_cell") < _MINPTS).select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("px").alias("ax"),
+        F.col("py").alias("ay"),
+        "cx",
+        "cy",
+    )
+    rng = list(range(-_DB_RINGS, _DB_RINGS + 1))
+    probes = (
+        load_table(spark, sf_dir, "customer")
+        .select(*_pt("c_custkey", "bx", "by"))
+        .withColumn("dx", F.explode(F.array(*[F.lit(d) for d in rng])))
+        .withColumn("dy", F.explode(F.array(*[F.lit(d) for d in rng])))
+        .select(
+            "bx", "by",
+            (cell(F.col("bx")) + F.col("dx")).alias("cx"),
+            (cell(F.col("by")) + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    sparse_core = (
+        sparse.join(probes, ["cx", "cy"])
+        .filter(d2 <= F.lit(_EPS * _EPS))
+        .groupBy("key_a")
+        .agg(F.count(F.lit(1)).alias("n_in_eps"))
+        .filter(F.col("n_in_eps") >= _MINPTS)
+        .select(F.col("key_a").alias("c_custkey"))
+    )
+    return dense_core.unionByName(sparse_core)
