@@ -211,8 +211,9 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         "feature_impute_median", "streak_consecutive_days",
         "survival_kaplan_meier", "timeseries_acf",
         # recall audit folds its three 1-row pair counts (truth /
-        # candidates / hits) into one row — same 1-row-stats class
-        "dedup_minhash_recall_audit",
+        # candidates / hits) into one row — same 1-row-stats class,
+        # as does consistent-sampling's three-count consistency row
+        "dedup_minhash_recall_audit", "sample_consistent_multitable",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
