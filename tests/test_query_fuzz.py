@@ -175,3 +175,115 @@ def test_generated_join_matches_duckdb(spark, duck, o_atom, c_atom, how):
       GROUP BY 1
     """
     assert_matches_oracle(sdf, duck, sql)
+
+
+# --- window fuzzing: generated (partition, order, function, frame) ----
+# Every ordering ends in o_orderkey, a unique column, so ALL window
+# functions (including row_number and lag) are total-order
+# deterministic and the comparison is exact, never tolerance-based.
+
+_WIN_PARTS = [
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("pk", "o_custkey % 10"),
+]
+_WIN_ORDERS = [
+    ("cents", "cents"),
+    ("o_orderdate", "o_orderdate"),
+]
+
+
+def _win_fn(name):
+    """(label, spark_fn(window) -> Column, sql_text(over) -> str)."""
+    from pyspark.sql import Window  # local: keep module import light
+
+    if name == "row_number":
+        return name, lambda w: F.row_number().over(w).cast("bigint"), \
+            "CAST(row_number() OVER ({ov}) AS BIGINT)"
+    if name == "rank":
+        return name, lambda w: F.rank().over(w).cast("bigint"), \
+            "CAST(rank() OVER ({ov}) AS BIGINT)"
+    if name == "dense_rank":
+        return name, lambda w: F.dense_rank().over(w).cast("bigint"), \
+            "CAST(dense_rank() OVER ({ov}) AS BIGINT)"
+    if name == "lag":
+        return name, lambda w: F.lag("cents", 1).over(w).cast("bigint"), \
+            "CAST(lag(cents, 1) OVER ({ov}) AS BIGINT)"
+    if name == "running_sum":
+        return (
+            name,
+            lambda w: F.sum("cents")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"),
+            "CAST(sum(cents) OVER ({ov} ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) AS BIGINT)",
+        )
+    if name == "rolling_sum_4":
+        return (
+            name,
+            lambda w: F.sum("cents").over(w.rowsBetween(-3, 0)).cast("bigint"),
+            "CAST(sum(cents) OVER ({ov} ROWS BETWEEN 3 PRECEDING"
+            " AND CURRENT ROW) AS BIGINT)",
+        )
+    if name == "ntile4":
+        return name, lambda w: F.ntile(4).over(w).cast("bigint"), \
+            "CAST(ntile(4) OVER ({ov}) AS BIGINT)"
+    raise AssertionError(name)
+
+
+_WIN_FNS = st.sampled_from(
+    ["row_number", "rank", "dense_rank", "lag", "running_sum",
+     "rolling_sum_4", "ntile4"]
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.sampled_from(_WIN_PARTS),
+    st.sampled_from(_WIN_ORDERS),
+    _WIN_FNS,
+    st.booleans(),
+)
+def test_generated_window_matches_duckdb(spark, duck, part, order, fn_name, desc):
+    """Any generated PARTITION BY / ORDER BY / window-function combo
+    (ranking, offset, running and rolling frames) must produce
+    identical per-row results on Spark and DuckDB."""
+    from pyspark.sql import Window
+
+    sf = __import__("conftest").SF_DIR
+    p_alias, p_sql = part
+    o_alias, _o_sql = order
+    _, sfn, sql_tpl = _win_fn(fn_name)
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderdate",
+        (F.col("o_custkey") % 10).alias("pk"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    ocol = F.col(o_alias).desc() if desc else F.col(o_alias).asc()
+    w = Window.partitionBy(p_alias).orderBy(ocol, F.col("o_orderkey").asc())
+    sdf = o.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        sfn(w).alias("wval"),
+    )
+    dirn = "DESC" if desc else "ASC"
+    ov = f"PARTITION BY {p_alias} ORDER BY {o_alias} {dirn}, o_orderkey ASC"
+    sql = f"""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority, o_orderdate,
+               o_custkey % 10 AS pk,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+      )
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             {sql_tpl.format(ov=ov)} AS wval
+      FROM base
+    """
+    assert_matches_oracle(sdf, duck, sql)
