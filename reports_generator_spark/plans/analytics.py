@@ -2317,3 +2317,95 @@ def funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.select(level.alias("level")).groupBy("level").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    t1s AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN us END) AS t1
+      FROM e GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id,
+             CAST(min(e.us - t.t1) // 1000000 AS BIGINT) AS delay_s
+      FROM e JOIN t1s t USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.us > t.t1
+      GROUP BY e.user_id
+    ),
+    ranked AS (
+      SELECT delay_s,
+             row_number() OVER (ORDER BY delay_s, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM conv
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           floor(CAST(sum(delay_s) AS DOUBLE) / max(n) * 1000000 + 0.5)
+             / 1000000 AS mean_delay_s,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN delay_s END) AS BIGINT)
+             AS median_delay_s,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                         THEN delay_s END) AS BIGINT) AS p90_delay_s
+    FROM ranked
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the view→purchase funnel:
+    per converting user, the delay from FIRST view to the first
+    purchase after it, summarized as count / mean / exact lower
+    median / exact p90 — the latency lens `funnel_window` (depth) and
+    `funnel_conversion` (reach) don't give. Delays are exact integer
+    seconds; the median and p90 are ORDER STATISTICS under a
+    (delay, user) total order — never an interpolating percentile, so
+    they value-hash across engines. Plan: one user-grain conditional
+    aggregate, one join back, one global window over the converted
+    users only (the small side of the funnel)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+    t1s = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t1")
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t1s, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(
+            F.expr("min(us - t1) div 1000000").cast("bigint").alias("delay_s")
+        )
+    )
+    w = Window.orderBy("delay_s", "user_id")
+    ranked = conv.select(
+        "delay_s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        dround(F.sum("delay_s").cast("double") / F.max("n"), 6).alias(
+            "mean_delay_s"
+        ),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("delay_s")
+            )
+        ).cast("bigint").alias("median_delay_s"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.9 * F.col("n")).cast("bigint"),
+                F.col("delay_s"),
+            )
+        ).cast("bigint").alias("p90_delay_s"),
+    )

@@ -420,3 +420,75 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sessions",
         F.rank().over(w_rank).cast("bigint").alias("rnk"),
     ).filter(F.col("rnk") <= _PATH_TOPK)
+
+
+#: Reorder-point parameters: 7-day replenishment lead time, z = 1.645
+#: (95% service level), both exact decimal constants on both engines.
+_ROP_LEAD_DAYS, _ROP_Z = 7, 1.645
+
+
+@query(
+    "inventory_reorder_point",
+    oracle=f"""
+    WITH daily AS (
+      SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+             CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(q) AS BIGINT) AS s,
+             sum(q * q) AS s2
+      FROM daily GROUP BY 1
+    )
+    SELECT l_partkey, n_days,
+           floor(CAST(s AS DOUBLE) / n_days * 1000000 + 0.5) / 1000000
+             AS mean_daily,
+           floor(sqrt(CAST(n_days * s2 - s * s AS DOUBLE)
+                      / (CAST(n_days AS DOUBLE) * (n_days - 1)))
+                 * 1000000 + 0.5) / 1000000 AS sd_daily,
+           floor((CAST(s AS DOUBLE) / n_days * {_ROP_LEAD_DAYS}
+                  + {_ROP_Z} * sqrt({_ROP_LEAD_DAYS})
+                    * sqrt(CAST(n_days * s2 - s * s AS DOUBLE)
+                           / (CAST(n_days AS DOUBLE) * (n_days - 1))))
+                 * 1000000 + 0.5) / 1000000 AS reorder_point
+    FROM m WHERE n_days >= 2
+    """,
+)
+def inventory_reorder_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part reorder point under the standard safety-stock model:
+    ROP = μ_daily·L + z·√L·σ_daily (L = 7 days lead, z = 1.645 — 95 %
+    service). Demand statistics over the part's OBSERVED demand days
+    (a no-demand day is no observation, not a zero — the
+    intermittent-demand convention; parts with one day drop). Moments
+    are exact integers (Σq as BIGINT, Σq² as HUGEINT/DECIMAL — the
+    width-budget discipline) and μ/σ/ROP are single double
+    expressions, 6 dp pinned. Two partial-agg shuffles (part×day,
+    part) — the replenishment-planning table at any fact scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_partkey", F.to_date("l_shipdate").alias("d")
+    ).agg(F.floor(F.sum("l_quantity") + 0.5).cast("bigint").alias("q"))
+    m = daily.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_days")
+    sd = F.sqrt(
+        (F.col("n_days") * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("n_days").cast("double") * (F.col("n_days") - 1))
+    )
+    import math as _math
+
+    return m.filter(F.col("n_days") >= 2).select(
+        "l_partkey",
+        "n_days",
+        dround(mean, 6).alias("mean_daily"),
+        dround(sd, 6).alias("sd_daily"),
+        dround(
+            mean * _ROP_LEAD_DAYS + _ROP_Z * _math.sqrt(_ROP_LEAD_DAYS) * sd,
+            6,
+        ).alias("reorder_point"),
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -716,4 +716,117 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("blk_tok", "p_brand").agg(
         F.count(F.lit(1)).alias("n_candidate_pairs"),
         F.sum(F.when(match, 1).otherwise(0)).cast("bigint").alias("n_matches"),
+    )
+
+
+def _lpa_round_ctes(n_rounds: int) -> str:
+    """Unrolled synchronous label-propagation rounds for the oracle:
+    each round every node takes the MAJORITY label among its
+    neighbors, ties broken by the smaller label — a total order, so
+    every round is engine-deterministic (generated, not hand-kept)."""
+    ctes = []
+    for i in range(1, n_rounds + 1):
+        ctes.append(
+            f"l{i} AS (\n"
+            f"      SELECT u AS node, label FROM (\n"
+            f"        SELECT und.u, l.label,\n"
+            f"               row_number() OVER (PARTITION BY und.u\n"
+            f"                   ORDER BY count(*) DESC, l.label ASC) AS rn\n"
+            f"        FROM und JOIN l{i - 1} l ON l.node = und.v\n"
+            f"        GROUP BY und.u, l.label\n"
+            f"      ) WHERE rn = 1\n"
+            f"    )"
+        )
+    return ",\n    ".join(ctes)
+
+
+#: LPA graph: co-purchase part pairs (≥2 shared orders, basket ≤ 50).
+_LPA_MIN_CO, _LPA_MAX_BASKET, _LPA_ROUNDS = 2, 50, 3
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ok AS (
+      SELECT l_orderkey FROM items GROUP BY l_orderkey
+      HAVING count(*) <= {_LPA_MAX_BASKET}
+    ),
+    capped AS (SELECT items.* FROM items JOIN ok USING (l_orderkey)),
+    pairs AS (
+      SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+      FROM capped a JOIN capped b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {_LPA_MIN_CO}
+    ),
+    und AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+    {_lpa_round_ctes(_LPA_ROUNDS)}
+    SELECT node AS l_partkey, CAST(label AS BIGINT) AS community
+    FROM l{_LPA_ROUNDS}
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    part co-purchase graph (3 rounds): every node adopts the MAJORITY
+    label of its neighbors, smaller-label tiebreak — unlike
+    [[dedup_cluster_cc]]'s min-label fixpoint (connectivity), LPA
+    finds DENSITY structure, and the majority vote with a total-order
+    tiebreak keeps every round integer-deterministic, so per-node
+    labels value-hash across engines (no 'communities are unstable'
+    cop-out: the oracle unrolls the same 3 rounds). Scale: each round
+    is ONE hash shuffle of (edge ⋈ labels) + a per-(node,label)
+    partial agg — the same bounded co-occurrence graph as
+    market_basket_pairs (basket cap, min-support), rounds fixed, no
+    monotone-frontier iteration. The Spark side loops 3 joins off one
+    localCheckpointed edge list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    ok = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") <= _LPA_MAX_BASKET)
+        .select("l_orderkey")
+    )
+    capped = items.join(ok, "l_orderkey")
+    a = capped.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = capped.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= _LPA_MIN_CO)
+        .select("pa", "pb")
+    )
+    und = (
+        pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .unionByName(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        .localCheckpoint()
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            und.join(labels, und.v == labels.node)
+            .groupBy(F.col("u"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("u").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "label")
+        )
+    return labels.select(
+        F.col("node").alias("l_partkey"),
+        F.col("label").cast("bigint").alias("community"),
     )

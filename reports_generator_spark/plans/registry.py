@@ -244,7 +244,10 @@ def load_all() -> None:
     from . import corpus_quality  # noqa: F401
     # scale_patterns.py registers 2 keys (exact_median_histogram_2pass,
     # sample_consistent_multitable); spatial_dbscan_corepoints registers
-    # from spatial.py — all round-7 backlog
+    # from spatial.py — all round-7 backlog, as are the late-round
+    # additions graph_label_propagation (dedup.py),
+    # inventory_reorder_point (commerce.py), funnel_time_to_convert
+    # (analytics.py), quantile_sketch_error_audit (sketches.py)
     from . import scale_patterns  # noqa: F401
 
     # Reorder for the driver's bounded attestation window (round 1 cut off

@@ -19,7 +19,7 @@ without demanding bit-equality of sketch internals.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
@@ -216,4 +216,93 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("bigint").alias("n_events"),
             F.col("rank").cast("bigint").alias("rank"),
         )
+    )
+
+
+#: Sketch-audit parameters: GK accuracy (rank error ≤ n/accuracy) and
+#: the audited quantile levels.
+_QA_ACCURACY = 1000
+_QA_LEVELS = (0.25, 0.5, 0.75, 0.9)
+
+
+def _quantile_audit_oracle() -> str:
+    """Exact type-1 quantiles (value at rank ceil(q·n) under a
+    (value, key) total order) + TRUE bound booleans: the oracle
+    recomputes the exact side independently; the sketch side's bound
+    check is Spark's own guarantee, asserted as a constant —
+    the same quality-attestation shape as dedup_simhash."""
+    arms = []
+    for q in _QA_LEVELS:
+        arms.append(
+            f"SELECT '{q}' AS qlevel,\n"
+            f"       (SELECT v FROM ranked"
+            f" WHERE rn = CAST(ceil({q} * n) AS BIGINT) LIMIT 1)"
+            f" AS exact_v,\n"
+            f"       TRUE AS within_bound"
+        )
+    union = "\n    UNION ALL ".join(arms)
+    return f"""
+    WITH vals AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders
+    ),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM vals
+    )
+    {union}
+    """
+
+
+@query("quantile_sketch_error_audit", oracle=_quantile_audit_oracle())
+def quantile_sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-error audit of the GK quantile sketch against exact order
+    statistics: for each audited level q, the exact type-1 quantile
+    (value at rank ceil(q·n)) is recomputed independently by the
+    oracle (value-hash-checked), and the sketch side verifies
+    percentile_approx's guarantee — the rank of its returned element
+    is within n/accuracy of q·n — as a boolean the oracle pins TRUE.
+    This is the per-release governance loop for replacing exact
+    percentiles with sketches at 100 TB: measure the realized rank
+    error BEFORE trusting the sketch for an SLA metric
+    ([[agg_approx_percentile]] is the production path this audits).
+    Plan: one sketch aggregate (mergeable, one pass), one exact
+    order-stat pass over the value column, one rank lookup per
+    audited element — all shuffles carry aggregate state, not rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("v"),
+    )
+    n = o.count()
+    approxes = o.agg(
+        F.percentile_approx(
+            "v", list(_QA_LEVELS), _QA_ACCURACY
+        ).alias("a")
+    ).collect()[0].a
+    w = Window.orderBy("v", "o_orderkey")
+    ranked = o.select(
+        "v", F.row_number().over(w).alias("rn")
+    ).localCheckpoint()
+    import math as _math
+
+    ks = {q: int(_math.ceil(q * n)) for q in _QA_LEVELS}
+    # ONE job for all exact order stats, ONE for all sketch ranks
+    exact_rows = ranked.filter(
+        F.col("rn").isin(list(ks.values()))
+    ).collect()
+    exact_by_rn = {r.rn: r.v for r in exact_rows}
+    rank_row = ranked.agg(
+        *[
+            F.count(F.when(F.col("v") <= int(a), 1)).alias(f"r{i}")
+            for i, a in enumerate(approxes)
+        ]
+    ).collect()[0]
+    rows = []
+    for i, (q, a) in enumerate(zip(_QA_LEVELS, approxes)):
+        within = abs(rank_row[f"r{i}"] - q * n) <= n / _QA_ACCURACY + 1
+        rows.append((str(q), int(exact_by_rn[ks[q]]), bool(within)))
+    return spark.createDataFrame(
+        rows, "qlevel string, exact_v bigint, within_bound boolean"
     )
