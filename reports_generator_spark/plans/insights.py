@@ -465,8 +465,8 @@ def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                   AS BIGINT) AS cents
       FROM orders
-      WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-        AND o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
       GROUP BY 1
     ),
     y95 AS (
@@ -474,8 +474,8 @@ def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                   AS BIGINT) AS cents
       FROM orders
-      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
       GROUP BY 1
     ),
     j AS (
@@ -497,7 +497,10 @@ def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year segment migration matrix: each customer's spend
-    band in 1994 vs 1995 (fixed integer-cent thresholds — engine-
+    band in 1995 vs 1996 — the first two FULL fixture years; the
+    originally drafted 1994 window predates the data (orders start
+    1995-01-01) and made every seg_from 'none' (fixed integer-cent
+    thresholds — engine-
     independent, unlike quantile bands), with 'none' for customers
     absent from a year — the churn/upgrade/win-back grid behind
     retention planning, and the entity-level complement of
@@ -520,10 +523,10 @@ def customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(cents)
         )
 
-    a = year_spend("1994-01-01 00:00:00", "1995-01-01 00:00:00").select(
+    a = year_spend("1995-01-01 00:00:00", "1996-01-01 00:00:00").select(
         F.col("o_custkey").alias("ck"), F.col("cents").alias("c94")
     )
-    b = year_spend("1995-01-01 00:00:00", "1996-01-01 00:00:00").select(
+    b = year_spend("1996-01-01 00:00:00", "1997-01-01 00:00:00").select(
         F.col("o_custkey").alias("ck"), F.col("cents").alias("c95")
     )
 
