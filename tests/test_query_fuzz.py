@@ -287,3 +287,89 @@ def test_generated_window_matches_duckdb(spark, duck, part, order, fn_name, desc
       FROM base
     """
     assert_matches_oracle(sdf, duck, sql)
+
+
+# --- scalar-expression fuzzing: string/date projections ---------------
+# Each atom is a (spark_column, sql_text) pair built from one spec, so
+# both engines evaluate the same expression tree; all outputs are
+# strings or integers — exact comparison, no float tolerance.
+
+
+def _substr(start, length):
+    # 1-based start on both engines; generated bounds may exceed the
+    # string — both engines return the clamped suffix
+    return (
+        F.substring(F.col("o_orderpriority"), start, length),
+        f"substring(o_orderpriority, {start}, {length})",
+    )
+
+
+def _case_fn(upper):
+    fn = "upper" if upper else "lower"
+    return (
+        getattr(F, fn)(F.col("o_orderstatus")),
+        f"{fn}(o_orderstatus)",
+    )
+
+
+def _concat_sep(sep):
+    return (
+        F.concat_ws(sep, F.col("o_orderstatus"), F.col("o_orderpriority")),
+        f"concat_ws('{sep}', o_orderstatus, o_orderpriority)",
+    )
+
+
+def _date_add_days(n):
+    return (
+        F.date_format(F.date_add(F.to_date("o_orderdate"), n), "yyyy-MM-dd"),
+        f"strftime(CAST(o_orderdate AS DATE) + ({n}) * INTERVAL 1 DAY,"
+        f" '%Y-%m-%d')",
+    )
+
+
+def _extract_part(part):
+    spark_fn = {"year": F.year, "month": F.month, "day": F.dayofmonth}[part]
+    return (
+        spark_fn(F.col("o_orderdate")).cast("bigint"),
+        f"CAST(extract({part} FROM o_orderdate) AS BIGINT)",
+    )
+
+
+def _lpad_key(width, fill):
+    return (
+        F.lpad(F.col("o_orderkey").cast("string"), width, fill),
+        f"lpad(CAST(o_orderkey AS VARCHAR), {width}, '{fill}')",
+    )
+
+
+_scalar_atom = st.one_of(
+    st.tuples(st.integers(1, 6), st.integers(1, 8)).map(lambda t: _substr(*t)),
+    st.booleans().map(_case_fn),
+    st.sampled_from(["-", "/", "::"]).map(_concat_sep),
+    st.integers(-400, 400).map(_date_add_days),
+    st.sampled_from(["year", "month", "day"]).map(_extract_part),
+    st.tuples(st.integers(4, 12), st.sampled_from(["0", "x"])).map(
+        lambda t: _lpad_key(*t)
+    ),
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_scalar_atom, min_size=1, max_size=3))
+def test_generated_scalar_projection_matches_duckdb(spark, duck, atoms):
+    """Any generated projection of string/date scalar expressions must
+    evaluate identically per row on Spark and DuckDB."""
+    sf = __import__("conftest").SF_DIR
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    cols = [F.col("o_orderkey").cast("bigint").alias("o_orderkey")]
+    sqls = ["CAST(o_orderkey AS BIGINT) AS o_orderkey"]
+    for i, (c, s) in enumerate(atoms):
+        cols.append(c.alias(f"e{i}"))
+        sqls.append(f"{s} AS e{i}")
+    sdf = o.select(*cols)
+    sql = f"SELECT {', '.join(sqls)} FROM orders"
+    assert_matches_oracle(sdf, duck, sql)
