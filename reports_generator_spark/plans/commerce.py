@@ -3,8 +3,8 @@ on-time-in-full delivery metrics, duplicate-payment audit, DAU/WAU
 stickiness, and top session paths.
 
 All currency flows as integer cents and all dates as exact day
-arithmetic until one final dround-pinned double per metric — the
-[[spark-graft-build-workflow]] determinism recipes. The reference
+arithmetic until one final dround-pinned double per metric (the
+integer-cents cross-engine determinism recipe). The reference
 computes none of these (SURVEY §0); this is north-star engine
 surface on the TPC-H-ish fixture tables.
 """

@@ -9,7 +9,7 @@ batch used): the round-6 window holds 48 changed/new keys, so
 their driver rows at the start of round 7; every one is locally
 parity-verified at sf0.001/0.01 meanwhile. Determinism: integer cents / integer day arithmetic /
 integer moment sums end-to-end, one dround-pinned double per metric
-(the [[spark-graft-build-workflow]] recipes). The reference computes
+(the integer moment-sum / cents determinism recipes). The reference computes
 none of these (SURVEY §0) — north-star engine surface.
 """
 

@@ -149,55 +149,53 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "sql_try_cast_safe", "feature_quantile_bin_approx",
         "kanonymity_audit", "feature_winsorize", "feature_hash_bucket",
         "feature_robust_scale", "spatial_heatmap_bin",
+        # --- round 6 green (CORRECTNESS_r06.json: 50/50 hash-match) ---
+        "agg_weighted_median", "funnel_window", "text_pmi_cooccurrence",
+        "embedding_quantize", "embedding_normalize",
+        "sql_exists_not_exists", "sql_distinct_on", "sql_qualify_topn",
+        "sql_values_inline_lookup", "set_ops_all", "explode_posexplode",
+        "corpus_url_canonicalize", "feature_target_encode",
+        "attribution_multi_touch", "expectations_audit",
+        "forecast_seasonal_naive", "ab_test_zscore",
+        "sample_weighted_priority", "dp_noisy_counts", "drift_psi",
+        "anomaly_cusum_changepoint", "event_transition_matrix",
+        "dedup_splice_overlap", "timeseries_acf",
+        "anomaly_seasonal_residual", "seasonal_decompose_ma",
+        "rolling_corr_pair", "streak_consecutive_days",
+        "window_reset_cumsum", "survival_kaplan_meier",
+        "interval_allocate_daily", "eval_auc_rank", "eval_calibration_bins",
+        "assoc_rules_lift", "lorenz_curve_deciles", "feature_impute_median",
+        "ldiversity_audit", "chisq_independence",
+        "customer_migration_matrix", "ks_test_two_sample",
+        "mann_whitney_u_test", "bootstrap_ci_mean",
+        "price_elasticity_loglog", "demand_variability_xyz",
+        "revenue_bridge_pvm", "otif_delivery_metrics",
+        "duplicate_payment_audit", "dau_wau_stickiness",
+        "session_path_topk", "fifo_inventory_matching",
     }
 )
 
 
 #: Keys whose ATTESTATION must (re-)run through the driver's bounded
-#: 50-key window in the CURRENT round (round 6), so they sort FIRST:
-#:  - the 10 experiments.py keys registered late in r5 (no driver row
-#:    yet; locally parity-green — VERDICT r5 item #2);
-#:  - the 2 r5 hash-fail keys whose oracles are now BIGINT-cast
-#:    (agg_weighted_median, feature_target_encode);
-#:  - re-attestations: embedding_normalize / embedding_quantize (plans
-#:    changed by the r5 lambda-inlining fix, driver rows predate it),
-#:    corpus_url_canonicalize (utm_ regex tightened per ADVICE),
-#:    text_pmi_cooccurrence (per-doc distinct-token cap added per
-#:    ADVICE — values can change on token-rich docs);
-#:  - every NEW round-6 key.
+#: 50-key window in the CURRENT round (round 7), so they sort FIRST:
+#:  - the 17 backlog keys registered in round 6 but never driver-attested
+#:    (the r6 window was full at 50; VERDICT r6 item #1) — all locally
+#:    parity-green and sf1-probed;
+#:  - every NEW round-7 key.
 _ADDED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # 10 experiments.py keys (registered r5, never driver-attested)
-        "attribution_multi_touch", "expectations_audit",
-        "forecast_seasonal_naive", "ab_test_zscore",
-        "sample_weighted_priority", "dp_noisy_counts", "drift_psi",
-        "anomaly_cusum_changepoint", "event_transition_matrix",
-        "dedup_splice_overlap",
-        # r5 hash-fails, oracles fixed this round
-        "agg_weighted_median", "feature_target_encode",
-        # re-attestations (plan/oracle changed since last green row)
-        "embedding_normalize", "embedding_quantize",
-        "corpus_url_canonicalize", "text_pmi_cooccurrence",
-        # new round-6 operators
-        "sql_exists_not_exists", "sql_distinct_on", "sql_qualify_topn",
-        "sql_values_inline_lookup", "set_ops_all", "explode_posexplode",
-        "timeseries_acf", "anomaly_seasonal_residual",
-        "seasonal_decompose_ma", "rolling_corr_pair",
-        "streak_consecutive_days", "window_reset_cumsum",
-        "survival_kaplan_meier", "interval_allocate_daily",
-        "eval_auc_rank", "eval_calibration_bins", "assoc_rules_lift",
-        "lorenz_curve_deciles", "feature_impute_median",
-        "ldiversity_audit", "chisq_independence",
-        "customer_migration_matrix",
-        "ks_test_two_sample", "mann_whitney_u_test", "bootstrap_ci_mean",
-        "price_elasticity_loglog", "demand_variability_xyz",
-        "revenue_bridge_pvm", "otif_delivery_metrics",
-        "duplicate_payment_audit", "dau_wau_stickiness",
-        "session_path_topk",
-        # the two backlog keys that ride this round's 2 spare window
-        # slots (they'd land there by tier-1 registration order anyway;
-        # listing them keeps the ledger's 'queued' column truthful)
-        "funnel_window", "fifo_inventory_matching",
+        # 17-key round-6 backlog (registered r6, never driver-attested)
+        "ab_test_ratio_delta_method", "corpus_kl_divergence",
+        "corpus_source_profile", "dedup_minhash_recall_audit",
+        "diff_in_diff_estimator", "exact_median_histogram_2pass",
+        "funnel_time_to_convert", "graph_degree_distribution",
+        "graph_label_propagation", "inventory_reorder_point",
+        "max_drawdown_monthly", "quantile_sketch_error_audit",
+        "sample_consistent_multitable", "spatial_dbscan_corepoints",
+        "theil_sen_trend", "time_decay_score", "token_fertility_by_lang",
+        # new round-7 operators
+        "join_bloom_pruned", "join_dpp_partition_pruned",
+        "dedup_incremental_minhash", "zorder_pruned_scan",
     }
 )
 

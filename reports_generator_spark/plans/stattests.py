@@ -336,7 +336,7 @@ def price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand price elasticity of demand: the slope of the log-log
     OLS regression ln(qty) ~ ln(unit price) — the standard constant-
     elasticity estimator. Uses the ANSI regr_* aggregates on both
-    engines (the same moment-sum recipe [[spark-graft-build-workflow]]
+    engines (the same integer moment-sum determinism recipe
     as agg_linear_regression, 6 dp pin). Plan: broadcast-able part
     join, then one partial-agg shuffle carrying 5 moment doubles per
     brand — distributed OLS at any row count."""
