@@ -196,6 +196,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # new round-7 operators
         "join_bloom_pruned", "join_dpp_partition_pruned",
         "dedup_incremental_minhash", "zorder_pruned_scan",
+        "delete_copy_on_write", "compact_small_files_binpack",
+        "sql_window_clause_named", "sql_order_by_all", "sql_star_except",
+        "sql_is_distinct_from",
     }
 )
 
@@ -247,6 +250,10 @@ def load_all() -> None:
     # inventory_reorder_point (commerce.py), funnel_time_to_convert
     # (analytics.py), quantile_sketch_error_audit (sketches.py)
     from . import scale_patterns  # noqa: F401
+    # scale_joins.py registers the round-7 join-pruning / storage-
+    # maintenance surface (bloom-pruned join, DPP, z-order pruned
+    # read-back, copy-on-write delete, small-file compaction)
+    from . import scale_joins  # noqa: F401
 
     # Reorder for the driver's bounded attestation window (round 1 cut off
     # at exactly 50 entries): keys added/changed this round first (their

@@ -1,0 +1,539 @@
+"""Scale-path join pruning and storage-maintenance operators.
+
+The four classic 100 TB techniques that cut a query's scan/shuffle
+volume BEFORE the join executes, plus the two storage-maintenance
+operations every lakehouse deployment schedules:
+
+- ``join_bloom_pruned``: semi-join reduction — a bit-packed Bloom
+  filter built from the selective dimension side prunes the fact
+  table map-side before the shuffle join. Built entirely from
+  DataFrame aggregates (``bit_or`` over one-hot words), probed with
+  shift/mask expressions — zero UDFs, zero driver collect, and exact
+  results regardless of false positives because the real join still
+  runs after the pre-filter.
+- ``join_dpp_partition_pruned``: dynamic partition pruning — the fact
+  table is partition-laid-out on the join key, so the runtime result
+  of the filtered dimension side prunes whole partitions from the
+  fact scan (``dynamicpruningexpression`` in PartitionFilters;
+  plan-asserted in tests/test_plan_shapes.py).
+- ``zorder_pruned_scan``: the read-side companion of
+  ``zorder_cluster`` (plans/features.py) — a Z-ordered layout is only
+  worth its write cost if a 2-D box predicate actually prunes; this
+  key reads the Morton-prefix-partitioned layout back with the box's
+  derived prefix set as a partition filter and the exact box as
+  residual.
+- ``delete_copy_on_write``: GDPR-style row deletes on an immutable
+  columnar lake — identify the partitions holding matching rows,
+  rewrite ONLY those partitions minus the deleted rows (dynamic
+  partition overwrite), leave everything else untouched.
+- ``compact_small_files_binpack``: small-file compaction — bin-pack a
+  64-file fragmented dataset into ceil(rows/target) right-sized files
+  and prove rows + checksum survived.
+
+The reference's storage layer is a single overwrite/append parquet
+sink (Proof.scala:147-151); none of these exist there — they are the
+engine surface a 100 TB deployment cannot run without.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .features import _z_interleave, _ZBITS
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter-pruned join (semi-join reduction)
+# --------------------------------------------------------------------------
+#: 2^19 bits = 8192 longs ≈ 64 KiB — at ~30k build keys that is ~17
+#: bits/key → ~1% false-positive rate with k=3 probes. On a cluster
+#: the same 64 KiB rides the broadcast; size m by n_keys·10–20 bits.
+_BLOOM_BITS = 1 << 19
+_BLOOM_WORDS = _BLOOM_BITS >> 6
+_BLOOM_K = 3
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """1-row (words: array<long>) Bloom filter over a key column.
+
+    Fully distributed: each key emits k bit positions (seeded
+    xxhash64), positions partial-aggregate per 64-bit word with
+    ``bit_or`` (the shuffle carries ≤ m/64 rows), and ONE final row
+    densifies the sparse word map into the array. No driver collect —
+    the filter stays an executor-side broadcast row, exactly like a
+    broadcast-join build side."""
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(j)), F.lit(_BLOOM_BITS))
+                    for j in range(_BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+    )
+    word_masks = pos.select(
+        F.shiftright(F.col("pos"), 6).alias("w"),
+        F.expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").alias("m"),
+    ).groupBy("w").agg(F.bit_or("m").alias("mask"))
+    sparse = word_masks.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("w", "mask")))
+        ).alias("wm")
+    )
+    # densify in a SEPARATE projection: referencing the aggregate
+    # inside the element lambda of the same select would inline it
+    # per element (the O(d²) Catalyst pitfall fixed in r5).
+    return sparse.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_WORDS - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("wm"), i.cast("long")), F.lit(0).cast("long")
+            ),
+        ).alias("bf_words")
+    )
+
+
+def bloom_might_contain_sql(key_expr: str) -> str:
+    """Spark SQL predicate testing all k Bloom bits for ``key_expr``
+    against the broadcast ``bf_words`` array (1-based element_at).
+    Spelled as SQL because shiftright's amount operand is only
+    expression-typed in SQL, not in the Python column API."""
+    conds = []
+    for j in range(_BLOOM_K):
+        p = f"pmod(xxhash64({key_expr}, {j}), {_BLOOM_BITS})"
+        conds.append(
+            f"((shiftright(element_at(bf_words, CAST(shiftright({p}, 6) AS INT) + 1),"
+            f" CAST(pmod({p}, 64) AS INT)) & 1) = 1)"
+        )
+    return " AND ".join(conds)
+
+
+@query(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT l.l_returnflag,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact-dimension join: the one classic 100 TB join
+    optimization not otherwise in the inventory. The selective side
+    (urgent orders, ~20%) builds a 64 KiB bit-packed Bloom filter as a
+    DataFrame aggregate (``bloom_build``); the fact table tests it
+    MAP-SIDE (shift/mask on the broadcast array — whole-stage codegen,
+    no UDF) so ~80% of lineitem never enters the shuffle. The real
+    equi-join then runs on the survivors, which makes Bloom false
+    positives harmless — the oracle is the plain join, and the test
+    suite separately asserts the pre-filter's selectivity. Spark's own
+    runtime bloom injection (spark.sql.optimizer.runtime.bloomFilter)
+    does this automatically above its 10 GB scan threshold; spelling
+    it explicitly keeps the plan deterministic at any size and
+    documents the technique as engine surface."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    okeys = o.select("o_orderkey")
+    bf = bloom_build(okeys, "o_orderkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+        .join(F.broadcast(bf))
+        .filter(F.expr(bloom_might_contain_sql("l_orderkey")))
+        .drop("bf_words")
+    )
+    joined = li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition pruning
+# --------------------------------------------------------------------------
+def _layout_tag(spark: SparkSession, sf_dir: str) -> str:
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+
+
+_DPP_DIM_ROWS = [
+    ("1-URGENT", "URGENTISH"),
+    ("2-HIGH", "URGENTISH"),
+    ("3-MEDIUM", "RELAXED"),
+    ("4-NOT SPECIFIED", "RELAXED"),
+    ("5-LOW", "RELAXED"),
+]
+
+
+def ensure_dpp_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once) the priority-partitioned orders table + the 5-row
+    priority-class dimension that `join_dpp_partition_pruned` reads.
+    Same warmup contract as ensure_bucketed_tables
+    (plans/relational.py): the layout is an ingest-time cost amortized
+    over every subsequent pruned query, so bench warmup builds it
+    outside the timed section."""
+    tag = _layout_tag(spark, sf_dir)
+    t_fact, t_dim = f"rg_orders_p_{tag}", f"rg_prio_dim_{tag}"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+    def _stale(table: str) -> bool:
+        loc = os.path.join(warehouse, table.lower())
+        if spark.catalog.tableExists(table):
+            if os.path.exists(loc):
+                return False
+            spark.sql(f"DROP TABLE {table}")
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        return True
+
+    if _stale(t_fact):
+        load_table(spark, sf_dir, "orders").write.partitionBy(
+            "o_orderpriority"
+        ).mode("overwrite").saveAsTable(t_fact)
+    if _stale(t_dim):
+        spark.createDataFrame(
+            _DPP_DIM_ROWS, "prio string, prio_class string"
+        ).coalesce(1).write.mode("overwrite").saveAsTable(t_dim)
+    return t_fact, t_dim
+
+
+@query(
+    "join_dpp_partition_pruned",
+    oracle="""
+    WITH dim(prio, prio_class) AS (VALUES
+      ('1-URGENT','URGENTISH'), ('2-HIGH','URGENTISH'),
+      ('3-MEDIUM','RELAXED'), ('4-NOT SPECIFIED','RELAXED'),
+      ('5-LOW','RELAXED'))
+    SELECT o.o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN dim d ON d.prio = o.o_orderpriority
+    WHERE d.prio_class = 'URGENTISH'
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is partition-laid-out
+    on the join key (o_orderpriority), the dimension side carries a
+    selective predicate, and Catalyst injects the dim side's runtime
+    key set into the fact scan's PartitionFilters
+    (``dynamicpruningexpression(... IN dynamicpruning#N)`` —
+    plan-asserted in tests/test_plan_shapes.py), so 3 of 5 partitions
+    are never read. Two engine boundaries this key documents: (1) the
+    DPP trigger requires a comparison-shaped dim predicate —
+    ``prio_class = 'URGENTISH'`` injects, a bare boolean column does
+    NOT (PartitionPruning's isLikelySelective matches comparisons/IN/
+    LIKE, not attribute references); (2) at local fixture sizes the
+    stats-based benefit estimate rounds to zero, so the session runs
+    with useStats=false — on a real 100 TB table the default stats
+    path fires on its own."""
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    t_fact, t_dim = ensure_dpp_tables(spark, sf_dir)
+    o = spark.table(t_fact)
+    d = spark.table(t_dim).filter(F.col("prio_class") == "URGENTISH")
+    return (
+        o.join(d, o.o_orderpriority == d.prio)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order pruned read-back
+# --------------------------------------------------------------------------
+#: The query box in bucket space: bx ∈ [4,7] × bby ∈ [0,3] — exactly
+#: the Morton range [16, 32) = prefix {1} of 16, so the partition
+#: filter prunes 15/16 of the layout.
+_ZBOX_X = (4, 7)
+_ZBOX_Y = (0, 3)
+
+
+def _morton_py(bx: int, by: int) -> int:
+    z = 0
+    for i in range(_ZBITS):
+        z |= ((bx >> i) & 1) << (2 * i)
+        z |= ((by >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def zbox_prefixes() -> list[int]:
+    """Partition prefixes (zval >> 4) covering the query box — the
+    driver-side constant-folded equivalent of a BIGMIN/LITMAX Z-range
+    decomposition (exact at this 4-bit-per-dim resolution)."""
+    return sorted(
+        {
+            _morton_py(bx, by) >> 4
+            for bx in range(_ZBOX_X[0], _ZBOX_X[1] + 1)
+            for by in range(_ZBOX_Y[0], _ZBOX_Y[1] + 1)
+        }
+    )
+
+
+def ensure_zorder_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the Morton-prefix-partitioned lineitem layout that
+    `zorder_pruned_scan` reads: zval from the same bit-interleave as
+    zorder_cluster, zp = zval >> 4 as the 16-way partition column."""
+    tag = _layout_tag(spark, sf_dir)
+    table = f"rg_li_z_{tag}"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(warehouse, table.lower())
+    if spark.catalog.tableExists(table):
+        if os.path.exists(loc):
+            return table
+        spark.sql(f"DROP TABLE {table}")
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_partkey").alias("mnp"),
+        F.max("l_partkey").alias("mxp"),
+        F.min("l_suppkey").alias("mns"),
+        F.max("l_suppkey").alias("mxs"),
+    )
+    g = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(F.broadcast(stats))
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            F.floor(
+                (F.col("l_partkey") - F.col("mnp"))
+                * 16.0
+                / (F.col("mxp") - F.col("mnp") + 1)
+            ).alias("bx"),
+            F.floor(
+                (F.col("l_suppkey") - F.col("mns"))
+                * 16.0
+                / (F.col("mxs") - F.col("mns") + 1)
+            ).alias("bby"),
+        )
+    )
+    z = g.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "bx",
+        "bby",
+        _z_interleave(F.col("bx"), F.col("bby")).alias("zval"),
+    ).withColumn("zp", F.shiftright(F.col("zval"), 4))
+    # At 100 TB: repartitionByRange(zval) + sortWithinPartitions gives
+    # file-level zone maps INSIDE each prefix partition too; here the
+    # 16-way directory layout is what the pruning read exercises.
+    z.write.partitionBy("zp").mode("overwrite").saveAsTable(table)
+    return table
+
+
+@query(
+    "zorder_pruned_scan",
+    oracle=f"""
+    WITH s AS (
+      SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+             min(l_suppkey) AS mns, max(l_suppkey) AS mxs
+      FROM lineitem
+    ),
+    g AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(floor((l_partkey - mnp) * 16.0 / (mxp - mnp + 1)) AS BIGINT) AS bx,
+             CAST(floor((l_suppkey - mns) * 16.0 / (mxs - mns + 1)) AS BIGINT) AS bby
+      FROM lineitem, s
+    )
+    SELECT bx, bby, count(*) AS n_rows, CAST(sum(l_partkey) AS BIGINT) AS sum_pk
+    FROM g
+    WHERE bx BETWEEN {_ZBOX_X[0]} AND {_ZBOX_X[1]}
+      AND bby BETWEEN {_ZBOX_Y[0]} AND {_ZBOX_Y[1]}
+    GROUP BY bx, bby
+    """,
+)
+def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured pay-off of the Z-order layout (r6 verdict item): a 2-D
+    box predicate (bx ∈ [4,7] × bby ∈ [0,3]) becomes the Morton-prefix
+    set {zval>>4} — computed by exact prefix enumeration over the box,
+    the constant-resolution form of BIGMIN/LITMAX — and lands in the
+    scan as ``PartitionFilters: zp IN (...)`` pruning 15 of 16
+    partitions (plan-asserted in tests/test_plan_shapes.py); the exact
+    box predicate stays as the residual filter. A 1-D sort layout
+    would leave the second dimension's span at full width and prune
+    nothing for this shape — that asymmetry is the whole reason
+    zorder_cluster writes Morton keys. Oracle recomputes the
+    bucketization from the raw table, proving layout+pruned read ==
+    direct scan."""
+    t = ensure_zorder_table(spark, sf_dir)
+    z = spark.table(t)
+    pruned = z.filter(
+        F.col("zp").isin(zbox_prefixes())
+        & F.col("bx").between(*_ZBOX_X)
+        & F.col("bby").between(*_ZBOX_Y)
+    )
+    return pruned.groupBy("bx", "bby").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_partkey").alias("sum_pk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Copy-on-write delete (dynamic partition overwrite)
+# --------------------------------------------------------------------------
+_COW_PARTS = 8
+
+
+@query(
+    "delete_copy_on_write",
+    oracle=f"""
+    WITH s AS (SELECT max(o_orderkey) AS mx FROM orders),
+    t AS (
+      SELECT o_orderkey,
+             CAST(floor(o_orderkey * {_COW_PARTS}.0 / (mx + 1)) AS BIGINT) AS fid,
+             (o_orderkey <= CAST((mx + 1) / 4 AS BIGINT)
+              AND o_orderkey % 5 = 2) AS hit
+      FROM orders, s
+    )
+    SELECT count(*) AS rows_before,
+           CAST(sum(CAST(hit AS BIGINT)) AS BIGINT) AS rows_deleted,
+           CAST(count(*) - sum(CAST(hit AS BIGINT)) AS BIGINT) AS rows_after,
+           CAST({_COW_PARTS} AS BIGINT) AS n_parts_total,
+           count(DISTINCT fid) FILTER (WHERE hit) AS n_parts_rewritten,
+           CAST(sum(o_orderkey) FILTER (WHERE NOT hit) AS BIGINT)
+             AS survivor_checksum
+    FROM t
+    """,
+)
+def delete_copy_on_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE on an immutable columnar lake via
+    copy-on-write at partition granularity — the GDPR-erasure shape.
+    The dataset lives range-partitioned on the key (8 dirs); the
+    delete predicate (low key range, every 5th key) touches 2 of them.
+    Execution: (1) locate partitions holding matches, (2) rewrite ONLY
+    those partitions minus the deleted rows using DYNAMIC partition
+    overwrite (partitions absent from the frame are untouched — and
+    because dynamic overwrite cannot DROP a partition that ends up
+    empty, the rewrite unit must keep survivors, which this predicate
+    guarantees and a fully-emptying delete would instead handle with
+    an explicit drop), (3) audit: read-back rows + survivor checksum
+    equal the direct computation (the oracle). At 100 TB the only
+    rewritten bytes are the touched partitions — the point of COW;
+    file-level COW (Delta/Iceberg) refines the same plan to the file
+    granularity. The layout write is part of the run because the op
+    MUTATES it (same contract as sink_mode_auto's fixture reset)."""
+    import tempfile
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"rg_cow_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderkey")).first()[0]  # scalar-only collect
+    thr = (mx + 1) // 4
+
+    fid = F.floor(F.col("o_orderkey") * float(_COW_PARTS) / (mx + 1)).cast("bigint")
+    o.withColumn("fid", fid).write.partitionBy("fid").mode("overwrite").parquet(path)
+
+    lake = spark.read.parquet(path)
+    hit = (F.col("o_orderkey") <= thr) & (F.col("o_orderkey") % 5 == 2)
+    rows_before = lake.count()
+    touched = lake.filter(hit).select("fid").distinct()
+    n_rewritten = touched.count()  # bounded by partition count
+
+    # rewrite only the touched partitions, minus the deleted rows
+    survivors_in_touched = lake.join(F.broadcast(touched), "fid").filter(~hit)
+    survivors_in_touched.write.partitionBy("fid").mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(path)
+
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.lit(rows_before).cast("bigint").alias("rows_before"),
+        (F.lit(rows_before).cast("bigint") - F.count(F.lit(1))).alias("rows_deleted"),
+        F.count(F.lit(1)).alias("rows_after"),
+        F.lit(_COW_PARTS).cast("bigint").alias("n_parts_total"),
+        F.lit(n_rewritten).cast("bigint").alias("n_parts_rewritten"),
+        F.sum("o_orderkey").alias("survivor_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction (bin-packing)
+# --------------------------------------------------------------------------
+_COMPACT_TARGET_ROWS = 4096
+
+
+@query(
+    "compact_small_files_binpack",
+    oracle=f"""
+    SELECT CAST(64 AS BIGINT) AS n_files_before,
+           CAST(ceil(count(*) / {_COMPACT_TARGET_ROWS}.0) AS BIGINT)
+             AS n_files_after,
+           count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS checksum
+    FROM orders
+    """,
+)
+def compact_small_files_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: the nightly maintenance job that keeps a
+    streamed-into table scannable. A 64-file fragmented copy of orders
+    (the 'too many small files' state every micro-batch sink
+    produces) is bin-packed into ceil(rows/4096) right-sized files —
+    one round-robin shuffle, no ordering requirement. The audit reads
+    BOTH layouts back and counts physical files via the _metadata
+    hidden column (distinct file paths — metadata-only, no extra scan
+    pass), proving the row count and key checksum survived and the
+    file count hit the bin-packing target exactly. At 100 TB the
+    target is bytes, not rows (maxRecordsPerFile /
+    repartitionByRange on size tiers); rows keep the fixture exact
+    and the plan identical."""
+    import tempfile
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    frag = os.path.join(tempfile.gettempdir(), f"rg_frag_{tag}")
+    compacted = os.path.join(tempfile.gettempdir(), f"rg_compact_{tag}")
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+
+    frag_back = spark.read.parquet(frag)
+    n_rows = frag_back.count()
+    n_after = -(-n_rows // _COMPACT_TARGET_ROWS)  # ceil
+    frag_back.repartition(n_after).write.mode("overwrite").parquet(compacted)
+
+    def n_files(p: str) -> DataFrame:
+        return (
+            spark.read.parquet(p)
+            .select(F.col("_metadata.file_path").alias("fp"))
+            .agg(F.count_distinct("fp").alias("n"))
+        )
+
+    out = spark.read.parquet(compacted)
+    return (
+        out.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("checksum"),
+        )
+        .join(F.broadcast(n_files(frag).select(F.col("n").alias("n_files_before"))))
+        .join(F.broadcast(n_files(compacted).select(F.col("n").alias("n_files_after"))))
+        .select("n_files_before", "n_files_after", "n_rows", "checksum")
+    )

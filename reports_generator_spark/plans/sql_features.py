@@ -561,3 +561,97 @@ def explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok"
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 dialect surface: named WINDOW clause, ORDER BY ALL,
+# SELECT * EXCEPT, IS DISTINCT FROM
+# --------------------------------------------------------------------------
+_NAMED_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey,
+       rank() OVER w AS rk,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS run_spend
+FROM {orders}
+WHERE o_custkey % 50 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("sql_window_clause_named", oracle=_NAMED_WINDOW_SQL.format(orders="orders"))
+def sql_window_clause_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause (SQL:2003): ONE window specification
+    declared once and shared by several window functions — the
+    dialect feature that keeps multi-function window queries DRY and,
+    in Spark, guarantees the shared spec compiles to a single
+    sort+Window operator instead of one per spelling drift. Identical
+    text runs on both engines (the sql_surface pattern). Running
+    DECIMAL sum cast to double once at the end — exact at any scale."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rg_nw_orders")
+    return spark.sql(_NAMED_WINDOW_SQL.format(orders="rg_nw_orders"))
+
+
+_ORDER_BY_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM {orders}
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query("sql_order_by_all", oracle=_ORDER_BY_ALL_SQL.format(orders="orders"))
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL (the DuckDB-originated shorthand
+    Spark 4 adopted): group on every non-aggregate select item, order
+    on every select item left-to-right. Complements the existing
+    sql_group_by_all key with the ORDER BY half — together the full
+    'repeat no column list' dialect. Identical text on both
+    engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rg_oba_orders")
+    return spark.sql(_ORDER_BY_ALL_SQL.format(orders="rg_oba_orders"))
+
+
+@query(
+    "sql_star_except",
+    oracle="""
+    SELECT * EXCLUDE (c_name, c_acctbal) FROM customer
+    WHERE c_custkey % 20 = 0
+    """,
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * EXCEPT(...) — star projection minus named columns,
+    the ergonomic spelling for wide tables where 'everything but the
+    PII / blob columns' beats a 200-name list. Dialect boundary
+    documented by this key: Spark 4 spells it EXCEPT, DuckDB spells
+    it EXCLUDE — same semantics, so the oracle uses DuckDB's keyword.
+    Column pruning still reaches the scan (ReadSchema drops the
+    excluded names — no wasted I/O at 100 TB)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rg_se_customer")
+    return spark.sql(
+        "SELECT * EXCEPT (c_name, c_acctbal) FROM rg_se_customer "
+        "WHERE c_custkey % 20 = 0"
+    )
+
+
+_IS_DISTINCT_SQL = """
+SELECT o_orderkey,
+       nullif(o_orderkey % 3, 0) IS DISTINCT FROM nullif(o_orderkey % 5, 0)
+         AS pair_differs,
+       count(*) OVER () AS n_total
+FROM {orders}
+WHERE o_orderkey % 11 = 0
+  AND nullif(o_orderkey % 3, 0) IS NOT DISTINCT FROM nullif(o_orderkey % 5, 0)
+   OR o_orderkey % 11 = 0 AND o_orderkey % 7 = 0
+"""
+
+
+@query("sql_is_distinct_from", oracle=_IS_DISTINCT_SQL.format(orders="orders"))
+def sql_is_distinct_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] DISTINCT FROM — null-safe equality as a scalar
+    predicate (the projection/filter counterpart of join_null_safe's
+    <=> join): NULL compares equal to NULL and unequal to every
+    value, so the predicate is total and filters never silently drop
+    null rows the way `=` does. Identical text on both engines;
+    nullif() manufactures the null cases deterministically."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rg_idf_orders")
+    return spark.sql(_IS_DISTINCT_SQL.format(orders="rg_idf_orders"))

@@ -214,6 +214,12 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # candidates / hits) into one row — same 1-row-stats class,
         # as does consistent-sampling's three-count consistency row
         "dedup_minhash_recall_audit", "sample_consistent_multitable",
+        # round-7 members of the 1-row-stats broadcast-cross class:
+        # the Bloom filter is a 1-row 64 KiB broadcast build side
+        # (test_bloom_prefilter_is_selective separately proves the
+        # pre-filter prunes), compaction folds its two 1-row
+        # file-count frames into the audit row
+        "join_bloom_pruned", "compact_small_files_binpack",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
@@ -384,3 +390,56 @@ def test_bitmap_distinct_has_partial_agg(spark):
     assert "partial_bitmap_construct_agg" in plan.lower().replace(" ", "_") or (
         "HashAggregate" in plan and "bitmap_construct_agg" in plan
     ), plan
+
+
+def test_dpp_injects_dynamic_pruning(spark):
+    """join_dpp_partition_pruned's fact scan must carry a
+    dynamicpruningexpression in PartitionFilters — the whole point of
+    the partition layout."""
+    df = registry.QUERIES["join_dpp_partition_pruned"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_zorder_scan_prunes_partitions(spark):
+    """zorder_pruned_scan must push the Morton-prefix set into the
+    scan's PartitionFilters (directory-level pruning, 15/16 skipped)."""
+    df = registry.QUERIES["zorder_pruned_scan"](spark, SF_DIR)
+    plan = plan_str(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "zp" in pf[0], plan
+    # the box residual must also be present (exactness does not rely
+    # on the partition filter alone)
+    assert "bx" in plan and "bby" in plan
+
+
+def test_bloom_prefilter_is_selective(spark):
+    """The Bloom pre-filter must actually prune: rows entering the
+    join shuffle ≈ urgent fraction (~20%) + ~1% false positives, far
+    under the full fact table."""
+    from pyspark.sql import functions as F
+
+    from reports_generator_spark.plans.scale_joins import (
+        bloom_build,
+        bloom_might_contain_sql,
+    )
+    from reports_generator_spark.sources import load_table
+
+    o = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    bf = bloom_build(o.select("o_orderkey"), "o_orderkey")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey")
+    total = li.count()
+    passed = (
+        li.join(F.broadcast(bf))
+        .filter(F.expr(bloom_might_contain_sql("l_orderkey")))
+        .count()
+    )
+    truth = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .count()
+    )
+    assert passed >= truth  # no false negatives, ever
+    # selectivity: pass-rate bounded by truth + 5% FP headroom
+    assert passed <= truth + 0.05 * total, (passed, truth, total)
