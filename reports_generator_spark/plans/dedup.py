@@ -984,3 +984,87 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("l_partkey"),
         F.col("label").cast("bigint").alias("community"),
     )
+
+
+@query(
+    "graph_bfs_reachability",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CAPPED_SHINGLES},
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    seeds AS (SELECT doc_id AS seed FROM documents WHERE doc_id % 10 = 0),
+    walk(seed, node, hop) AS (
+      SELECT seed, seed, 0 FROM seeds
+      UNION
+      SELECT w.seed, u.dst, w.hop + 1
+      FROM walk w JOIN und u ON u.src = w.node
+      WHERE w.hop < 3
+    ),
+    mh AS (SELECT seed, node, min(hop) AS hop FROM walk GROUP BY seed, node)
+    SELECT seed AS seed_id,
+           CAST(count(*) FILTER (WHERE hop = 1) AS BIGINT) AS n_reach_1,
+           CAST(count(*) FILTER (WHERE hop BETWEEN 1 AND 2) AS BIGINT)
+             AS n_reach_2,
+           CAST(count(*) FILTER (WHERE hop BETWEEN 1 AND 3) AS BIGINT)
+             AS n_reach_3
+    FROM mh GROUP BY seed
+    """,
+)
+def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS (multi-source shortest reach): for every seed
+    doc (doc_id % 10 = 0), how many documents its near-dup
+    neighborhood reaches within 1, 2, and 3 hops of the capped
+    3-gram-Jaccard pair graph — the contamination-blast-radius /
+    influence-propagation primitive, and the iterative-graph family
+    member (pagerank = weighted fixpoint, CC = unbounded reach, LPA =
+    majority vote) the inventory lacked. Plan: the textbook
+    distributed frontier BFS — per hop ONE equi-join of the frontier
+    against the checkpointed edge list, an anti-join against the
+    visited set (min-hop semantics, no rediscovery), and a distinct;
+    3 bounded rounds, shuffles keyed on node id throughout, nothing
+    on the driver. The oracle is the same fixpoint as a hop-capped
+    recursive CTE with min(hop) per (seed, node)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup_ngram_jaccard(
+        docs, "doc_id", "text", 3, 0.2, max_shingle_df=_MAX_SHINGLE_DF
+    ).select("id_a", "id_b")
+    und = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    seeds = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("seed")
+    )
+    visited = seeds.select("seed", F.col("seed").alias("node")).localCheckpoint()
+    frontier = visited
+    cum_counts = []
+    for h in (1, 2, 3):
+        nxt = (
+            frontier.join(und, frontier.node == und.src)
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = nxt.join(visited, ["seed", "node"], "left_anti").localCheckpoint()
+        visited = visited.unionByName(frontier).localCheckpoint()
+        cum_counts.append(
+            visited.groupBy("seed").agg(
+                (F.count(F.lit(1)) - 1).cast("bigint").alias(f"n_reach_{h}")
+            )
+        )
+    out = seeds.select(F.col("seed").alias("seed_id"))
+    for c in cum_counts:
+        out = out.join(c.withColumnRenamed("seed", "seed_id"), "seed_id")
+    return out

@@ -662,3 +662,78 @@ def feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "feature_crossfit_target_encode",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg,
+             o.o_orderkey % 5 AS fold,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cf AS (
+      SELECT seg, fold,
+             CAST(count(*) AS BIGINT) AS n_cf,
+             CAST(sum(cents) AS BIGINT) AS s_cf
+      FROM base GROUP BY seg, fold
+    ),
+    c AS (
+      SELECT seg,
+             CAST(sum(n_cf) AS BIGINT) AS n_c,
+             CAST(sum(s_cf) AS BIGINT) AS s_c
+      FROM cf GROUP BY seg
+    )
+    SELECT cf.seg, CAST(cf.fold AS BIGINT) AS fold, cf.n_cf AS n_infold,
+           CASE WHEN c.n_c - cf.n_cf = 0 THEN NULL
+                ELSE floor(CAST(c.s_c - cf.s_cf AS DOUBLE)
+                           / (c.n_c - cf.n_cf) / 100.0 * 1000000 + 0.5)
+                     / 1000000
+           END AS oof_mean
+    FROM cf JOIN c ON c.seg = cf.seg
+    """,
+)
+def feature_crossfit_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold (cross-fit) out-of-fold target encoding — the
+    leakage-FREE variant of feature_target_encode: a row's encoding
+    for its category is the target mean computed from the OTHER four
+    folds only, so the feature never contains the row's own label
+    (the self-leakage that inflates tree-model validation scores).
+    Spelled as the per-(category, fold) closed form
+    (S_c − S_cf)/(n_c − n_cf): two partial-agg shuffles over 25 cells
+    — no per-row recomputation, no window — then every training row
+    picks up its encoding by a broadcast join on (category, fold).
+    Integer-cents sums, one final division with a 6 dp pin;
+    deterministic folds from the key (o_orderkey % 5), which is how a
+    re-run reproduces the exact same split at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("o_orderkey") % 5).alias("fold"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    cf = base.groupBy("seg", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cf"),
+        F.sum("cents").cast("bigint").alias("s_cf"),
+    )
+    tot = cf.groupBy("seg").agg(
+        F.sum("n_cf").cast("bigint").alias("n_c"),
+        F.sum("s_cf").cast("bigint").alias("s_c"),
+    )
+    j = cf.join(tot, "seg")
+    oof = F.when(F.col("n_c") - F.col("n_cf") == 0, F.lit(None)).otherwise(
+        dround(
+            (F.col("s_c") - F.col("s_cf")).cast("double")
+            / (F.col("n_c") - F.col("n_cf"))
+            / 100.0,
+            6,
+        )
+    )
+    return j.select(
+        "seg",
+        F.col("fold").cast("bigint").alias("fold"),
+        F.col("n_cf").alias("n_infold"),
+        oof.alias("oof_mean"),
+    )

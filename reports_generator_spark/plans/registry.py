@@ -199,6 +199,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "delete_copy_on_write", "compact_small_files_binpack",
         "sql_window_clause_named", "sql_order_by_all", "sql_star_except",
         "sql_is_distinct_from",
+        "anova_oneway_f", "tcloseness_audit", "embedding_bitpack_hamming_topk",
+        "corpus_winnowing_fingerprint", "feature_crossfit_target_encode",
+        "graph_bfs_reachability",
     }
 )
 

@@ -9,7 +9,7 @@ variant is asserted in tests/test_similarity.py (rows-only here).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import dround
@@ -1030,4 +1030,96 @@ def eval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.avg("p_at_5"), 6).alias("precision_at_5"),
             dround(F.avg(F.col("dcg10") / F.col("idcg10")), 6).alias("ndcg_at_10"),
         )
+    )
+
+
+#: Sign-bit packing: two 32-bit words per 64-d vector (avoids the
+#: engine-divergent semantics of setting a BIGINT's sign bit).
+_HAM_PROBE_MOD = 61  # vec_id % 61 = 0 -> 8-9 probe vectors at sf0.01
+_HAM_TOPK = 5
+
+
+def _pack_sql(lo: int, hi: int, alias: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << (i - lo)} ELSE 0 END)"
+        for i in range(lo, hi)
+    )
+    return f"CAST({terms} AS BIGINT) AS {alias}"
+
+
+@query(
+    "embedding_bitpack_hamming_topk",
+    oracle=f"""
+    WITH packed AS (
+      SELECT vec_id,
+             {_pack_sql(0, 32, "w1")},
+             {_pack_sql(32, 64, "w2")}
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, w1 AS p1, w2 AS p2 FROM packed
+      WHERE vec_id % {_HAM_PROBE_MOD} = 0
+    ),
+    dists AS (
+      SELECT probe_id, vec_id AS neighbor_id,
+             bit_count(xor(p1, w1)) + bit_count(xor(p2, w2)) AS hamming
+      FROM probes JOIN packed ON vec_id <> probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY hamming, neighbor_id) AS rk
+      FROM dists
+    )
+    SELECT probe_id, neighbor_id, hamming, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_HAM_TOPK}
+    """,
+)
+def embedding_bitpack_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding similarity search: sign-bit-pack each 64-d
+    vector into two 32-bit words (one codegen'd CASE-sum projection,
+    64× memory compression) and rank neighbors by Hamming distance —
+    bit_count(xor) per word pair, ~4 instructions vs 64 FMAs for the
+    float dot product. This is the memory-bound regime's ANN answer
+    (binary passage retrieval, hash-based recall stages feeding an
+    exact re-rank); the established float path is similarity_topk /
+    LSH / IVF. Plan: probes are a bounded broadcast side (the knn
+    posture), the corpus packs map-side and never shuffles; ties
+    break on neighbor_id so the top-k is total-order deterministic.
+    Packing uses 2×32-bit words — setting bit 63 of a BIGINT is
+    sign-territory where engine semantics diverge; two half-words
+    keep every term positive and portable."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def pack(lo: int, hi: int, alias: str):
+        terms = None
+        for i in range(lo, hi):
+            t = F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << (i - lo))).otherwise(0)
+            terms = t if terms is None else terms + t
+        return terms.cast("bigint").alias(alias)
+
+    packed = e.select("vec_id", pack(0, 32, "w1"), pack(32, 64, "w2"))
+    probes = packed.filter(F.col("vec_id") % _HAM_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("w1").alias("p1"),
+        F.col("w2").alias("p2"),
+    )
+    dists = (
+        packed.join(
+            F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+        )
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("p1").bitwiseXOR(F.col("w1")))
+                + F.bit_count(F.col("p2").bitwiseXOR(F.col("w2")))
+            ).cast("bigint").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy("hamming", "neighbor_id")
+    return (
+        dists.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _HAM_TOPK)
+        .select("probe_id", "neighbor_id", "hamming", "rk")
     )

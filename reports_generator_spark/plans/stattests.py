@@ -421,3 +421,75 @@ def demand_variability_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         dround(F.avg("cv"), 6).alias("avg_cv"),
     )
+
+
+@query(
+    "anova_oneway_f",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s_g,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DECIMAL(38,0)) AS q_g
+      FROM orders GROUP BY o_orderpriority
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS DECIMAL(38,0)) AS s,
+             CAST(sum(q_g) AS DECIMAL(38,0)) AS q,
+             sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g) AS between_raw
+      FROM g
+    )
+    SELECT k AS n_groups, n AS n_rows,
+           k - 1 AS df_between, n - k AS df_within,
+           floor((between_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                 / (k - 1)
+                 / ((CAST(q AS DOUBLE) - between_raw) / (n - k))
+                 * 1000000 + 0.5) / 1000000 AS f_stat
+    FROM tot
+    """,
+)
+def anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic — does order value differ by
+    priority class? Assembled from exact integer moments per the
+    module discipline: per-group (n, Σcents BIGINT, Σcents²
+    DECIMAL(38,0) — the diff_in_diff width lesson), folded into
+    SSB = Σ S_g²/n_g − S²/n and SSW = Q − Σ S_g²/n_g with ONE final
+    double expression and a 6 dp pin. Two shuffles total (5-row group
+    agg + 1-row fold) — partial-aggregable map-side at any scale; the
+    k-row fold is the only non-linear step and k = #groups."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(cents).cast("bigint").alias("s_g"),
+        F.sum((cents * cents).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("q_g"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("decimal(38,0)").alias("s"),
+        F.sum("q_g").cast("decimal(38,0)").alias("q"),
+        F.sum(
+            F.col("s_g").cast("double") * F.col("s_g").cast("double") / F.col("n_g")
+        ).alias("between_raw"),
+    )
+    ssb = F.col("between_raw") - F.col("s").cast("double") * F.col("s").cast(
+        "double"
+    ) / F.col("n")
+    ssw = F.col("q").cast("double") - F.col("between_raw")
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("n") - F.col("k")).alias("df_within"),
+        dround(ssb / (F.col("k") - 1) / (ssw / (F.col("n") - F.col("k"))), 6).alias(
+            "f_stat"
+        ),
+    )

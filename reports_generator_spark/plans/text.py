@@ -9,7 +9,7 @@ aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import (
@@ -1291,4 +1291,120 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n")).filter(
         F.col("n") >= 10
+    )
+
+
+#: Winnowing parameters: 3-word shingles, window of 4 consecutive
+#: hashes, fingerprint df-cap, and the shared-fingerprint pair floor.
+_WIN_W = 4
+_WIN_MAX_DF = 50
+_WIN_MIN_SHARED = 2
+
+
+@query(
+    "corpus_winnowing_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(shl, 1) AS BIGINT) AS pos,
+             unnest(shl) AS sh
+      FROM (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shl
+        FROM t WHERE len(toks) >= 3
+      )
+    ),
+    h AS (
+      SELECT doc_id, pos,
+             CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS hv,
+             count(*) OVER (PARTITION BY doc_id) AS n_sh
+      FROM sh
+    ),
+    wmin AS (
+      SELECT doc_id, pos, n_sh,
+             min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+               AS fp
+      FROM h
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= n_sh - {_WIN_W - 1}
+    ),
+    capped AS (
+      SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {_WIN_MAX_DF}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      WHERE a.fp IN (SELECT fp FROM capped)
+    )
+    SELECT id_a, id_b, count(*) AS n_shared
+    FROM pairs GROUP BY id_a, id_b
+    HAVING count(*) >= {_WIN_MIN_SHARED}
+    """,
+)
+def corpus_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every 3-word shingle, slide a window of 4
+    consecutive hashes per document, keep each window's MINIMUM as a
+    fingerprint — guaranteeing any shared run of ≥ w+k−1 words
+    produces at least one shared fingerprint, at ~2/(w+1) the density
+    of full shingling. Distinct from text_fingerprint (one rolling
+    hash per doc: exact-dup detection) — winnowing detects PARTIAL
+    overlap with positional guarantees, the plagiarism/provenance
+    primitive. Plan: posexplode + one window min per doc (no shuffle
+    beyond the doc repartition), fingerprint equi-join with the
+    df-cap discipline (a fingerprint in f docs alone yields O(f²)
+    pairs — same O(f²) bound as the shingle keys). Portable md5
+    hashes, so candidates AND shared-count are value-attested."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("toks"),
+    ).filter(F.size("toks") >= 3)
+    shl = toks.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(toks) - 2), "
+            "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+        ).alias("shl"),
+    )
+    sh = shl.select(
+        "doc_id", F.posexplode("shl").alias("pos0", "sh")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint").alias("hv"),
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wslide = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    )
+    wmin = sh.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(wdoc).alias("n_sh"),
+        F.min("hv").over(wslide).alias("fp"),
+    )
+    fps = (
+        wmin.filter(F.col("pos") <= F.col("n_sh") - (_WIN_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    capped = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _WIN_MAX_DF
+    ).select("fp")
+    fpc = fps.join(capped, "fp")
+    a = fpc.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fpc.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
     )

@@ -220,6 +220,9 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # pre-filter prunes), compaction folds its two 1-row
         # file-count frames into the audit row
         "join_bloom_pruned", "compact_small_files_binpack",
+        # bounded broadcast probe set against the packed corpus with a
+        # != residual (the knn/similarity posture)
+        "embedding_bitpack_hamming_topk",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
