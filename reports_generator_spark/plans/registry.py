@@ -202,6 +202,7 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "anova_oneway_f", "tcloseness_audit", "embedding_bitpack_hamming_topk",
         "corpus_winnowing_fingerprint", "feature_crossfit_target_encode",
         "graph_bfs_reachability",
+        "agg_count_min_sketch", "sink_atomic_commit_protocol",
     }
 )
 

@@ -537,3 +537,82 @@ def compact_small_files_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_files(compacted).select(F.col("n").alias("n_files_after"))))
         .select("n_files_before", "n_files_after", "n_rows", "checksum")
     )
+
+
+# --------------------------------------------------------------------------
+# Transactional sink: staging + atomic publish via a commit manifest
+# --------------------------------------------------------------------------
+@query(
+    "sink_atomic_commit_protocol",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE o_orderkey % 3 <> 0) AS BIGINT)
+             AS rows_visible,
+           CAST(sum(o_orderkey) FILTER (WHERE o_orderkey % 3 <> 0) AS BIGINT)
+             AS visible_checksum,
+           TRUE AS uncommitted_invisible
+    FROM orders
+    """,
+)
+def sink_atomic_commit_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic-publish sink: the commit protocol that makes a parquet
+    table readable mid-write. Writers land each batch in a staging
+    dir, then COMMIT = one directory rename into the table + one
+    atomic manifest replace (os.replace — POSIX-atomic; on object
+    stores this is the Delta/Iceberg metadata-log commit). Readers
+    resolve the manifest FIRST and scan only committed batch dirs, so
+    a writer that dies after staging (batch 2 here — staged, never
+    committed) is invisible: no torn reads, no half-batches, and
+    crash recovery is 'delete unreferenced staging dirs'. The audit
+    proves visible rows == exactly the committed batch (oracle
+    recomputes the slice) and that the uncommitted batch both exists
+    on disk and is absent from the read. Completes the sink family:
+    sink_mode_auto (existence-probed mode), merge_upsert (row
+    idempotency), this key (atomicity)."""
+    import tempfile
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"rg_txn_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    staging = os.path.join(base, "_staging")
+    data = os.path.join(base, "data")
+    os.makedirs(data)
+    manifest = os.path.join(base, "_manifest")
+
+    def commit(batch_id: int) -> None:
+        os.rename(
+            os.path.join(staging, f"batch-{batch_id}"),
+            os.path.join(data, f"batch-{batch_id}"),
+        )
+        committed = []
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                committed = f.read().split()
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(committed + [f"batch-{batch_id}"]))
+        os.replace(tmp, manifest)  # the atomic publish point
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    # batch 1: staged AND committed
+    o.filter(F.col("o_orderkey") % 3 != 0).write.parquet(
+        os.path.join(staging, "batch-1")
+    )
+    commit(1)
+    # batch 2: staged, writer "dies" before commit
+    o.filter(F.col("o_orderkey") % 3 == 0).write.parquet(
+        os.path.join(staging, "batch-2")
+    )
+
+    with open(manifest) as f:
+        committed = f.read().split()  # metadata-only driver read
+    visible = spark.read.parquet(*[os.path.join(data, b) for b in committed])
+    staged_not_visible = os.path.exists(
+        os.path.join(staging, "batch-2")
+    ) and "batch-2" not in committed
+    return visible.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_visible"),
+        F.sum("o_orderkey").cast("bigint").alias("visible_checksum"),
+        F.lit(staged_not_visible).alias("uncommitted_invisible"),
+    )

@@ -306,3 +306,106 @@ def quantile_sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "qlevel string, exact_v bigint, within_bound boolean"
     )
+
+
+#: Count-Min sketch geometry: 4 rows × 1024 counters. Per-row hashes
+#: are the masked multiplicative family (integer-exact on both
+#: engines); the four odd multipliers are fixed constants.
+_CMS_W = 1024
+_CMS_MULTS = (2654435761, 2246822519, 3266489917, 668265263)
+_CMS_MASK = 2147483648  # 31-bit pre-mask keeps id*mult inside int64
+
+
+def _cms_pos_sql(key: str, d: int) -> str:
+    return f"(({key} % {_CMS_MASK}) * {_CMS_MULTS[d]}) % {_CMS_W}"
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS true_n
+      FROM orders GROUP BY o_custkey
+    ),
+    cells AS (
+      {" UNION ALL ".join(
+          f'''SELECT {d} AS d, {_cms_pos_sql("o_custkey", d)} AS pos,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM orders GROUP BY 1, 2'''
+          for d in range(4)
+      )}
+    ),
+    probes AS (
+      SELECT o_custkey AS probe_key, true_n FROM cnt
+      WHERE o_custkey % 97 = 0
+    ),
+    lookups AS (
+      {" UNION ALL ".join(
+          f'''SELECT probe_key, true_n, c
+              FROM probes JOIN cells
+                ON cells.d = {d}
+               AND cells.pos = {_cms_pos_sql("probe_key", d)}'''
+          for d in range(4)
+      )}
+    )
+    SELECT probe_key, true_n,
+           CAST(min(c) AS BIGINT) AS cms_est,
+           min(c) >= true_n AS no_underestimate
+    FROM lookups GROUP BY probe_key, true_n
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch — the frequency-estimation member of the
+    sketch family (HLL = cardinality, bitmap = exact sets, GK =
+    quantiles, topk = heavy hitters; CMS answers 'how often does key
+    x occur' in W·D counters regardless of key cardinality). Build:
+    each row increments one counter per sketch row (4 masked
+    multiplicative hashes — integer-exact cross-engine, the
+    bootstrap_ci lesson: never md5 per replicated row), which is ONE
+    partial-aggregable groupBy over (d, pos) — 4096 cells total, so
+    the shuffle is constant-size at any input scale and sketches
+    merge by cell-wise + (the mergeability that makes CMS a
+    distributed-agg primitive). Probe: ~1% of customers look up
+    min over their 4 counters; the CMS guarantee est ≥ true is
+    attested per probe (no_underestimate), and the estimates
+    themselves hash-match because every counter is an exact integer
+    count."""
+    o = load_table(spark, sf_dir, "orders")
+    pos = [
+        ((F.col("o_custkey") % _CMS_MASK) * F.lit(m) % _CMS_W).cast("bigint")
+        for m in _CMS_MULTS
+    ]
+    cells = (
+        o.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(d).alias("d"), pos[d].alias("pos"))
+                        for d in range(4)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.d", "cell.pos")
+        .groupBy("d", "pos")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    probes = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        .filter(F.col("o_custkey") % 97 == 0)
+        .select(F.col("o_custkey").alias("probe_key"), "true_n")
+    )
+    lookups = None
+    for d in range(4):
+        ppos = ((F.col("probe_key") % _CMS_MASK) * F.lit(_CMS_MULTS[d]) % _CMS_W).cast(
+            "bigint"
+        )
+        piece = probes.withColumn("d", F.lit(d)).withColumn("pos", ppos).join(
+            F.broadcast(cells), ["d", "pos"]
+        ).select("probe_key", "true_n", "c")
+        lookups = piece if lookups is None else lookups.unionByName(piece)
+    return lookups.groupBy("probe_key", "true_n").agg(
+        F.min("c").cast("bigint").alias("cms_est"),
+        (F.min("c") >= F.col("true_n")).alias("no_underestimate"),
+    )
