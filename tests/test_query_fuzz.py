@@ -373,3 +373,150 @@ def test_generated_scalar_projection_matches_duckdb(spark, duck, atoms):
     sdf = o.select(*cols)
     sql = f"SELECT {', '.join(sqls)} FROM orders"
     assert_matches_oracle(sdf, duck, sql)
+
+
+# --- set-operation fuzzing: two generated slices of orders under
+# UNION / UNION ALL / INTERSECT / EXCEPT -------------------------------
+# Projections are pure integers (key + bucketed custkey) so distinct
+# semantics and row multiplicity compare exactly.
+
+_SETOPS = [
+    ("union_all", lambda a, b: a.unionByName(b), "UNION ALL"),
+    ("union", lambda a, b: a.unionByName(b).distinct(), "UNION"),
+    ("intersect", lambda a, b: a.intersect(b), "INTERSECT"),
+    ("except", lambda a, b: a.exceptAll(b).distinct(), "EXCEPT"),
+]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(_atom, _atom, st.sampled_from([s[0] for s in _SETOPS]), st.integers(2, 9))
+def test_generated_setop_matches_duckdb(spark, duck, atom_a, atom_b, op, k):
+    """Two generated filters of orders combined by any set operation
+    must agree with DuckDB, including bag vs set semantics (UNION ALL
+    keeps duplicates, UNION/INTERSECT/EXCEPT are distinct)."""
+    sf = __import__("conftest").SF_DIR
+    label, fn, kw = next(s for s in _SETOPS if s[0] == op)
+    proj = [
+        F.col("o_orderkey").cast("bigint").alias("k1"),
+        (F.col("o_custkey") % k).cast("bigint").alias("k2"),
+    ]
+    base = spark.read.parquet(f"{sf}/orders.parquet")
+    a = base.filter(atom_a[0]).select(*proj)
+    b = base.filter(atom_b[0]).select(*proj)
+    sdf = fn(a, b).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("k1"), F.lit(0)).cast("bigint").alias("sum_k1"),
+        F.coalesce(F.sum("k2"), F.lit(0)).cast("bigint").alias("sum_k2"),
+    )
+    part = (
+        "SELECT CAST(o_orderkey AS BIGINT) AS k1,"
+        f" CAST(o_custkey % {k} AS BIGINT) AS k2 FROM orders WHERE {{p}}"
+    )
+    inner = f"({part.format(p=atom_a[1])}) {kw} ({part.format(p=atom_b[1])})"
+    sql = (
+        "SELECT CAST(count(*) AS BIGINT) AS n,"
+        " CAST(coalesce(sum(k1), 0) AS BIGINT) AS sum_k1,"
+        " CAST(coalesce(sum(k2), 0) AS BIGINT) AS sum_k2"
+        f" FROM ({inner})"
+    )
+    assert_matches_oracle(sdf, duck, sql)
+
+
+# --- subquery fuzzing: [NOT] EXISTS and [NOT] IN against a generated
+# customer slice. Identical SQL text runs on both engines, exercising
+# the subquery decorrelation/rewrite paths (the r5 driver fails were
+# exactly this class of engine boundary). --------------------------------
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    _atom,
+    _cust_atom,
+    st.sampled_from(["EXISTS", "NOT EXISTS", "IN", "NOT IN"]),
+)
+def test_generated_subquery_matches_duckdb(spark, duck, o_atom, c_atom, form):
+    """orders filtered by a generated [NOT] EXISTS / [NOT] IN subquery
+    over a generated customer slice must agree with DuckDB. NOT IN is
+    the classic three-valued-logic trap; c_custkey is non-null here so
+    the comparison stays exact while still exercising the null-aware
+    anti-join plan."""
+    sf = __import__("conftest").SF_DIR
+    spark.read.parquet(f"{sf}/orders.parquet").createOrReplaceTempView("fz_o")
+    spark.read.parquet(f"{sf}/customer.parquet").createOrReplaceTempView("fz_c")
+    if form.endswith("EXISTS"):
+        sub = (
+            f"{form} (SELECT 1 FROM {{c}} c"
+            f" WHERE c.c_custkey = o.o_custkey AND ({c_atom[1]}))"
+        )
+    else:
+        sub = (
+            f"o.o_custkey {form}"
+            f" (SELECT c_custkey FROM {{c}} WHERE {c_atom[1]})"
+        )
+    body = (
+        "SELECT CAST(count(*) AS BIGINT) AS n,"
+        " CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS sum_key"
+        " FROM {o} o WHERE (" + o_atom[1] + ") AND " + sub
+    )
+    sdf = spark.sql(body.format(o="fz_o", c="fz_c"))
+    assert_matches_oracle(sdf, duck, body.format(o="orders", c="customer"))
+
+
+# --- null-heavy outer-join + window fuzzing ----------------------------
+# FULL OUTER joins synthesize nulls on BOTH sides; the window then
+# partitions on a nullable key and orders by a coalesced unique total
+# order, so ranking over null groups is exact on both engines.
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    _atom,
+    _cust_atom,
+    st.sampled_from(["LEFT", "FULL"]),
+    st.sampled_from(["row_number", "rank", "count"]),
+)
+def test_generated_outer_join_window_matches_duckdb(
+    spark, duck, o_atom, c_atom, jk, wfn
+):
+    """Outer join with generated per-side filters, then a window
+    function partitioned on the NULLABLE dimension key — the
+    null-group + outer-join combination only differential testing
+    covers."""
+    sf = __import__("conftest").SF_DIR
+    spark.read.parquet(f"{sf}/orders.parquet").createOrReplaceTempView("fz_o")
+    spark.read.parquet(f"{sf}/customer.parquet").createOrReplaceTempView("fz_c")
+    over = (
+        "PARTITION BY c.c_mktsegment"
+        " ORDER BY coalesce(o.o_orderkey, -c.c_custkey)"
+    )
+    fn_sql = {
+        "row_number": f"row_number() OVER ({over})",
+        "rank": f"rank() OVER ({over})",
+        "count": f"count(o.o_orderkey) OVER ({over})",
+    }[wfn]
+    body = f"""
+      SELECT coalesce(c_mktsegment, '<null>') AS seg,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(w) AS BIGINT) AS sum_w
+      FROM (
+        SELECT c.c_mktsegment, {fn_sql} AS w
+        FROM (SELECT * FROM {{o}} WHERE {o_atom[1]}) o
+        {jk} JOIN (SELECT * FROM {{c}} WHERE {c_atom[1]}) c
+          ON o.o_custkey = c.c_custkey
+      )
+      GROUP BY 1
+    """
+    sdf = spark.sql(body.format(o="fz_o", c="fz_c"))
+    assert_matches_oracle(sdf, duck, body.format(o="orders", c="customer"))
