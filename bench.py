@@ -49,6 +49,16 @@ def main() -> None:
         from reports_generator_spark.plans.relational import ensure_bucketed_tables
 
         ensure_bucketed_tables(spark, sf_dir)
+        # same contract for the round-7 pruning layouts: the
+        # partitioned fact + dim (DPP) and the Morton-prefix layout
+        # (zorder_pruned_scan) are write-once ingest costs
+        from reports_generator_spark.plans.scale_joins import (
+            ensure_dpp_tables,
+            ensure_zorder_table,
+        )
+
+        ensure_dpp_tables(spark, sf_dir)
+        ensure_zorder_table(spark, sf_dir)
         return spark
 
     spark = fresh_session()

@@ -203,6 +203,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "corpus_winnowing_fingerprint", "feature_crossfit_target_encode",
         "graph_bfs_reachability",
         "agg_count_min_sketch", "sink_atomic_commit_protocol",
+        "scan_json_multiline", "text_sentence_split_stats",
+        "nested_struct_array_ops", "interval_max_concurrency_sweepline",
+        "sql_pivot_clause", "agg_string_concat_ordered",
     }
 )
 

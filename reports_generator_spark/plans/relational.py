@@ -1944,3 +1944,44 @@ def table_checksum_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("h").alias("checksum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Multiline-JSON round-trip (sixth format: a single JSON ARRAY document,
+# the config/API-export shape, vs JSONL's record-per-line)
+# --------------------------------------------------------------------------
+@query(
+    "scan_json_multiline",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline (pretty-printed array) JSON source: one JSON document
+    holding an array of records — the shape REST exports and config
+    dumps arrive in, which the line-oriented JSONL reader
+    (scan_jsonl_roundtrip) cannot split. Spark's multiLine=true parses
+    the whole document per FILE (one task per file — the docstring
+    caveat at 100 TB: multiline JSON is not splittable, so large
+    exports must be many files; the fixture writes one file per
+    nation partition slice to keep parallelism). Round-trip oracle:
+    read-back equals the parquet source."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"rg_mljson_{tag}")
+    os.makedirs(path, exist_ok=True)
+    # two pretty-printed array documents (multi-file => parallel read)
+    rows = [r.asDict() for r in n.collect()]  # 25-row dim fixture
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(os.path.join(path, f"part-{i}.json"), "w") as f:
+            _json.dump(chunk, f, indent=2)
+    back = spark.read.option("multiLine", "true").json(path)
+    return back.select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("n_regionkey").cast("long"),
+    )

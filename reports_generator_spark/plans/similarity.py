@@ -1035,7 +1035,12 @@ def eval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Sign-bit packing: two 32-bit words per 64-d vector (avoids the
 #: engine-divergent semantics of setting a BIGINT's sign bit).
-_HAM_PROBE_MOD = 61  # vec_id % 61 = 0 -> 8-9 probe vectors at sf0.01
+_HAM_PROBE_MOD = 61   # every 61st vector is probe-eligible
+_HAM_PROBE_CAP = 6100  # ...but only ids < 6100 probe: <=100 probes at ANY
+                       # corpus size, so total work stays LINEAR in the
+                       # corpus (the knn probe-cap posture; the uncapped
+                       # form went 48x on the 10x sf1 probe - probes and
+                       # corpus both grew, i.e. quadratic in SF)
 _HAM_TOPK = 5
 
 
@@ -1058,7 +1063,7 @@ def _pack_sql(lo: int, hi: int, alias: str) -> str:
     ),
     probes AS (
       SELECT vec_id AS probe_id, w1 AS p1, w2 AS p2 FROM packed
-      WHERE vec_id % {_HAM_PROBE_MOD} = 0
+      WHERE vec_id % {_HAM_PROBE_MOD} = 0 AND vec_id < {_HAM_PROBE_CAP}
     ),
     dists AS (
       SELECT probe_id, vec_id AS neighbor_id,
@@ -1099,7 +1104,9 @@ def embedding_bitpack_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFram
         return terms.cast("bigint").alias(alias)
 
     packed = e.select("vec_id", pack(0, 32, "w1"), pack(32, 64, "w2"))
-    probes = packed.filter(F.col("vec_id") % _HAM_PROBE_MOD == 0).select(
+    probes = packed.filter(
+        (F.col("vec_id") % _HAM_PROBE_MOD == 0) & (F.col("vec_id") < _HAM_PROBE_CAP)
+    ).select(
         F.col("vec_id").alias("probe_id"),
         F.col("w1").alias("p1"),
         F.col("w2").alias("p2"),

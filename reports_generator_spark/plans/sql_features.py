@@ -655,3 +655,139 @@ def sql_is_distinct_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     nullif() manufactures the null cases deterministically."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("rg_idf_orders")
     return spark.sql(_IS_DISTINCT_SQL.format(orders="rg_idf_orders"))
+
+
+@query(
+    "nested_struct_array_ops",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             list(struct_pack(
+                    d := strftime(o_orderdate, '%Y-%m-%d'),
+                    k := o_orderkey,
+                    p := CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  ORDER BY strftime(o_orderdate, '%Y-%m-%d'), o_orderkey)
+               AS hist
+      FROM orders WHERE o_custkey % 20 = 0
+      GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(len(hist) AS BIGINT) AS n_orders,
+           hist[1].d AS first_date,
+           hist[1].p AS first_cents,
+           hist[len(hist)].d AS last_date,
+           hist[len(hist)].p AS last_cents
+    FROM per
+    """,
+)
+def nested_struct_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type surface: build an ordered ARRAY<STRUCT> order
+    history per customer (collect → canonical sort), then navigate it
+    — length, first/last element field access. This is the
+    denormalized 'events as a nested column' data model every
+    document-shaped pipeline uses (one row per entity, history
+    nested), exercised natively rather than via JSON strings
+    (json_extract's territory). Struct fields are ordered (date
+    string, key, cents) so Spark's sort_array lexicographic struct
+    compare equals the oracle's explicit ORDER BY — collect_list is
+    unordered on both engines, so the CANONICAL SORT is what makes
+    nested aggregation deterministic (the agg_collect_ordered
+    discipline applied to structs). Per-customer arrays are bounded
+    by per-key fan-in; the shuffle carries each order once."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    hist = o.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+                    F.col("o_orderkey").alias("k"),
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("bigint")
+                    .alias("p"),
+                )
+            )
+        ).alias("hist")
+    )
+    n = F.size("hist")
+    return hist.select(
+        "o_custkey",
+        n.cast("bigint").alias("n_orders"),
+        F.element_at("hist", 1).getField("d").alias("first_date"),
+        F.element_at("hist", 1).getField("p").alias("first_cents"),
+        F.element_at("hist", n).getField("d").alias("last_date"),
+        F.element_at("hist", n).getField("p").alias("last_cents"),
+    )
+
+
+@query(
+    "sql_pivot_clause",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN 1 END), 0) AS BIGINT) AS urgent_n,
+           CAST(coalesce(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                 THEN 1 END), 0) AS BIGINT) AS medium_n,
+           CAST(coalesce(sum(CASE WHEN o_orderpriority = '5-LOW'
+                 THEN 1 END), 0) AS BIGINT) AS low_n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause (Spark's `FROM ... PIVOT (agg FOR col IN
+    (...))` syntax) — the dialect spelling of pivot_event_matrix's
+    DataFrame `.pivot()`: same plan (one partial-aggregable groupBy,
+    pivot columns resolved at compile time from the IN list — never a
+    second distinct-scan), different API surface. The oracle spells
+    the portable CASE-sum equivalence, which is also exactly what
+    Catalyst lowers PIVOT to."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rg_pv_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               coalesce(`1-URGENT`, 0) AS urgent_n,
+               coalesce(`3-MEDIUM`, 0) AS medium_n,
+               coalesce(`5-LOW`, 0) AS low_n
+        FROM (
+          SELECT o_orderstatus, o_orderpriority FROM rg_pv_orders
+        )
+        PIVOT (
+          CAST(count(*) AS BIGINT)
+          FOR o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW')
+        )
+        """
+    )
+
+
+@query(
+    "agg_string_concat_ordered",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, '|' ORDER BY c_mktsegment) AS segs
+    FROM (
+      SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    )
+    GROUP BY c_nationkey
+    """,
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg ... ORDER BY)
+    — the report-friendly 'roll the group's values into one delimited
+    string' aggregate. Determinism rule this key pins: an UNORDERED
+    string_agg is nondeterministic under any parallel execution, so
+    the engine spelling is sort_array(collect_list()) → concat_ws —
+    canonical order imposed BEFORE concatenation (the
+    agg_collect_ordered discipline); the oracle uses DuckDB's native
+    ORDER BY clause for the same contract. Distinct-reduced input
+    keeps the strings bounded; the aggregate itself is one partial-agg
+    shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .groupBy("c_nationkey")
+        .agg(
+            F.concat_ws(
+                "|", F.sort_array(F.collect_list("c_mktsegment"))
+            ).alias("segs")
+        )
+    )

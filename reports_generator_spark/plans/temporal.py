@@ -1086,3 +1086,61 @@ def sink_mode_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@query(
+    "interval_max_concurrency_sweepline",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderdate AS s,
+             o_orderdate + to_days(CAST(o_orderkey % 30 AS INT)) AS e
+      FROM orders
+    ),
+    ev AS (
+      SELECT s AS d, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e + to_days(1) AS d, -1 AS delta FROM iv
+    ),
+    daily AS (
+      SELECT d, CAST(sum(delta) AS BIGINT) AS net FROM ev GROUP BY d
+    ),
+    run AS (
+      SELECT d, sum(net) OVER (ORDER BY d) AS open_n FROM daily
+    )
+    SELECT strftime(d, '%Y-%m') AS month,
+           CAST(max(open_n) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY 1
+    """,
+)
+def interval_max_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum interval concurrency via the SWEEP-LINE decomposition:
+    each interval (order open o_orderdate → +0..29 days) contributes
+    +1 at its start and −1 the day after its end; the running sum of
+    the daily net deltas IS the number of concurrently-open intervals
+    — peak concurrency per month falls out of one ordered cumsum.
+    This is the scale pattern that replaces the quadratic
+    interval-overlap SELF-JOIN for counting questions
+    (join_interval_overlap answers WHICH pairs overlap; this answers
+    HOW MANY are open, in O(n) + one date-cardinality window).
+    Deltas partial-aggregate to date grain map-side, so the global
+    window runs on ~#days rows regardless of fact size — the ACF /
+    CUSUM date-cardinality discipline; day-exact integer arithmetic
+    end-to-end."""
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_orderdate").alias("s"),
+        F.date_add(F.col("o_orderdate"), (F.col("o_orderkey") % 30).cast("int")).alias(
+            "e"
+        ),
+    )
+    ev = iv.select(F.col("s").alias("d"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.date_add(F.col("e"), 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = ev.groupBy("d").agg(F.sum("delta").cast("bigint").alias("net"))
+    run = daily.select(
+        "d",
+        F.sum("net").over(Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)).alias("open_n"),
+    )
+    return run.groupBy(F.date_format("d", "yyyy-MM").alias("month")).agg(
+        F.max("open_n").cast("bigint").alias("max_concurrent")
+    )

@@ -1408,3 +1408,66 @@ def corpus_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
     )
+
+
+@query(
+    "text_sentence_split_stats",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(string_split_regex(text, '[.!?]+'),
+                              x -> trim(x)),
+               x -> x <> '') AS sents
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(coalesce(list_sum(
+                 list_transform(sents,
+                   x -> len(list_filter(string_split(x, ' '),
+                                        w -> w <> '')))), 0) AS BIGINT)
+             AS n_words,
+           floor(coalesce(list_sum(
+                 list_transform(sents,
+                   x -> len(list_filter(string_split(x, ' '),
+                                        w -> w <> '')))), 0) * 1.0
+                 / greatest(len(sents), 1) * 10000 + 0.5) / 10000
+             AS avg_sentence_len
+    FROM s
+    """,
+)
+def text_sentence_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation statistics: split on terminal punctuation
+    runs ([.!?]+), trim, drop empties; per doc the sentence count,
+    total word count over sentences, and mean sentence length — the
+    readability/quality features (a Gopher rule input) at the
+    SENTENCE granularity the token-level keys (text_tokenize_stats)
+    don't see. Pure codegen string/array work — split, transform,
+    filter, aggregate — zero shuffle beyond the scan, dialect-portable
+    regex ([.!?]+ means the same in Java and RE2-ish engines), exact
+    integer counts with one 4 dp-pinned ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), "[.!?]+"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    words_per = F.transform(
+        F.col("sents"),
+        lambda x: F.size(F.filter(F.split(x, " "), lambda w: w != "")),
+    )
+    staged = d.select("doc_id", sents.alias("sents")).select(
+        "doc_id",
+        F.size("sents").cast("bigint").alias("n_sentences"),
+        F.coalesce(F.aggregate(words_per, F.lit(0), lambda a, x: a + x), F.lit(0))
+        .cast("bigint")
+        .alias("n_words"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        dround(
+            F.col("n_words") * 1.0 / F.greatest(F.col("n_sentences"), F.lit(1)), 4
+        ).alias("avg_sentence_len"),
+    )
