@@ -223,6 +223,10 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # bounded broadcast probe set against the packed corpus with a
         # != residual (the knn/similarity posture)
         "embedding_bitpack_hamming_topk",
+        # t-closeness crosses three provably tiny derived frames
+        # (segments × bins × 1-row total) to densify the EMD grid —
+        # the time_spine_gapfill bounded-spine class
+        "tcloseness_audit",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
@@ -431,9 +435,10 @@ def test_bloom_prefilter_is_selective(spark):
     o = load_table(spark, SF_DIR, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    bf = bloom_build(o.select("o_orderkey"), "o_orderkey")
+    words = bloom_build(o.select("o_orderkey"), "o_orderkey")
     li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey")
     total = li.count()
+    bf = spark.createDataFrame([(words,)], "bf_words: array<bigint>")
     passed = (
         li.join(F.broadcast(bf))
         .filter(F.expr(bloom_might_contain_sql("l_orderkey")))
@@ -446,3 +451,35 @@ def test_bloom_prefilter_is_selective(spark):
     assert passed >= truth  # no false negatives, ever
     # selectivity: pass-rate bounded by truth + 5% FP headroom
     assert passed <= truth + 0.05 * total, (passed, truth, total)
+
+
+def test_pruning_layout_builders_idempotent(spark):
+    """ensure_dpp_tables / ensure_zorder_table must be no-ops on the
+    second call (bench warmup contract: layout is written once and
+    found, not rebuilt, by every subsequent session)."""
+    import os
+    import time
+    from urllib.parse import urlparse
+
+    from reports_generator_spark.plans.scale_joins import (
+        ensure_dpp_tables,
+        ensure_zorder_table,
+    )
+
+    t_fact, t_dim = ensure_dpp_tables(spark, SF_DIR)
+    t_z = ensure_zorder_table(spark, SF_DIR)
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+    def mtime(table):
+        loc = os.path.join(warehouse, table.lower())
+        return max(
+            os.path.getmtime(os.path.join(dp, f))
+            for dp, _, fs in os.walk(loc)
+            for f in fs
+        )
+
+    before = [mtime(t) for t in (t_fact, t_dim, t_z)]
+    time.sleep(1.1)
+    assert ensure_dpp_tables(spark, SF_DIR) == (t_fact, t_dim)
+    assert ensure_zorder_table(spark, SF_DIR) == t_z
+    assert [mtime(t) for t in (t_fact, t_dim, t_z)] == before
