@@ -286,3 +286,96 @@ def corpus_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("max_docs_per_url"),
         F.min("canonical_url").alias("sample_url"),
     )
+
+
+@query(
+    "corpus_filter_funnel_metrics",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             lang = 'en' AS p_lang,
+             n_chars >= 100 AS p_len,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20
+               AS p_toks
+      FROM documents
+    )
+    SELECT stage, n_in, n_out,
+           floor((n_in - n_out) * 1.0 / greatest(n_in, 1) * 10000 + 0.5)
+             / 10000 AS drop_rate
+    FROM (
+      SELECT 1 AS ord, 'lang_en' AS stage,
+             count(*) AS n_in,
+             CAST(sum(CAST(p_lang AS BIGINT)) AS BIGINT) AS n_out
+      FROM d
+      UNION ALL
+      SELECT 2, 'min_chars_100',
+             CAST(sum(CAST(p_lang AS BIGINT)) AS BIGINT),
+             CAST(sum(CAST(p_lang AND p_len AS BIGINT)) AS BIGINT)
+      FROM d
+      UNION ALL
+      SELECT 3, 'min_tokens_20',
+             CAST(sum(CAST(p_lang AND p_len AS BIGINT)) AS BIGINT),
+             CAST(sum(CAST(p_lang AND p_len AND p_toks AS BIGINT)) AS BIGINT)
+      FROM d
+    ) ORDER BY ord
+    """,
+)
+def corpus_filter_funnel_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel observability: per-stage survivor counts and drop
+    rates through a chained quality pipeline (language gate → length
+    gate → token-count gate) — the report every corpus-curation run
+    ships alongside its output, because 'the pipeline kept 62%' is
+    meaningless without knowing WHICH stage ate the rest. Spelled as
+    ONE map-side pass computing all stage predicates as booleans and
+    folding every funnel level out of conditional sums — the fact
+    table is scanned once no matter how many stages (vs the naive
+    re-filter-per-stage which scans S times at 100 TB). Stage
+    predicates mirror corpus_clean_pipeline's gates; exact integer
+    counts, one pinned ratio per stage."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").alias("p_lang"),
+        (F.col("n_chars") >= 100).alias("p_len"),
+        (
+            F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")) >= 20
+        ).alias("p_toks"),
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("p_lang").cast("bigint")).cast("bigint").alias("n1"),
+        F.sum((F.col("p_lang") & F.col("p_len")).cast("bigint"))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum((F.col("p_lang") & F.col("p_len") & F.col("p_toks")).cast("bigint"))
+        .cast("bigint")
+        .alias("n3"),
+    )
+    stages = [
+        ("lang_en", "n0", "n1"),
+        ("min_chars_100", "n1", "n2"),
+        ("min_tokens_20", "n2", "n3"),
+    ]
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("stage"),
+                        F.col(i).alias("n_in"),
+                        F.col(o).alias("n_out"),
+                    )
+                    for name, i, o in stages
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.select(
+        "s.stage",
+        "s.n_in",
+        "s.n_out",
+        dround(
+            (F.col("s.n_in") - F.col("s.n_out"))
+            * 1.0
+            / F.greatest(F.col("s.n_in"), F.lit(1)),
+            4,
+        ).alias("drop_rate"),
+    )

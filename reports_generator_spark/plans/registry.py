@@ -206,6 +206,8 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "scan_json_multiline", "text_sentence_split_stats",
         "nested_struct_array_ops", "interval_max_concurrency_sweepline",
         "sql_pivot_clause", "agg_string_concat_ordered",
+        "corpus_filter_funnel_metrics", "json_schema_infer_audit",
+        "agg_hll_intersect_estimate",
     }
 )
 

@@ -1985,3 +1985,41 @@ def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("n_regionkey").cast("long"),
     )
+
+
+# --------------------------------------------------------------------------
+# Schema-on-read inference audit
+# --------------------------------------------------------------------------
+@query(
+    "json_schema_infer_audit",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('n_name',      'string'),
+      ('n_nationkey', 'bigint'),
+      ('n_regionkey', 'bigint')
+    ) AS t(col_name, inferred_type)
+    ORDER BY col_name
+    """,
+)
+def json_schema_infer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read inference audit: write nation as JSONL, read it
+    back with schema inference, and emit the inferred (column, type)
+    catalog — pinned against the expected contract. This is the
+    schema-drift tripwire for schemaless feeds: a producer switching
+    ids to strings or appending a column changes THIS result before
+    it silently corrupts a downstream join. Inference costs one extra
+    pass over the data (the documented 100 TB caveat: sample with
+    samplingRatio or pin an explicit schema in production; the audit
+    exists precisely so the pinned schema has a checked source of
+    truth)."""
+    import hashlib
+    import os
+    import tempfile
+
+    n = _t(spark, sf_dir, "nation")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"rg_infer_{tag}")
+    n.write.mode("overwrite").json(path)
+    back = spark.read.json(path)  # full inference pass
+    fields = sorted((f.name, f.dataType.simpleString()) for f in back.schema.fields)
+    return spark.createDataFrame(fields, "col_name string, inferred_type string")

@@ -409,3 +409,64 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c").cast("bigint").alias("cms_est"),
         (F.min("c") >= F.col("true_n")).alias("no_underestimate"),
     )
+
+
+@query(
+    "agg_hll_intersect_estimate",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderstatus = 'O')
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a_exact,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b_exact,
+           CAST((SELECT count(*) FROM a JOIN b USING (o_custkey)) AS BIGINT)
+             AS n_and_exact,
+           TRUE AS estimate_within_15pct
+    FROM (SELECT 1)
+    """,
+)
+def agg_hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch algebra: estimate |A ∩ B| from three HyperLogLog
+    cardinalities via inclusion-exclusion (|A|+|B|−|A∪B|) — the
+    audience-overlap question answered WITHOUT materializing either
+    set or joining them (HLLs union by merge; at 100 TB the three
+    sketches are partial-aggregable single passes, vs the exact path's
+    distinct+join shuffle). The intersection estimate compounds the
+    error of three sketches, so its band is wider than one sketch's
+    2% (±15% here against the urgent∩open overlap of ~50% — the
+    attestation documents exactly the compounding the exact bitmap
+    key, agg_bitmap_intersect, avoids when keys are dense integers).
+    Exact companion counts computed per-engine; the estimate itself
+    is engine-internal (HLL implementations differ), hence the
+    boolean + exact-counts oracle — the agg_approx_distinct pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    in_a = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    in_b = F.col("o_orderstatus") == "O"
+    est = o.agg(
+        F.approx_count_distinct(F.when(in_a, F.col("o_custkey")), 0.01).alias("ea"),
+        F.approx_count_distinct(F.when(in_b, F.col("o_custkey")), 0.01).alias("eb"),
+        F.approx_count_distinct(
+            F.when(in_a | in_b, F.col("o_custkey")), 0.01
+        ).alias("eu"),
+    )
+    # exact companions: SET semantics — a customer is in A if ANY of
+    # its rows satisfies A (per-key flag fold), so A∩B is the set
+    # intersection the sketch estimates, NOT same-row conjunction
+    flags = o.groupBy("o_custkey").agg(
+        F.max(in_a.cast("int")).alias("fa"), F.max(in_b.cast("int")).alias("fb")
+    )
+    exact = flags.agg(
+        F.sum("fa").cast("bigint").alias("n_a_exact"),
+        F.sum("fb").cast("bigint").alias("n_b_exact"),
+        F.sum((F.col("fa") * F.col("fb"))).cast("bigint").alias("n_and_exact"),
+    )
+    j = exact.join(F.broadcast(est))
+    est_and = F.col("ea") + F.col("eb") - F.col("eu")
+    ok = (
+        F.abs(est_and - F.col("n_and_exact")) / F.greatest(F.col("n_and_exact"), F.lit(1))
+        <= 0.15
+    )
+    return j.select(
+        "n_a_exact", "n_b_exact", "n_and_exact", ok.alias("estimate_within_15pct")
+    )

@@ -227,6 +227,10 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # (segments × bins × 1-row total) to densify the EMD grid —
         # the time_spine_gapfill bounded-spine class
         "tcloseness_audit",
+        # HLL intersect folds its two 1-row aggregate frames (exact
+        # counts × sketch estimates) into the audit row — the
+        # 1-row-stats broadcast-cross class
+        "agg_hll_intersect_estimate",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
