@@ -1366,19 +1366,31 @@ def corpus_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("toks"),
     ).filter(F.size("toks") >= 3)
-    shl = toks.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(1, size(toks) - 2), "
-            "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
-        ).alias("shl"),
-    )
-    sh = shl.select(
-        "doc_id", F.posexplode("shl").alias("pos0", "sh")
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).cast("bigint").alias("pos"),
-        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint").alias("hv"),
+    # shingles via codegen'd lead() windows, NOT a transform() lambda:
+    # higher-order-function lambdas evaluate INTERPRETED (no
+    # whole-stage codegen) — the HOF spelling of this stage measured
+    # 4.3 s vs 0.75 s at sf0.1. The lead window shuffles on doc_id,
+    # the SAME partitioning the sliding-min window needs, so the
+    # exchange is reused and the swap costs no extra shuffle.
+    wlead = Window.partitionBy("doc_id").orderBy("p")
+    tok = toks.select("doc_id", F.posexplode("toks").alias("p", "tok"))
+    sh = (
+        tok.select(
+            "doc_id",
+            (F.col("p") + 1).cast("bigint").alias("pos"),
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(wlead), F.lead("tok", 2).over(wlead)
+            ).alias("sh3"),
+            F.lead("tok", 2).over(wlead).alias("guard"),
+        )
+        .filter(F.col("guard").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("sh3"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("hv"),
+        )
     )
     wdoc = Window.partitionBy("doc_id")
     wslide = (
@@ -1390,10 +1402,15 @@ def corpus_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wdoc).alias("n_sh"),
         F.min("hv").over(wslide).alias("fp"),
     )
+    # two downstream branches (df-cap agg + probe side) — materialize
+    # or the shingle→md5→window chain executes twice (operators/dedup
+    # _materialize discipline; measured ~2x on this, the key's most
+    # expensive stage)
     fps = (
         wmin.filter(F.col("pos") <= F.col("n_sh") - (_WIN_W - 1))
         .select("doc_id", "fp")
         .distinct()
+        .localCheckpoint()
     )
     capped = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _WIN_MAX_DF
