@@ -208,6 +208,8 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "sql_pivot_clause", "agg_string_concat_ordered",
         "corpus_filter_funnel_metrics", "json_schema_infer_audit",
         "agg_hll_intersect_estimate",
+        "udf_grouped_map_zscore", "scan_csv_gzip_roundtrip",
+        "analyze_table_cbo_stats", "stream_incremental_availablenow",
     }
 )
 

@@ -2023,3 +2023,85 @@ def json_schema_infer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.json(path)  # full inference pass
     fields = sorted((f.name, f.dataType.simpleString()) for f in back.schema.fields)
     return spark.createDataFrame(fields, "col_name string, inferred_type string")
+
+
+# --------------------------------------------------------------------------
+# Compressed-CSV round-trip (gzip: the non-splittable codec gotcha)
+# --------------------------------------------------------------------------
+@query(
+    "scan_csv_gzip_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def scan_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed CSV round-trip — the ingest shape most external
+    feeds actually arrive in. The 100 TB caveat this key documents:
+    gzip is NOT splittable, so ONE .csv.gz = ONE task no matter its
+    size (a 50 GB gzip feed serializes onto one core); the fixture
+    therefore writes multiple .gz parts (repartition(4) → 4 files,
+    each independently decompressable — the many-medium-files layout
+    a production feed should use, vs bzip2/zstd-seekable when
+    splittability inside one file is required). Explicit read schema
+    (no inference pass); values round-trip exactly via the oracle on
+    the source table."""
+    import hashlib
+    import os
+    import tempfile
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"rg_csvgz_{tag}")
+    sup.repartition(4).write.mode("overwrite").option("header", "true").option(
+        "compression", "gzip"
+    ).csv(path)
+    return spark.read.schema(
+        "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
+    ).option("header", "true").csv(path)
+
+
+# --------------------------------------------------------------------------
+# Catalog statistics (ANALYZE TABLE → CBO inputs)
+# --------------------------------------------------------------------------
+@query(
+    "analyze_table_cbo_stats",
+    oracle="""
+    SELECT count(*) AS rowcount_actual,
+           count(*) AS rowcount_catalog,
+           TRUE AS stats_match,
+           TRUE AS size_recorded
+    FROM orders
+    """,
+)
+def analyze_table_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE COMPUTE STATISTICS — the catalog-statistics pass
+    that feeds Spark's cost-based optimizer (join reordering,
+    broadcast-threshold decisions, and the DPP benefit estimate this
+    round's join_dpp_partition_pruned had to bypass at fixture scale
+    all read these numbers). The key ANALYZEs the partitioned orders
+    layout, reads rowCount/sizeInBytes back through the catalog, and
+    attests catalog rowCount == actual count(*) — a stale-stats
+    tripwire: at 100 TB a catalog row count that drifts from reality
+    silently flips broadcast decisions, so the audit IS the
+    operational check. Statistics collection is one scan-bound
+    aggregate; on a real deployment it rides the ingest job."""
+    from .scale_joins import ensure_dpp_tables
+
+    t_fact, _ = ensure_dpp_tables(spark, sf_dir)
+    spark.sql(f"ANALYZE TABLE {t_fact} COMPUTE STATISTICS")
+    det = spark.sql(f"DESCRIBE TABLE EXTENDED {t_fact}").filter(
+        F.col("col_name") == "Statistics"
+    ).collect()  # 1-row catalog metadata
+    stats_line = det[0]["data_type"] if det else ""
+    n_catalog = -1
+    for part in stats_line.replace(",", " ").split():
+        if part.isdigit():
+            # "X bytes  Y rows" — the LAST integer is the row count
+            n_catalog = int(part)
+    actual = spark.table(t_fact).count()
+    return spark.range(1).select(
+        F.lit(actual).cast("bigint").alias("rowcount_actual"),
+        F.lit(n_catalog).cast("bigint").alias("rowcount_catalog"),
+        F.lit(n_catalog == actual).alias("stats_match"),
+        F.lit("bytes" in stats_line).alias("size_recorded"),
+    )

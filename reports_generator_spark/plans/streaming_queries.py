@@ -313,3 +313,75 @@ def stream_sliding_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windowed import stream_sliding_window_agg
 
     return stream_sliding_window_agg(spark, sf_dir)
+
+
+@query(
+    "stream_incremental_availablenow",
+    oracle="""
+    SELECT count(*) AS rows_out,
+           CAST(sum(o_orderkey) AS BIGINT) AS checksum,
+           CAST(count(*) FILTER (WHERE o_orderkey % 3 = 0) AS BIGINT)
+             AS run2_input_rows,
+           TRUE AS incremental_ok
+    FROM orders
+    """,
+)
+def stream_incremental_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed incremental batch (Trigger.AvailableNow) — the
+    nightly-ETL pattern that replaces 'reprocess the whole landing
+    dir': run 1 drains the files present and terminates; new files
+    land; run 2 reuses the CHECKPOINT and processes ONLY the unseen
+    files, terminating again. The audit proves both halves: the
+    appended output equals the full source exactly once (count +
+    checksum — no loss, no double-processing), and run 2's observed
+    numInputRows equals exactly the second batch (incremental_ok
+    derived from streaming progress, not assumed). At 100 TB this is
+    THE idempotent-ingest shape: restartable, exactly-once into the
+    file sink via the checkpoint + _spark_metadata commit log, cost
+    proportional to NEW data only. Completes the streaming family's
+    batch-boundary story (availableNow keys exist for aggregation;
+    this one pins the file-source INCREMENTALITY contract itself)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import load_table
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"rg_incr_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    inp, outp, chk = (os.path.join(base, d) for d in ("in", "out", "chk"))
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    batch1 = o.filter(F.col("o_orderkey") % 3 != 0)
+    batch2 = o.filter(F.col("o_orderkey") % 3 == 0)
+
+    def drain() -> int:
+        q = (
+            spark.readStream.schema("o_orderkey bigint")
+            .parquet(inp)
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(int(p["numInputRows"]) for p in q.recentProgress)
+
+    batch1.write.parquet(inp)
+    drain()
+    batch2.write.mode("append").parquet(inp)
+    n_run2 = drain()
+    n_batch2 = batch2.count()
+
+    back = spark.read.parquet(outp)
+    return back.agg(
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum("o_orderkey").cast("bigint").alias("checksum"),
+        F.lit(n_run2).cast("bigint").alias("run2_input_rows"),
+        F.lit(n_run2 == n_batch2).alias("incremental_ok"),
+    )

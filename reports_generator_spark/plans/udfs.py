@@ -177,3 +177,71 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         _arrow_disc_price,
         "l_orderkey bigint, l_linenumber int, disc_price double",
     )
+
+
+def _group_zscore(pdf):
+    """Grouped-map kernel: per-customer z-scores of order totals.
+    Sorts by the unique key FIRST so the float mean/std accumulate in
+    a deterministic order regardless of how rows arrived in the
+    group's Arrow batch."""
+    pdf = pdf.sort_values("o_orderkey").reset_index(drop=True)
+    cents = pdf["cents"]
+    mu = cents.mean()
+    sd = cents.std(ddof=1)
+    import math
+
+    z = (cents - mu) / sd if (sd and not math.isnan(sd) and sd > 0) else cents * 0.0
+    out = pdf[["o_custkey", "o_orderkey"]].copy()
+    out["n_orders"] = len(pdf)
+    out["zscore"] = (z * 1e6).apply(lambda v: math.floor(v + 0.5)) / 1e6
+    return out
+
+
+@query(
+    "udf_grouped_map_zscore",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_custkey % 100 = 7
+    ),
+    stats AS (
+      SELECT o_custkey,
+             count(*) AS n_orders,
+             avg(cents) AS mu,
+             stddev_samp(cents) AS sd
+      FROM base GROUP BY o_custkey
+    )
+    SELECT b.o_custkey, b.o_orderkey,
+           CAST(s.n_orders AS BIGINT) AS n_orders,
+           CASE WHEN s.sd IS NULL OR s.sd = 0 OR isnan(s.sd) THEN 0.0
+                ELSE floor((b.cents - s.mu) / s.sd * 1000000 + 0.5) / 1000000
+           END AS zscore
+    FROM base b JOIN stats s ON s.o_custkey = b.o_custkey
+    """,
+)
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map — the missing member of the Python
+    escape-hatch family (scalar pandas UDF, grouped-AGG UDAF, UDTF,
+    mapInArrow are attested; grouped-MAP is the 'whole group in, whole
+    frame out' shape custom per-entity transforms need when no SQL
+    aggregate fits). Per-customer z-scores here so the oracle CAN
+    recompute it relationally — proving the Arrow round-trip preserves
+    values, which is the point of the key; a real deployment would put
+    a model-scoring or curve-fitting kernel in the same slot. Scale
+    posture: one hash shuffle on the group key, each group crosses the
+    Arrow boundary once, per-group state bounded by group size (the
+    skew caveat every grouped-map carries); the kernel sorts by the
+    unique key so float accumulation order — and therefore the 6 dp
+    pin — is deterministic under any upstream partitioning. The %100
+    slice bounds fixture output, not the plan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 7)
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    return base.groupBy("o_custkey").applyInPandas(
+        _group_zscore,
+        "o_custkey bigint, o_orderkey bigint, n_orders bigint, zscore double",
+    )
