@@ -172,36 +172,22 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "revenue_bridge_pvm", "otif_delivery_metrics",
         "duplicate_payment_audit", "dau_wau_stickiness",
         "session_path_topk", "fifo_inventory_matching",
-    }
-)
-
-
-#: Keys whose ATTESTATION must (re-)run through the driver's bounded
-#: 50-key window in the CURRENT round (round 7), so they sort FIRST:
-#:  - the 17 backlog keys registered in round 6 but never driver-attested
-#:    (the r6 window was full at 50; VERDICT r6 item #1) — all locally
-#:    parity-green and sf1-probed;
-#:  - every NEW round-7 key.
-_ADDED_THIS_ROUND: frozenset[str] = frozenset(
-    {
-        # 17-key round-6 backlog (registered r6, never driver-attested)
+        # --- round 7 green (CORRECTNESS_r07.json: 50/50 hash-match) ---
         "ab_test_ratio_delta_method", "corpus_kl_divergence",
-        "corpus_source_profile", "dedup_minhash_recall_audit",
+        "corpus_source_profile",
         "diff_in_diff_estimator", "exact_median_histogram_2pass",
         "funnel_time_to_convert", "graph_degree_distribution",
         "graph_label_propagation", "inventory_reorder_point",
         "max_drawdown_monthly", "quantile_sketch_error_audit",
         "sample_consistent_multitable", "spatial_dbscan_corepoints",
         "theil_sen_trend", "time_decay_score", "token_fertility_by_lang",
-        # new round-7 operators
         "join_bloom_pruned", "join_dpp_partition_pruned",
-        "dedup_incremental_minhash", "zorder_pruned_scan",
+        "zorder_pruned_scan",
         "delete_copy_on_write", "compact_small_files_binpack",
         "sql_window_clause_named", "sql_order_by_all", "sql_star_except",
         "sql_is_distinct_from",
         "anova_oneway_f", "tcloseness_audit", "embedding_bitpack_hamming_topk",
         "corpus_winnowing_fingerprint", "feature_crossfit_target_encode",
-        "graph_bfs_reachability",
         "agg_count_min_sketch", "sink_atomic_commit_protocol",
         "scan_json_multiline", "text_sentence_split_stats",
         "nested_struct_array_ops", "interval_max_concurrency_sweepline",
@@ -210,6 +196,30 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "agg_hll_intersect_estimate",
         "udf_grouped_map_zscore", "scan_csv_gzip_roundtrip",
         "analyze_table_cbo_stats", "stream_incremental_availablenow",
+        # (dedup_minhash_recall_audit, dedup_incremental_minhash,
+        # graph_bfs_reachability re-enter the round-8 window below:
+        # their shingle stage changed spelling this round)
+    }
+)
+
+
+#: Keys whose ATTESTATION must (re-)run through the driver's bounded
+#: 50-key window in the CURRENT round (round 8), so they sort FIRST:
+#:  - the 15 keys whose shared shingle stage changed spelling this round
+#:    (HOF transform() lambda → codegen'd lead() windows, VERDICT r7
+#:    item #1 — values identical by construction, re-attested anyway);
+#:  - keys whose ORACLE was strengthened (TRUE-literal attestation
+#:    booleans now independently recomputed by DuckDB, VERDICT item #3);
+#:  - every NEW round-8 key.
+_ADDED_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        # shingle-stage respelling (functions/text.py exploded_shingles)
+        "dedup_ngram_jaccard", "dedup_containment", "dedup_near_minhash",
+        "dedup_minhash_portable", "dedup_incremental_minhash",
+        "dedup_cluster_cc", "dedup_corpus_end2end", "graph_pagerank",
+        "graph_triangle_count", "entity_resolution_blocked",
+        "graph_label_propagation", "graph_bfs_reachability",
+        "decontaminate_ngram", "ngram_topk", "dedup_minhash_recall_audit",
     }
 )
 

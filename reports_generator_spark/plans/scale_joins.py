@@ -406,7 +406,10 @@ _COW_PARTS = 8
     t AS (
       SELECT o_orderkey,
              CAST(floor(o_orderkey * {_COW_PARTS}.0 / (mx + 1)) AS BIGINT) AS fid,
-             (o_orderkey <= CAST((mx + 1) / 4 AS BIGINT)
+             -- floor() explicitly: DuckDB's '/' yields DOUBLE and its
+             -- double→BIGINT cast rounds-to-nearest, which would drift
+             -- from the engine's (mx+1)//4 floor whenever (mx+1)%4 ≥ 2
+             (o_orderkey <= CAST(floor((mx + 1) / 4) AS BIGINT)
               AND o_orderkey % 5 = 2) AS hit
       FROM orders, s
     )

@@ -384,7 +384,10 @@ _SETOPS = [
     ("union_all", lambda a, b: a.unionByName(b), "UNION ALL"),
     ("union", lambda a, b: a.unionByName(b).distinct(), "UNION"),
     ("intersect", lambda a, b: a.intersect(b), "INTERSECT"),
-    ("except", lambda a, b: a.exceptAll(b).distinct(), "EXCEPT"),
+    # subtract() IS SQL EXCEPT (distinct semantics); exceptAll().distinct()
+    # diverges when a row occurs on both sides with higher multiplicity
+    # on the left (it would survive exceptAll+distinct but not EXCEPT)
+    ("except", lambda a, b: a.subtract(b), "EXCEPT"),
 ]
 
 
