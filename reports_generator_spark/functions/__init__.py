@@ -2,6 +2,7 @@ from .text import (
     EN_STOPWORDS,
     tokens_col,
     shingles_col,
+    exploded_shingles,
     with_token_array,
     en_stopword_ratio,
     fingerprint_col,
@@ -11,6 +12,7 @@ __all__ = [
     "EN_STOPWORDS",
     "tokens_col",
     "shingles_col",
+    "exploded_shingles",
     "with_token_array",
     "en_stopword_ratio",
     "fingerprint_col",

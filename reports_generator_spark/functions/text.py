@@ -45,6 +45,74 @@ def shingles_col(toks: Column, k: int = 3) -> Column:
     return F.when(n >= k, sh).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
 
 
+def exploded_shingles(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    out: str = "shingle",
+):
+    """(id, shingle) rows — one row per k-word shingle — via
+    posexplode + lead() windows, the whole-stage-codegen'd spelling.
+
+    Produces the exact multiset ``explode(shingles_col(tokens, k))``
+    yields, but compiled: higher-order-function lambdas
+    (transform/filter) evaluate INTERPRETED in Spark — no whole-stage
+    codegen — and the HOF shingle stage measured 4.3 s vs 0.75 s at
+    sf0.1 (SURVEY §8, the winnowing conversion). The swap costs one
+    hash shuffle on ``id_col`` (the lead window), which every
+    downstream consumer in the dedup family — groupBy(id) minhash
+    aggregation, (id, shingle) distinct — reuses or would pay anyway.
+
+    Docs with fewer than k tokens contribute no rows (the trailing
+    lead(k-1) guard is NULL for the last k-1 positions, and for every
+    position of a short doc), matching shingles_col's empty-array
+    guard. Position order within a doc is the same 1..n-k+1 walk.
+
+    Distribution: the DOC relation is hash-repartitioned on ``id_col``
+    with an EXPLICIT partition count BEFORE the posexplode — Generate
+    preserves its child's partitioning, so the lead() window (which
+    only needs ClusteredDistribution(id)) adds NO exchange, just a
+    partition-local sort, and downstream groupBy(id)/distinct(id, sh)
+    consumers reuse the same partitioning (HashPartitioning(id) is a
+    subset of their clustering keys). The explicit count matters
+    twice: an implicit repartition(col) is AQE-coalesceable, and the
+    first cut of this helper let AQE squeeze the token shuffle to 3
+    partitions at sf0.1 — the whole shingle/hash stage then ran at
+    parallelism 3 and measured SLOWER than the interpreted HOF it
+    replaced (85 s vs 50 s for the family). Shuffling docs (not
+    tokens) also moves each text byte across the wire once, not once
+    per token row.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    par = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism,
+    )
+    tok = df.repartition(par, F.col(id_col)).select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("__pos", "__tok"),
+    )
+    if k == 1:
+        return tok.select(F.col(id_col), F.col("__tok").alias(out))
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__tok")] + [F.lead("__tok", i).over(w) for i in range(1, k)]
+    return (
+        tok.select(
+            F.col(id_col),
+            F.concat_ws(" ", *parts).alias(out),
+            # guard = the furthest lead; NULL marks positions past
+            # n-k+1 (concat_ws would silently skip NULLs and emit a
+            # short shingle there — filter them out instead)
+            F.lead("__tok", k - 1).over(w).alias("__guard"),
+        )
+        .filter(F.col("__guard").isNotNull())
+        .drop("__guard")
+    )
+
+
 def en_stopword_ratio(toks: Column) -> Column:
     """Fraction of tokens that are English stopwords (language-ID score)."""
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import shingles_col, tokens_col, with_token_array
+from ..functions import exploded_shingles, tokens_col
 from ..functions.rounding import dround
 
 
@@ -100,9 +100,9 @@ def minhash_signatures(
     element. ONE explode + ONE aggregation computing all k mins as
     parallel agg columns — the shuffle carries k longs per doc.
     """
-    shingles = with_token_array(_spread(df), text_col).select(
-        F.col(id_col), F.explode(shingles_col(F.col("toks"), shingle_k)).alias("shingle")
-    )
+    # lead()-window shingles (codegen'd); the window's id_col shuffle is
+    # the same partitioning the groupBy below needs — no extra exchange
+    shingles = exploded_shingles(df, id_col, text_col, shingle_k, "shingle")
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -134,9 +134,7 @@ def dedup_minhash_lsh(
     the packed signature array once per side.
     """
     r = num_hashes // bands
-    shingles = with_token_array(_spread(df), text_col).select(
-        F.col(id_col), F.explode(shingles_col(F.col("toks"), shingle_k)).alias("shingle")
-    )
+    shingles = exploded_shingles(df, id_col, text_col, shingle_k, "shingle")
     mins = [
         F.min(_minhash_expr(hash_family, i, F.col("shingle"))).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -344,11 +342,7 @@ def _shingle_pair_counts(
     """(id_a, id_b, n_inter, n_a, n_b) for doc pairs sharing ≥1 shingle —
     the shared core of the exact set-overlap metrics (Jaccard,
     containment). One shingle-hash shuffle + two size joins."""
-    sh = (
-        with_token_array(_spread(df), text_col)
-        .select(F.col(id_col), F.explode(shingles_col(F.col("toks"), shingle_k)).alias("sh"))
-        .distinct()
-    )
+    sh = exploded_shingles(df, id_col, text_col, shingle_k, "sh").distinct()
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("sh")

@@ -409,13 +409,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs (< 3 tokens) have no signature and keep trivially (left
     join)."""
     docs = load_table(spark, sf_dir, "documents")
-    from ..functions import shingles_col, with_token_array
-    from ..operators.dedup import _minhash_expr, _spread
+    from ..functions import exploded_shingles
+    from ..operators.dedup import _minhash_expr
 
     r = _INC_NH // _INC_BANDS
-    shing = with_token_array(_spread(docs), "text").select(
-        "doc_id", F.explode(shingles_col(F.col("toks"), 3)).alias("shingle")
-    )
+    shing = exploded_shingles(docs, "doc_id", "text", 3, "shingle")
     mins = [
         F.min(_minhash_expr("md5_portable", i, F.col("shingle"))).alias(f"mh_{i}")
         for i in range(_INC_NH)

@@ -15,8 +15,8 @@ from pyspark.sql import functions as F
 from ..functions import (
     EN_STOPWORDS,
     en_stopword_ratio,
+    exploded_shingles,
     fingerprint_col,
-    shingles_col,
     tokens_col,
     with_token_array,
 )
@@ -631,12 +631,8 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.col("doc_id") % EVAL_MOD == 0
 
     def shingle_rows(docs):
-        # token array behind a Generate barrier: the k element_at calls
-        # of a shingle must not each re-split the document
-        return with_token_array(docs).select(
-            "doc_id",
-            F.explode(shingles_col(F.col("toks"), DECON_K)).alias("sh"),
-        )
+        # codegen'd lead()-window shingles (HOF lambdas are interpreted)
+        return exploded_shingles(docs, "doc_id", "text", DECON_K, "sh")
 
     # split BEFORE exploding: the eval branch shingles 1/97 of the
     # corpus (filter pushed to the scan). The train side is NEVER
@@ -675,13 +671,14 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 corpus bigrams: tokenize once behind the Generate barrier,
-    shingle with the same element_at construction the dedup family
-    uses, one partial-aggregated count, TakeOrdered top-k (no global
-    sort). The id-ordered tiebreak makes the cut deterministic."""
+    """Top-20 corpus bigrams: posexplode + lead()-window shingling (the
+    codegen'd spelling the dedup family shares), one partial-aggregated
+    count, TakeOrdered top-k (no global sort). The id-ordered tiebreak
+    makes the cut deterministic."""
     d = load_table(spark, sf_dir, "documents")
-    toks = with_token_array(d.select("doc_id", "text"))
-    bi = toks.select(F.explode(shingles_col(F.col("toks"), 2)).alias("bigram"))
+    bi = exploded_shingles(
+        d.select("doc_id", "text"), "doc_id", "text", 2, "bigram"
+    ).select("bigram")
     return (
         bi.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))

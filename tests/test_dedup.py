@@ -213,3 +213,36 @@ def test_triangle_stats_path_graph_has_no_triangles(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
     r = triangle_stats(edges).collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 3, 2, 0)
+
+
+def test_exploded_shingles_matches_hof_spelling(spark):
+    """The codegen'd lead()-window shingle spelling must produce the
+    EXACT multiset the HOF reference spelling (explode(shingles_col))
+    yields — including empty-doc / short-doc edges and k=1/2/5 — since
+    every dedup-family key was re-attested on this equivalence."""
+    from pyspark.sql import functions as F
+
+    from reports_generator_spark.functions import (
+        exploded_shingles,
+        shingles_col,
+        with_token_array,
+    )
+
+    rows = [
+        (0, BASE),
+        (1, NEAR),
+        (2, "tiny doc"),
+        (3, "one"),
+        (4, ""),
+        (5, "  spaced   out   tokens  "),
+        (6, "a b c d e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (1, 2, 3, 5):
+        new = exploded_shingles(df, "doc_id", "text", k, "sh")
+        ref = with_token_array(df).select(
+            "doc_id", F.explode(shingles_col(F.col("toks"), k)).alias("sh")
+        )
+        got = sorted(map(tuple, new.collect()))
+        want = sorted(map(tuple, ref.collect()))
+        assert got == want, f"k={k}: {got} != {want}"
