@@ -387,10 +387,22 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "feature_quantile_bin_approx",
     oracle="""
-    SELECT CAST(10 AS BIGINT) AS n_bins,
-           count(*) AS total,
-           TRUE AS balanced_ok
-    FROM orders
+    WITH cuts AS (
+      SELECT approx_quantile(o_totalprice,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+      FROM orders
+    ),
+    binned AS (
+      SELECT len(list_filter(c, x -> x <= o_totalprice)) AS bin
+      FROM orders, cuts
+    ),
+    per_bin AS (SELECT bin, count(*) AS n FROM binned GROUP BY bin)
+    SELECT count(*) AS n_bins,
+           CAST(sum(n) AS BIGINT) AS total,
+           (max(n) - sum(n) / 10.0 <= sum(n) / 10.0 * 0.05
+            AND sum(n) / 10.0 - min(n) <= sum(n) / 10.0 * 0.05)
+             AS balanced_ok
+    FROM per_bin
     """,
 )
 def feature_quantile_bin_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,9 +417,12 @@ def feature_quantile_bin_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXPECTED BIN SIZE n/10 — i.e. band = (n/10)·0.05, a tight check
     (GK accuracy 10000 on this data is near-exact; the band catches a
     broken sketch or off-by-one binning, not tuning drift). The
-    sketch's cut values are engine-internal, so the oracle checks the
-    attestation booleans + exact total — the established
-    agg_approx_distinct pattern."""
+    sketch's cut values are engine-internal, so the oracle does NOT
+    assert TRUE literals: DuckDB computes its OWN approx_quantile
+    deciles, bins with the same branchless list-search, and derives
+    the SAME (n_bins, total, balanced_ok) from its own sketch — each
+    engine independently certifies the ±5% balance invariant (the
+    pagerank/agg_approx_distinct attestation pattern)."""
     o = load_table(spark, sf_dir, "orders")
     cuts = o.agg(
         F.percentile_approx(

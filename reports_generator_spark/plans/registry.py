@@ -220,6 +220,10 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "graph_triangle_count", "entity_resolution_blocked",
         "graph_label_propagation", "graph_bfs_reachability",
         "decontaminate_ngram", "ngram_topk", "dedup_minhash_recall_audit",
+        # oracle strengthened: DuckDB now derives the attestation boolean
+        # from its OWN sketch instead of asserting a TRUE literal
+        "agg_approx_distinct", "data_profile_approx",
+        "agg_approx_percentile", "feature_quantile_bin_approx",
     }
 )
 

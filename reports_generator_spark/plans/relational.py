@@ -408,16 +408,20 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # R11 approximate distinct (HLL).  The estimate itself is
 # sketch-dependent (Spark HLL++ ≠ DuckDB HLL), so the attestable output
-# is (group key, exact distinct, estimate-within-tolerance flag): the
-# oracle asserts the flag is TRUE, which checks the sketch's error bound
-# without requiring bit-identical estimates.  rsd=0.01 ⇒ 5% is generous.
+# is (group key, exact distinct, estimate-within-tolerance flag).  The
+# oracle does NOT assert TRUE: DuckDB runs its OWN approx_count_distinct
+# and derives the SAME boolean from its own sketch vs its own exact
+# count — each engine independently certifies the 5% error bound, and
+# either sketch breaking it surfaces as a hash mismatch (the pagerank
+# attestation pattern).  rsd=0.01 ⇒ 5% is generous for both sketches.
 # --------------------------------------------------------------------------
 @query(
     "agg_approx_distinct",
     oracle="""
     SELECT l_returnflag,
            count(DISTINCT l_orderkey) AS n_orders_exact,
-           TRUE AS approx_within_5pct
+           (abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+              <= 0.05 * count(DISTINCT l_orderkey)) AS approx_within_5pct
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -1078,22 +1082,29 @@ def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT o_orderkey) AS n_distinct_exact,
            CAST(min(o_orderkey) AS VARCHAR) AS min_value,
            CAST(max(o_orderkey) AS VARCHAR) AS max_value,
-           TRUE AS approx_within_5pct
+           (abs(approx_count_distinct(o_orderkey) - count(DISTINCT o_orderkey))
+              <= 0.05 * count(DISTINCT o_orderkey)) AS approx_within_5pct
     FROM orders
     UNION ALL
     SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
            count(DISTINCT o_custkey),
-           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR), TRUE
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR),
+           (abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+              <= 0.05 * count(DISTINCT o_custkey))
     FROM orders
     UNION ALL
     SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
            count(DISTINCT o_totalprice),
-           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR), TRUE
+           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR),
+           (abs(approx_count_distinct(o_totalprice) - count(DISTINCT o_totalprice))
+              <= 0.05 * count(DISTINCT o_totalprice))
     FROM orders
     UNION ALL
     SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
            count(DISTINCT o_orderdate),
-           CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR), TRUE
+           CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR),
+           (abs(approx_count_distinct(o_orderdate) - count(DISTINCT o_orderdate))
+              <= 0.05 * count(DISTINCT o_orderdate))
     FROM orders
     UNION ALL
     SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
@@ -1168,7 +1179,11 @@ def data_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            floor(quantile_cont(value, 0.5)  * 10000 + 0.5) / 10000 AS p50_exact,
            floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000 AS p95_exact,
-           TRUE AS approx_within_5pct
+           (abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+              <= 0.05 * abs(quantile_cont(value, 0.5)) + 1e-6
+            AND abs(approx_quantile(value, 0.95) - quantile_cont(value, 0.95))
+              <= 0.05 * abs(quantile_cont(value, 0.95)) + 1e-6)
+             AS approx_within_5pct
     FROM events
     GROUP BY event_type
     """,

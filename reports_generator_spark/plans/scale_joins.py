@@ -569,7 +569,15 @@ def sink_atomic_commit_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     crash recovery is 'delete unreferenced staging dirs'. The audit
     proves visible rows == exactly the committed batch (oracle
     recomputes the slice) and that the uncommitted batch both exists
-    on disk and is absent from the read. Completes the sink family:
+    on disk and is absent from the read.
+
+    TRUE-literal exemption (documented): uncommitted_invisible is a
+    FILESYSTEM property — "the staged-but-uncommitted directory exists
+    on disk yet contributes zero rows to the manifest-resolved scan" —
+    observable only by the engine that owns the staging directory; no
+    SQL oracle can recompute it. The cross-engine quantities
+    (rows_visible, visible_checksum) are recomputed by the oracle from
+    the committed slice. Completes the sink family:
     sink_mode_auto (existence-probed mode), merge_upsert (row
     idempotency), this key (atomicity)."""
     import tempfile
