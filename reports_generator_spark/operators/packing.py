@@ -46,12 +46,15 @@ def pack_sequences(
     shard_col: str = "lang",
     id_col: str = "doc_id",
     tokens_col: str = "n_tok",
+    order_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, shard, n_tok, bin_id): greedy next-fit packing of each
-    shard's docs (in id order) into bins of `capacity` tokens."""
+    shard's docs into bins of `capacity` tokens. Packing order within a
+    shard is `order_col` (ties broken by id) when given — the composed
+    release pipeline packs in shuffled training order — else id order."""
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)
+        pdf = pdf.sort_values([order_col, id_col] if order_col else id_col)
         bin_id, fill = 0, 0
         bins = []
         for n in pdf[tokens_col]:
@@ -69,7 +72,8 @@ def pack_sequences(
             }
         )
 
-    sel = docs.select(
-        F.col(id_col), F.col(shard_col), F.col(tokens_col).cast("long")
-    )
+    cols = [F.col(id_col), F.col(shard_col), F.col(tokens_col).cast("long")]
+    if order_col:
+        cols.append(F.col(order_col))
+    sel = docs.select(*cols)
     return sel.groupBy(shard_col).applyInPandas(pack, PACK_SCHEMA)

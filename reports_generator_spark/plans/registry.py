@@ -224,6 +224,8 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # from its OWN sketch instead of asserting a TRUE literal
         "agg_approx_distinct", "data_profile_approx",
         "agg_approx_percentile", "feature_quantile_bin_approx",
+        # new round-8 keys
+        "corpus_release_end2end",
     }
 )
 
@@ -279,6 +281,10 @@ def load_all() -> None:
     # maintenance surface (bloom-pruned join, DPP, z-order pruned
     # read-back, copy-on-write delete, small-file compaction)
     from . import scale_joins  # noqa: F401
+    # release.py registers the round-8 composed end-to-end corpus
+    # release key (clean → near-dedup → decontaminate → mix → shard →
+    # pack as ONE plan with observe() telemetry)
+    from . import release  # noqa: F401
 
     # Reorder for the driver's bounded attestation window (round 1 cut off
     # at exactly 50 entries): keys added/changed this round first (their
