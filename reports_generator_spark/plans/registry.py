@@ -226,6 +226,8 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "agg_approx_percentile", "feature_quantile_bin_approx",
         # new round-8 keys
         "corpus_release_end2end",
+        "scan_file_zonemap_skipping_audit", "merge_schema_evolution",
+        "join_skew_aqe_adaptive",
     }
 )
 

@@ -628,3 +628,295 @@ def sink_atomic_commit_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("bigint").alias("visible_checksum"),
         F.lit(staged_not_visible).alias("uncommitted_invisible"),
     )
+
+
+# --------------------------------------------------------------------------
+# File-level zone-map (footer min/max) skipping audit — completes
+# zorder_pruned_scan at the sub-directory level: here NOTHING prunes by
+# directory (the predicate is not on the partition column); every
+# skipped byte is skipped because the parquet footer's column min/max
+# missed the predicate range.
+# --------------------------------------------------------------------------
+_ZM_FILES = 16
+_ZM_LO_FRAC, _ZM_HI_FRAC = 0.25, 0.375  # exact binary fractions — both
+# engines compute int(floor((mx+1)·frac)) bit-identically
+
+
+def ensure_zonemap_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Write-once sorted key-range layout: orders split into one file
+    per key-range slice (repartition on the slice id gives each slice
+    exactly one task; partitionBy then one file per slice), rows sorted
+    by o_orderkey inside each file so the footer min/max are tight.
+    Returns (path, max_orderkey). A one-time ingest cost amortized like
+    the bucketed/zorder layouts (bench warms it)."""
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"rg_zonemap_{tag}")
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderkey")).first()[0]  # scalar-only collect
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        fid = (
+            F.floor(F.col("o_orderkey") * float(_ZM_FILES) / (mx + 1))
+            .cast("bigint")
+            .alias("fid")
+        )
+        (
+            o.select("o_orderkey", fid)
+            .repartition(_ZM_FILES, "fid")
+            .sortWithinPartitions("o_orderkey")
+            .write.partitionBy("fid")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    return path, mx
+
+
+@query(
+    "scan_file_zonemap_skipping_audit",
+    oracle=f"""
+    WITH s AS (SELECT max(o_orderkey) AS mx FROM orders),
+    b AS (
+      SELECT CAST(floor((mx + 1) * {_ZM_LO_FRAC}) AS BIGINT) AS lo,
+             CAST(floor((mx + 1) * {_ZM_HI_FRAC}) AS BIGINT) AS hi
+      FROM s
+    ),
+    t AS (
+      SELECT o_orderkey,
+             CAST(floor(o_orderkey * {_ZM_FILES}.0 / (mx + 1)) AS BIGINT) AS fid
+      FROM orders, s
+    ),
+    ov AS (
+      SELECT DISTINCT fid FROM t, b WHERE o_orderkey BETWEEN lo AND hi
+    )
+    SELECT (SELECT count(DISTINCT fid) FROM t) AS n_files_total,
+           (SELECT count(*) FROM ov) AS n_files_overlapping,
+           (SELECT count(*) FROM t JOIN ov USING (fid))
+             AS rows_in_overlapping_files,
+           (SELECT count(*) FROM t, b WHERE o_orderkey BETWEEN lo AND hi)
+             AS n_rows_selected,
+           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM t, b
+            WHERE o_orderkey BETWEEN lo AND hi) AS selected_checksum
+    """,
+)
+def scan_file_zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map effectiveness, measured relationally: per-file
+    min/max/count come from a `_metadata.file_path` groupBy over the
+    sorted layout (the engine-side equivalent of reading every footer —
+    distributed, no driver loop), a file "overlaps" the predicate range
+    iff min ≤ hi AND max ≥ lo, and because each file is a contiguous
+    slice of the sort order, overlap == contains-matching-rows, so the
+    DuckDB oracle recomputes EVERY column (file counts included) from
+    the raw table's slice arithmetic — no engine-internal metrics, no
+    TRUE literals. The actual reader-side skip (parquet row-group
+    stats dropping non-overlapping files from a filtered scan) is
+    asserted on scan metrics in tests/test_plan_shapes.py. At 100 TB
+    this audit is the nightly layout-health check: a falling
+    skip-ratio means ingest stopped sorting and the layout needs
+    re-clustering."""
+    path, mx = ensure_zonemap_table(spark, sf_dir)
+    lo = int((mx + 1) * _ZM_LO_FRAC)
+    hi = int((mx + 1) * _ZM_HI_FRAC)
+    lake = spark.read.parquet(path)
+
+    per_file = (
+        lake.select("o_orderkey", F.col("_metadata.file_path").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("o_orderkey").alias("mn"),
+            F.max("o_orderkey").alias("mxk"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    ov = per_file.filter((F.col("mn") <= hi) & (F.col("mxk") >= lo))
+    totals = per_file.agg(F.count(F.lit(1)).cast("bigint").alias("n_files_total"))
+    overlap = ov.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files_overlapping"),
+        F.sum("n").cast("bigint").alias("rows_in_overlapping_files"),
+    )
+    selected = lake.filter(F.col("o_orderkey").between(lo, hi)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_selected"),
+        F.sum("o_orderkey").cast("bigint").alias("selected_checksum"),
+    )
+    # three 1-row aggregate frames — the documented crossJoin-of-scalars
+    # shape (exempted in test_plan_shapes)
+    return totals.crossJoin(overlap).crossJoin(selected)
+
+
+# --------------------------------------------------------------------------
+# MERGE with schema evolution: an upsert batch arrives carrying a NEW
+# column mid-stream (composes merge_upsert + scan_schema_evolution)
+# --------------------------------------------------------------------------
+@query(
+    "merge_schema_evolution",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    incoming AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 1 AS cents,
+             CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_rank
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT o_orderkey, cents, prio_rank FROM incoming
+      UNION ALL
+      SELECT t.o_orderkey, t.cents, CAST(NULL AS BIGINT)
+      FROM target t
+      WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM incoming)
+    )
+    SELECT count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS cents_checksum,
+           count(prio_rank) AS n_evolved_rows,
+           CAST(sum(prio_rank) AS BIGINT) AS rank_checksum
+    FROM merged
+    """,
+)
+def merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert where the incoming batch carries a column the
+    target table has never seen (`prio_rank`) — the schema-evolution
+    case every long-lived lake table hits mid-stream. The target is
+    written v1 (key, cents); the batch appends v2 files (key, cents,
+    prio_rank, higher version) into the SAME table directory; the read
+    uses parquet `mergeSchema` so v1 files surface the new column as
+    NULL; the MERGE itself is last-writer-wins per key (max version —
+    one window, no driver state). Updated rows get cents+1 so an
+    update that silently failed to win shows up in the checksum, and
+    the oracle recomputes the merged table's stats from raw orders.
+    At 100 TB: the same plan, with mergeSchema resolved from the table
+    format's schema log instead of footer union."""
+    import tempfile
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"rg_mergevo_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+
+    # v1 target: no prio_rank column anywhere in its files
+    (
+        o.filter(F.col("o_orderkey") % 3 != 0)
+        .select("o_orderkey", cents.alias("cents"), F.lit(0).alias("__v"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    # v2 incoming batch: evolved schema, appended to the same table dir
+    (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            "o_orderkey",
+            (cents + 1).alias("cents"),
+            F.substring("o_orderpriority", 1, 1).cast("bigint").alias("prio_rank"),
+            F.lit(1).alias("__v"),
+        )
+        .write.mode("append")
+        .parquet(path)
+    )
+
+    merged_read = spark.read.option("mergeSchema", "true").parquet(path)
+    from pyspark.sql import Window as W
+
+    latest = W.partitionBy("o_orderkey").orderBy(F.col("__v").desc())
+    merged = (
+        merged_read.withColumn("rn", F.row_number().over(latest))
+        .filter(F.col("rn") == 1)
+    )
+    return merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("cents_checksum"),
+        F.count("prio_rank").cast("bigint").alias("n_evolved_rows"),
+        F.sum("prio_rank").cast("bigint").alias("rank_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# AQE skew-join: the RUNTIME answer to the skew join_skew_salted solves
+# by hand — AQE observes the actual shuffle-partition sizes and splits
+# the oversized ones, no salting column, no plan rewrite by the user.
+# --------------------------------------------------------------------------
+@query(
+    "join_skew_aqe_adaptive",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS k, value
+      FROM events
+    ),
+    d AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
+      UNION ALL
+      SELECT 0, 'HOTKEY'
+    )
+    SELECT seg, count(*) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM f JOIN d USING (k)
+    GROUP BY seg
+    """,
+)
+def join_skew_aqe_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed sort-merge join left to AQE: half the fact rows collapse
+    onto one hot key (k=0), broadcast is disabled, and the skew-split
+    thresholds are scaled to fixture bytes so OptimizeSkewedJoin fires
+    exactly as it would with defaults on a 100 TB shuffle — the
+    executed plan's SortMergeJoin carries ``skew=true`` (plan-asserted
+    AFTER execution in tests/test_plan_shapes.py; AQE decides from
+    runtime map-output sizes, so the pre-execution plan cannot show
+    it). Values are skew-invariant — the oracle is the plain join.
+    Next to join_skew_salted this documents the decision rule: salt by
+    hand only when AQE can't see the skew (aggregation keys, or a
+    broadcast-ineligible build side you must pre-split); for plain
+    fact×dim equi-joins the runtime split is free and plan-stable.
+    The lowered thresholds are restored by tune() before the next key
+    (session.RUNTIME_CONF carries the defaults).
+
+    Two fixture-visibility boundaries this key measured and documents:
+    (1) a skewed reduce partition can only split along MAP-output
+    boundaries — the single-file fixture scans as ONE map task (one
+    row group), leaving the hot partition one unsplittable block, so
+    the fact side repartitions to 16 maps first (a 100 TB scan has
+    thousands of maps naturally; the extra exchange exists only to
+    give AQE split points); (2) the split introduces an extra shuffle
+    before the downstream groupBy, which OptimizeSkewedJoin declines
+    by default — forceOptimizeSkewedJoin=true is the real-deployment
+    setting when the join dominates the follow-up aggregation."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+
+    e = load_table(spark, sf_dir, "events").repartition(16)
+    f_side = e.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("bigint")
+        .alias("k"),
+        "value",
+    )
+    c = load_table(spark, sf_dir, "customer")
+    d_side = c.select(
+        F.col("c_custkey").cast("bigint").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(0).cast("bigint").alias("k"), F.lit("HOTKEY").alias("seg")
+        )
+    )
+    return (
+        f_side.join(d_side, "k")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -27,6 +27,15 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # explicit defaults for the knobs join_skew_aqe_adaptive lowers to
+    # force a skew-split on fixture-sized data: tune() runs before every
+    # registered key, so listing them here restores them for the NEXT
+    # key (a leaked 8 KB advisory size would shred every later shuffle)
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256MB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5.0",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "10MB",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # fixture `events.parquet` carries TIMESTAMP(NANOS); Spark reads
     # nanos as raw long and the events loader rescales to timestamp

@@ -10,6 +10,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+from pyspark.sql import functions as F
+
 from reports_generator_spark.plans import registry
 
 from conftest import SF_DIR
@@ -231,6 +233,10 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # counts × sketch estimates) into the audit row — the
         # 1-row-stats broadcast-cross class
         "agg_hll_intersect_estimate",
+        # round-8 member of the 1-row-stats broadcast-cross class: the
+        # zone-map audit folds its three 1-row frames (file totals ×
+        # overlap stats × selected rows) into the audit row
+        "scan_file_zonemap_skipping_audit",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
@@ -487,3 +493,65 @@ def test_pruning_layout_builders_idempotent(spark):
     assert ensure_dpp_tables(spark, SF_DIR) == (t_fact, t_dim)
     assert ensure_zorder_table(spark, SF_DIR) == t_z
     assert [mtime(t) for t in (t_fact, t_dim, t_z)] == before
+
+
+def test_zonemap_filtered_scan_actually_skips(spark):
+    """scan_file_zonemap_skipping_audit's output proves overlap math;
+    this proves the READER skips: a filtered scan over the sorted
+    layout must emit no more rows than the overlapping files hold
+    (parquet footer min/max pruning), far below the table total, and
+    the range predicate must reach the scan as PushedFilters."""
+    from reports_generator_spark.plans.scale_joins import (
+        _ZM_HI_FRAC,
+        _ZM_LO_FRAC,
+        ensure_zonemap_table,
+    )
+
+    path, mx = ensure_zonemap_table(spark, SF_DIR)
+    lo, hi = int((mx + 1) * _ZM_LO_FRAC), int((mx + 1) * _ZM_HI_FRAC)
+    lake = spark.read.parquet(path)
+    total = lake.count()
+
+    filtered = lake.filter(F.col("o_orderkey").between(lo, hi))
+    n_sel = filtered.count()
+    plan = plan_str(filtered)
+    assert "GreaterThanOrEqual(o_orderkey" in plan and "LessThanOrEqual(o_orderkey" in plan
+
+    # overlapping-file row budget, computed relationally like the key
+    per_file = (
+        lake.select("o_orderkey", F.col("_metadata.file_path").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mxk"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    budget = (
+        per_file.filter((F.col("mn") <= hi) & (F.col("mxk") >= lo))
+        .agg(F.sum("n")).first()[0]
+    )
+    # actual reader output rows from the executed scan's SQL metrics
+    filtered.collect()
+    ep = filtered._jdf.queryExecution().executedPlan()
+    leaves = ep.collectLeaves()
+    scan_rows = None
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        m = node.metrics()
+        if m.contains("numOutputRows"):
+            scan_rows = m.apply("numOutputRows").value()
+            break
+    assert scan_rows is not None
+    assert scan_rows <= budget < total, (scan_rows, budget, total)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """join_skew_aqe_adaptive must show skew=true on its SortMergeJoin
+    in the AQE FINAL plan (only observable after execution — the split
+    decision comes from runtime map-output sizes)."""
+    df = registry.QUERIES["join_skew_aqe_adaptive"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan
+    # restore the lowered thresholds for subsequent tests in this session
+    from reports_generator_spark.session import tune
+
+    tune(spark)
