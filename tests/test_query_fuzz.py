@@ -523,3 +523,167 @@ def test_generated_outer_join_window_matches_duckdb(
     """
     sdf = spark.sql(body.format(o="fz_o", c="fz_c"))
     assert_matches_oracle(sdf, duck, body.format(o="orders", c="customer"))
+
+
+# --- DECIMAL arithmetic/rounding fuzzing (round-8 family) --------------
+# Exact-decimal expression trees evaluated on both engines, results
+# compared as scaled BIGINTs. Encodes the repo's cross-engine decimal
+# discipline and explores its edges: negative operands, half-boundary
+# rounding, scale growth under multiplication. The one KNOWN divergence
+# (CAST(decimal AS BIGINT): Spark truncates toward zero, DuckDB rounds
+# to nearest) is pinned by its own test below — the generated queries
+# always use the explicit floor(x*10^k+0.5) spelling instead.
+
+_DEC_OPS = [
+    ("+", lambda c, v: c + v),
+    ("-", lambda c, v: c - v),
+    ("*", lambda c, v: c * v),
+]
+
+
+@st.composite
+def _decimal_specs(draw):
+    op_i = draw(st.integers(0, len(_DEC_OPS) - 1))
+    # one decimal place, may be negative, never zero for '*'
+    raw = draw(st.integers(-99, 99).filter(lambda x: x != 0))
+    const = f"{raw / 10:.1f}"
+    round_scale = draw(st.integers(0, 2))
+    group = draw(st.sampled_from([None, "o_orderstatus"]))
+    return op_i, const, round_scale, group
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(_decimal_specs())
+def test_generated_decimal_arithmetic_matches_duckdb(spark, duck, spec):
+    """sum() over an exact-DECIMAL expression, rounded half-up at a
+    generated scale via the mirrored floor spelling, must be
+    bit-identical cross-engine for +, -, × with negative and
+    half-boundary constants."""
+    op_i, const, k, group = spec
+    op_name, op_fn = _DEC_OPS[op_i]
+    pow10 = 10 ** k
+
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    cval = F.lit(const).cast("decimal(4,1)")
+    expr = op_fn(price, cval)
+
+    o = spark.read.parquet(
+        "%s/orders.parquet" % __import__("conftest").SF_DIR
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.floor(F.sum(expr) * pow10 + F.lit(0.5)).cast("bigint").alias("s_round"),
+        F.floor(F.min(expr) * pow10 + F.lit(0.5)).cast("bigint").alias("mn_round"),
+        F.floor(F.max(expr) * pow10 + F.lit(0.5)).cast("bigint").alias("mx_round"),
+    ]
+    sql_expr = f"(CAST(o_totalprice AS DECIMAL(18,2)) {op_name} CAST({const} AS DECIMAL(4,1)))"
+    agg_sql = (
+        "CAST(count(*) AS BIGINT) AS n,"
+        f" CAST(floor(sum({sql_expr}) * {pow10} + 0.5) AS BIGINT) AS s_round,"
+        f" CAST(floor(min({sql_expr}) * {pow10} + 0.5) AS BIGINT) AS mn_round,"
+        f" CAST(floor(max({sql_expr}) * {pow10} + 0.5) AS BIGINT) AS mx_round"
+    )
+    if group is None:
+        sdf = o.agg(*aggs)
+        sql = f"SELECT {agg_sql} FROM orders"
+    else:
+        sdf = o.groupBy(group).agg(*aggs)
+        sql = f"SELECT {group}, {agg_sql} FROM orders GROUP BY {group}"
+    assert_matches_oracle(sdf, duck, sql)
+
+
+def test_decimal_to_bigint_cast_diverges_and_floor_heals(spark, duck):
+    """Pin the divergence the discipline exists for: CAST(x.5 AS
+    BIGINT) truncates toward zero in Spark but rounds to nearest in
+    DuckDB — and the explicit floor(x + 0.5) spelling agrees."""
+    spark_trunc = spark.sql(
+        "SELECT CAST(CAST(1.5 AS DECIMAL(3,1)) AS BIGINT) AS v"
+    ).first()["v"]
+    duck_round = duck.execute(
+        "SELECT CAST(CAST(1.5 AS DECIMAL(3,1)) AS BIGINT) AS v"
+    ).fetchone()[0]
+    assert spark_trunc == 1 and duck_round == 2  # the trap, pinned
+    s = spark.sql(
+        "SELECT CAST(floor(CAST(1.5 AS DECIMAL(3,1)) + 0.5) AS BIGINT) AS v"
+    ).first()["v"]
+    d = duck.execute(
+        "SELECT CAST(floor(CAST(1.5 AS DECIMAL(3,1)) + 0.5) AS BIGINT) AS v"
+    ).fetchone()[0]
+    assert s == d == 2
+
+
+# --- array / higher-order-function fuzzing (round-8 family) ------------
+# Token-array pipelines (filter by length -> optional slice -> distinct)
+# evaluated as Spark HOFs and DuckDB list functions from the same spec.
+# This is exactly the grammar the round-8 shingle respelling lives in —
+# a values drift between the HOF and window spellings, or between
+# Spark's and DuckDB's list semantics (1-based slicing, distinct
+# first-occurrence order), surfaces here.
+
+
+@st.composite
+def _array_specs(draw):
+    min_len = draw(st.integers(1, 7))
+    slice_k = draw(st.sampled_from([None, 1, 2, 3, 5]))
+    distinct = draw(st.booleans())
+    return min_len, slice_k, distinct
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(_array_specs())
+def test_generated_array_pipeline_matches_duckdb(spark, duck, spec):
+    """Per-document results of a generated token-array pipeline must
+    match: count, total length, and the lexicographic min element
+    (order-insensitive comparands — array_distinct and list_distinct
+    differ in element ORDER, which is exactly why no key compares raw
+    distinct arrays)."""
+    min_len, slice_k, distinct = spec
+
+    toks = F.filter(
+        F.split(F.col("text"), " "),
+        lambda x: (x != "") & (F.length(x) >= min_len),
+    )
+    sql_arr = (
+        f"list_filter(string_split(text, ' '),"
+        f" x -> x <> '' AND length(x) >= {min_len})"
+    )
+    if slice_k is not None:
+        toks = F.slice(toks, 1, slice_k)
+        sql_arr = f"({sql_arr})[1:{slice_k}]"
+    if distinct:
+        toks = F.array_distinct(toks)
+        sql_arr = f"list_distinct({sql_arr})"
+
+    d = spark.read.parquet(
+        "%s/documents.parquet" % __import__("conftest").SF_DIR
+    )
+    sdf = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(toks, lambda x: F.length(x).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("sum_len"),
+        F.array_min(toks).alias("min_tok"),
+    )
+    sql = f"""
+    SELECT doc_id,
+           CAST(len({sql_arr}) AS BIGINT) AS n_toks,
+           CAST(coalesce(list_sum(list_transform({sql_arr},
+                x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS sum_len,
+           list_min({sql_arr}) AS min_tok
+    FROM documents
+    """
+    assert_matches_oracle(sdf, duck, sql)
