@@ -228,6 +228,8 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "corpus_release_end2end",
         "scan_file_zonemap_skipping_audit", "merge_schema_evolution",
         "join_skew_aqe_adaptive",
+        "scan_time_travel_versions", "scan_incremental_since_snapshot",
+        "vacuum_orphan_files_safe", "bucket_pruned_point_lookup",
     }
 )
 

@@ -555,3 +555,24 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     from reports_generator_spark.session import tune
 
     tune(spark)
+
+
+def test_bucket_point_lookup_prunes_buckets(spark):
+    """The point lookup on the bucket key must read 1 of 8 buckets."""
+    df = registry.QUERIES["bucket_pruned_point_lookup"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+
+
+def test_aqe_coalesces_small_shuffles(spark):
+    """Session-wide AQE partition coalescing must actually fire: the
+    flagship aggregation's 32-partition shuffle collapses to a few
+    post-shuffle partitions at fixture sizes (the runtime behavior the
+    adaptive configs in session.RUNTIME_CONF exist for)."""
+    from reports_generator_spark.session import tune
+
+    tune(spark)  # restore defaults in case a skew/threshold test ran first
+    df = registry.QUERIES["agg_hash_group"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in plan, plan
