@@ -230,6 +230,7 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "join_skew_aqe_adaptive",
         "scan_time_travel_versions", "scan_incremental_since_snapshot",
         "vacuum_orphan_files_safe", "bucket_pruned_point_lookup",
+        "scan_partition_layout_evolution",
     }
 )
 

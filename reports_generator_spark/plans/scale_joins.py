@@ -1134,3 +1134,77 @@ def bucket_pruned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Partition-spec evolution: the table's partitioning CHANGED mid-life
+# (Iceberg partition evolution; in plain parquet lakes, a re-layout cut
+# over at a date). Old batches stay in the old layout — rewriting 100 TB
+# of history to the new spec is exactly what evolution exists to avoid.
+# --------------------------------------------------------------------------
+@query(
+    "scan_partition_layout_evolution",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS checksum
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_partition_layout_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read across a partition-spec change: the table's first half
+    (o_orderkey%2=1) was written partitioned by o_orderpriority; the
+    second half (%2=0) by o_orderstatus (the spec the team moved to).
+    A query filtering on the OLD spec's column gets directory pruning
+    on the old batches (PartitionFilters) and ordinary data filtering
+    + footer stats on the new ones; the union is seamless because each
+    batch is read under ITS OWN layout and the partition column is
+    recovered from the directory structure. This is the metadata-level
+    operation 100 TB tables need when query patterns shift — evolution
+    instead of rewrite. Oracle recomputes the filtered rollup from raw
+    orders, proving the two-layout union loses and duplicates
+    nothing."""
+    import tempfile
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"rg_pevo_{tag}")
+    old_p, new_p = os.path.join(base, "spec1"), os.path.join(base, "spec2")
+    if not (
+        os.path.exists(os.path.join(old_p, "_SUCCESS"))
+        and os.path.exists(os.path.join(new_p, "_SUCCESS"))
+    ):
+        shutil.rmtree(base, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_orderstatus"
+        )
+        o.filter(F.col("o_orderkey") % 2 == 1).write.partitionBy(
+            "o_orderpriority"
+        ).parquet(old_p)
+        o.filter(F.col("o_orderkey") % 2 == 0).write.partitionBy(
+            "o_orderstatus"
+        ).parquet(new_p)
+
+    wanted = ["1-URGENT", "2-HIGH"]
+    cols = ["o_orderkey", "o_orderpriority"]
+    old_read = (
+        spark.read.parquet(old_p)
+        .filter(F.col("o_orderpriority").isin(wanted))  # directory pruning
+        .select(*cols)
+    )
+    new_read = (
+        spark.read.parquet(new_p)
+        .filter(F.col("o_orderpriority").isin(wanted))  # data filter
+        .select(*cols)
+    )
+    return (
+        old_read.unionByName(new_read)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("checksum"),
+        )
+    )

@@ -233,10 +233,11 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # counts × sketch estimates) into the audit row — the
         # 1-row-stats broadcast-cross class
         "agg_hll_intersect_estimate",
-        # round-8 member of the 1-row-stats broadcast-cross class: the
+        # round-8 members of the 1-row-stats broadcast-cross class: the
         # zone-map audit folds its three 1-row frames (file totals ×
-        # overlap stats × selected rows) into the audit row
-        "scan_file_zonemap_skipping_audit",
+        # overlap stats × selected rows) into the audit row, the
+        # incremental scan its two (incremental slice × full table)
+        "scan_file_zonemap_skipping_audit", "scan_incremental_since_snapshot",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
