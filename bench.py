@@ -54,11 +54,13 @@ def main() -> None:
         # (zorder_pruned_scan) are write-once ingest costs
         from reports_generator_spark.plans.scale_joins import (
             ensure_dpp_tables,
+            ensure_zonemap_table,
             ensure_zorder_table,
         )
 
         ensure_dpp_tables(spark, sf_dir)
         ensure_zorder_table(spark, sf_dir)
+        ensure_zonemap_table(spark, sf_dir)
         return spark
 
     spark = fresh_session()
