@@ -231,6 +231,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "scan_time_travel_versions", "scan_incremental_since_snapshot",
         "vacuum_orphan_files_safe", "bucket_pruned_point_lookup",
         "scan_partition_layout_evolution",
+        # HLL oracles strengthened (DuckDB derives the band from its own sketch)
+        "sketch_rollup_hll", "agg_hll_intersect_estimate",
+        "stream_incremental_hll",
     }
 )
 

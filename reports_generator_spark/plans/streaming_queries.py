@@ -185,7 +185,8 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(DISTINCT user_id) AS n_users_exact,
-           TRUE AS estimate_within_5pct
+           (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+              <= 0.05 * count(DISTINCT user_id)) AS estimate_within_5pct
     FROM events
     GROUP BY event_type
     """,
