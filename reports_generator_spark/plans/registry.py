@@ -122,6 +122,7 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "scan_schema_evolution", "scan_xml_roundtrip", "similarity_topk_ivf",
         "similarity_topk_lsh", "sql_parameterized", "sql_pipe_syntax",
         "stream_foreachbatch_upsert", "stream_incremental_hll",
+        "udtf_table_argument", "stream_watermark_late_drop",
         "stream_report_ingest", "table_diff_audit", "text_entropy_quality",
         "time_bucket_ohlc", "udf_map_in_arrow", "window_ewma",
         "window_ratio_to_report", "zorder_cluster",
@@ -234,6 +235,7 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # HLL oracles strengthened (DuckDB derives the band from its own sketch)
         "sketch_rollup_hll", "agg_hll_intersect_estimate",
         "stream_incremental_hll",
+        "udtf_table_argument", "stream_watermark_late_drop",
     }
 )
 

@@ -386,3 +386,30 @@ def stream_incremental_availablenow(spark: SparkSession, sf_dir: str) -> DataFra
         F.lit(n_run2).cast("bigint").alias("run2_input_rows"),
         F.lit(n_run2 == n_batch2).alias("incremental_ok"),
     )
+
+
+@query(
+    "stream_watermark_late_drop",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
+           count(*) AS n_events
+    FROM events, mx
+    WHERE (event_id % 3 IN (0, 1) OR ts = m)
+      AND date_trunc('day', ts) + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
+def stream_watermark_late_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP across real micro-batches — see
+    streaming/windowed.py::stream_watermark_late_drop for the measured
+    eviction mechanics (slice A carries the global max so every
+    watermark boundary collapses to W = max(ts) − 1h; slice C arrives
+    after eviction and is dropped). The oracle states the surviving
+    set exactly: A∪B rows in windows whose end ≤ W. The actual drop
+    count (numRowsDroppedByWatermark > 0) is asserted from the query
+    progress in tests/test_stateful_stream.py."""
+    from ..streaming.windowed import stream_watermark_late_drop
+
+    out, _progress = stream_watermark_late_drop(spark, sf_dir)
+    return out

@@ -245,3 +245,63 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         _group_zscore,
         "o_custkey bigint, o_orderkey bigint, n_orders bigint, zscore double",
     )
+
+
+@query(
+    "udtf_table_argument",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF over a TABLE argument with PARTITION BY (SQL:2016
+    polymorphic table function, Spark 4 syntax) — the last member of
+    the Python escape-hatch family: unlike a lateral UDTF
+    (udtf_expand: one row in, rows out) the function receives a WHOLE
+    PARTITION as a row stream (fresh instance per partition, eval per
+    row, terminate emits), which is the shape for custom per-group
+    stream algorithms that applyInPandas can't express incrementally
+    (it materializes the group; a UDTF can keep O(1) state over an
+    arbitrarily large partition). The kernel here is a per-status
+    rollup so the oracle recomputes it as plain GROUP BY — the key
+    attests the partition-routing and Arrow-transfer semantics
+    (useArrow=True: ArrowEvalPythonUDTF, not row-pickled
+    BatchEvalPythonUDTF — plan-asserted in tests/test_plan_shapes.py).
+    Scale: one hash shuffle on the PARTITION BY key; state per
+    partition is O(1)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="status string, n_orders bigint, sum_cents bigint",
+        useArrow=True,
+    )
+    class PartitionRollup:
+        def __init__(self):
+            self.key = None
+            self.n = 0
+            self.cents = 0
+
+        def eval(self, row):
+            self.key = row["o_orderstatus"]
+            self.n += 1
+            self.cents += row["cents"]
+
+        def terminate(self):
+            if self.key is not None:
+                yield (self.key, self.n, self.cents)
+
+    spark.udtf.register("rg_partition_rollup", PartitionRollup)
+    o = load_table(spark, sf_dir, "orders")
+    o.select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    ).createOrReplaceTempView("rg_udtf_src")
+    return spark.sql(
+        "SELECT * FROM rg_partition_rollup"
+        "(TABLE(rg_udtf_src) PARTITION BY o_orderstatus)"
+    )

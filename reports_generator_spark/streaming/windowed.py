@@ -213,3 +213,104 @@ def stream_sliding_window_agg(
         "n_events",
         "total_value",
     )
+
+
+def stream_watermark_late_drop(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list]:
+    """Watermark LATE-DATA DROP, actually exercised across micro-batches
+    (the single-batch availableNow keys never evict, so nothing is ever
+    late in them): three event files process as three batches
+    (maxFilesPerTrigger=1, mtime-ordered), the first carries the
+    GLOBAL-MAX timestamp so every watermark boundary collapses to ONE
+    value W = max(ts) − 1h, and the measured mechanics are:
+
+    - batch 0 (slice A, has the max): watermark still unset — all
+      windows enter state;
+    - batch 1 (slice B): arrives BEFORE eviction, merges into state
+      (late-but-not-yet-evicted rows are NOT dropped — measured, and
+      exactly the documented update semantics); end-of-batch eviction
+      then emits every window with end ≤ W;
+    - batch 2 (slice C): its rows target EVICTED windows → dropped
+      (numRowsDroppedByWatermark > 0 — the behavioral test asserts the
+      actual drop count).
+
+    Deterministic output: per-day windows with end ≤ W counting A∪B
+    rows only — the DuckDB oracle states exactly that slice. Returns
+    (result_df, query_progress) so tests can assert the drop metrics.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    s = _stream_session(spark)
+    ev = _stream_events_batchdf(s, sf_dir)
+    mx = ev.agg(F.max("ts")).first()[0]  # scalar-only collect
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"rg_wmdrop_{tag}")
+    src = os.path.join(base, "src")
+    if not os.path.exists(os.path.join(base, "_READY")):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(src)
+        slices = {
+            "batch-a": (F.col("event_id") % 3 == 0) | (F.col("ts") == mx),
+            "batch-b": (F.col("event_id") % 3 == 1) & (F.col("ts") != mx),
+            "batch-c": (F.col("event_id") % 3 == 2) & (F.col("ts") != mx),
+        }
+        t = 1_600_000_000
+        for i, (name, pred) in enumerate(slices.items()):
+            tmp = os.path.join(base, f"__{name}")
+            # one file per batch: the batch boundary IS the fixture
+            ev.filter(pred).coalesce(1).write.parquet(tmp)
+            f = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+            dst = os.path.join(src, f"{name}.parquet")
+            shutil.copy(os.path.join(tmp, f), dst)
+            os.utime(dst, (t + 100 * i, t + 100 * i))  # mtime = batch order
+            shutil.rmtree(tmp)
+        open(os.path.join(base, "_READY"), "w").close()
+
+    schema = s.read.parquet(src).schema
+    stream = (
+        s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    if isinstance(stream.schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"rg_wmdrop_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = list(q.recentProgress)
+    out = s.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("window_start"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+    return out, progress
+
+
+def _stream_events_batchdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read of events with the same ts normalization the
+    streaming source applies (shared by the late-drop fixture
+    builder)."""
+    from ..sources.tables import normalize_nanos_ts
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = normalize_nanos_ts(raw)
+    if isinstance(out.schema["ts"].dataType, TimestampNTZType):
+        out = out.withColumn("ts", F.col("ts").cast("timestamp"))
+    return out.select("event_id", "user_id", "ts")

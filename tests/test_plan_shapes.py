@@ -577,3 +577,11 @@ def test_aqe_coalesces_small_shuffles(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead coalesced" in plan, plan
+
+
+def test_udtf_table_argument_is_arrow(spark):
+    """The TABLE-argument UDTF must cross via Arrow, not row pickling."""
+    df = registry.QUERIES["udtf_table_argument"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPythonUDTF" not in plan

@@ -194,3 +194,22 @@ def test_transform_with_state_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_watermark_late_drop_actually_drops(spark):
+    """The late-drop key's semantics depend on slice C being dropped by
+    the watermark — assert the drop REALLY happened (state metrics),
+    not just that the surviving counts match the oracle."""
+    from reports_generator_spark.streaming.windowed import (
+        stream_watermark_late_drop,
+    )
+
+    out, progress = stream_watermark_late_drop(spark, SF_DIR)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped > 0, [p.get("stateOperators") for p in progress]
+    # batches really were separate: 3 input files -> >= 3 progress entries
+    assert len(progress) >= 3
