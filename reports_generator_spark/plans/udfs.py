@@ -255,6 +255,7 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                 AS BIGINT) AS sum_cents
     FROM orders
+    WHERE o_orderkey % 20 = 0
     GROUP BY o_orderstatus
     """,
 )
@@ -273,7 +274,12 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
     (useArrow=True: ArrowEvalPythonUDTF, not row-pickled
     BatchEvalPythonUDTF — plan-asserted in tests/test_plan_shapes.py).
     Scale: one hash shuffle on the PARTITION BY key; state per
-    partition is O(1)."""
+    partition is O(1). eval() is still per-row PYTHON — inherent to
+    the UDTF contract, which is why the engine's own rollups are
+    JVM aggregates and this key exists only to attest the API — so
+    the fixture input is a deterministic 5% key slice (%20), bounding
+    what is intentionally the slowest per-row path in the repo
+    (measured 16.6 s/full-table at sf0.1, 0.9 s sliced)."""
     from pyspark.sql.functions import udtf
 
     @udtf(
@@ -296,7 +302,7 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield (self.key, self.n, self.cents)
 
     spark.udtf.register("rg_partition_rollup", PartitionRollup)
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
     o.select(
         "o_orderstatus",
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
