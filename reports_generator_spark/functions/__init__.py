@@ -6,6 +6,7 @@ from .text import (
     with_token_array,
     en_stopword_ratio,
     fingerprint_col,
+    quality_score_col,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "with_token_array",
     "en_stopword_ratio",
     "fingerprint_col",
+    "quality_score_col",
 ]

@@ -91,25 +91,58 @@ def exploded_shingles(
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
         spark.sparkContext.defaultParallelism,
     )
-    tok = df.repartition(par, F.col(id_col)).select(
-        F.col(id_col),
-        F.posexplode(tokens_col(F.col(text_col))).alias("__pos", "__tok"),
+    # __uid distinguishes physical ROWS that share an id_col value: the
+    # window below partitions by id (so downstream id-keyed consumers
+    # reuse the exchange), ordering by (__uid, __pos) — without the uid
+    # in the sort AND the row-boundary guard, two rows with the same id
+    # would interleave tokens at colliding positions and lead() would
+    # emit blended garbage shingles. Under unique ids (every current
+    # call site) this is behavior-neutral; with duplicates it matches
+    # the reference HOF spelling's per-row shingle multiset.
+    tok = (
+        df.repartition(par, F.col(id_col))
+        .withColumn("__uid", F.monotonically_increasing_id())
+        .select(
+            F.col(id_col),
+            F.col("__uid"),
+            F.posexplode(tokens_col(F.col(text_col))).alias("__pos", "__tok"),
+        )
     )
     if k == 1:
         return tok.select(F.col(id_col), F.col("__tok").alias(out))
-    w = Window.partitionBy(id_col).orderBy("__pos")
+    w = Window.partitionBy(id_col).orderBy("__uid", "__pos")
     parts = [F.col("__tok")] + [F.lead("__tok", i).over(w) for i in range(1, k)]
     return (
         tok.select(
             F.col(id_col),
+            F.col("__uid"),
             F.concat_ws(" ", *parts).alias(out),
-            # guard = the furthest lead; NULL marks positions past
-            # n-k+1 (concat_ws would silently skip NULLs and emit a
-            # short shingle there — filter them out instead)
-            F.lead("__tok", k - 1).over(w).alias("__guard"),
+            # row-boundary guard: the (k-1)-ahead token must exist AND
+            # belong to the SAME physical row — NULL marks positions
+            # past n-k+1 of the LAST row, a uid change marks the seam
+            # between rows (concat_ws would silently skip NULLs / blend
+            # across the seam otherwise)
+            F.lead("__uid", k - 1).over(w).alias("__guard_uid"),
         )
-        .filter(F.col("__guard").isNotNull())
-        .drop("__guard")
+        .filter(F.col("__guard_uid") == F.col("__uid"))
+        .drop("__guard_uid", "__uid")
+    )
+
+
+def quality_score_col(text: Column | str, toks: Column) -> Column:
+    """Composite pretraining quality score: 0.4·length-score +
+    0.4·lexical-diversity + 0.2·stopword-density. THE single Spark-side
+    spelling — text_quality_score, corpus_clean_pipeline, and the
+    composed release pipeline all call this, and the SQL twin lives in
+    plans/text.py::quality_sql, so the q >= threshold boundary cannot
+    drift between copies (it previously existed in three hand-kept
+    copies per engine)."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.greatest(F.size(toks), F.lit(1))
+    return (
+        0.4 * F.least(F.length(t) / 200.0, F.lit(1.0))
+        + 0.4 * (F.size(F.array_distinct(toks)) / n)
+        + 0.2 * (F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS))) / n)
     )
 
 

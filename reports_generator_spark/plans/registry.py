@@ -122,7 +122,6 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "scan_schema_evolution", "scan_xml_roundtrip", "similarity_topk_ivf",
         "similarity_topk_lsh", "sql_parameterized", "sql_pipe_syntax",
         "stream_foreachbatch_upsert", "stream_incremental_hll",
-        "udtf_table_argument", "stream_watermark_late_drop",
         "stream_report_ingest", "table_diff_audit", "text_entropy_quality",
         "time_bucket_ohlc", "udf_map_in_arrow", "window_ewma",
         "window_ratio_to_report", "zorder_cluster",
@@ -235,7 +234,12 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # HLL oracles strengthened (DuckDB derives the band from its own sketch)
         "sketch_rollup_hll", "agg_hll_intersect_estimate",
         "stream_incremental_hll",
+        # new round-8 keys (API surface + streaming semantics)
         "udtf_table_argument", "stream_watermark_late_drop",
+        # oracle text changed this round (explicit floor() replacing the
+        # rounding-divergent BIGINT cast) — the r7 green was earned under
+        # the OLD oracle, so the key re-enters the window
+        "delete_copy_on_write",
     }
 )
 

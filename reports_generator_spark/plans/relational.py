@@ -1110,7 +1110,9 @@ def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
            count(DISTINCT o_orderpriority),
            CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR),
-           TRUE
+           (abs(approx_count_distinct(o_orderpriority)
+                - count(DISTINCT o_orderpriority))
+              <= 0.05 * count(DISTINCT o_orderpriority))
     FROM orders
     """,
 )
@@ -1121,9 +1123,10 @@ def data_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant's five countDistinct each expand the aggregate into a
     per-key shuffle of the whole table. The exact profile
     (`data_profile`) remains the audit mode; this key carries the
-    established tolerance attestation — the exact distinct count plus
-    a boolean asserting the sketch landed within 5% (rsd 0.01), which
-    the oracle checks as a TRUE constant."""
+    tolerance attestation — the exact distinct count plus a boolean
+    asserting the sketch landed within 5% (rsd 0.01), which the oracle
+    derives from ITS OWN approx_count_distinct per column (each engine
+    independently certifies its sketch's error bound)."""
     o = _t(spark, sf_dir, "orders")
     aggs = []
     for c in _PROFILE_COLS:

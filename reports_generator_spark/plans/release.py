@@ -33,15 +33,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import (
-    EN_STOPWORDS,
     exploded_shingles,
     fingerprint_col,
+    quality_score_col,
     tokens_col,
 )
 from ..sources import load_table
 from .dedup import _MAX_SHINGLE_DF
 from .registry import query
-from .text import DECON_K, EVAL_MOD, MIX_RATES, _MIX_VALUES_SQL, _SQL_TOKS, _STOP_SQL
+from .text import (
+    DECON_K,
+    EVAL_MOD,
+    MIX_RATES,
+    _MIX_VALUES_SQL,
+    _SQL_TOKS,
+    quality_sql,
+)
 
 #: release knobs — shared by the Spark plan and the oracle SQL
 _REL_Q_MIN = 0.55
@@ -80,11 +87,7 @@ _RELEASE_ORACLE = f"""
     ),
     scored AS (
       SELECT doc_id, lang, toks, CAST(len(toks) AS BIGINT) AS n_tok,
-             0.4 * least(length(text) / 200.0, 1.0)
-             + 0.4 * (len(list_distinct(toks)) * 1.0
-                      / greatest(len(toks), 1))
-             + 0.2 * (len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0
-                      / greatest(len(toks), 1)) AS q,
+             {quality_sql("toks")} AS q,
              md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
       FROM t
     ),
@@ -228,12 +231,7 @@ def corpus_release_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text",
         F.explode(F.array(tokens_col(F.col("text")))).alias("toks"),
     )
-    n = F.greatest(F.size("toks"), F.lit(1))
-    q = (
-        0.4 * F.least(F.length("text") / 200.0, F.lit(1.0))
-        + 0.4 * (F.size(F.array_distinct(F.col("toks"))) / n)
-        + 0.2 * (F.size(F.filter(F.col("toks"), lambda x: x.isin(*EN_STOPWORDS))) / n)
-    )
+    q = quality_score_col("text", F.col("toks"))
     scored = bar.select(
         "doc_id", "lang", "text",
         F.size("toks").cast("bigint").alias("n_tok"),
@@ -298,6 +296,7 @@ def corpus_release_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         decon.join(F.broadcast(rates), "lang")
         .filter(key % 1000 < F.col("keep_permille"))
         .select("doc_id", "n_tok")
+        .observe("release_mixed", F.count(F.lit(1)).alias("n_docs"))
         .localCheckpoint()
     )
 

@@ -942,7 +942,10 @@ def _ensure_versioned_table(spark: SparkSession, sf_dir: str, name: str) -> str:
         .encode()
     ).hexdigest()[:10]
     base = os.path.join(tempfile.gettempdir(), f"rg_tt_{tag}")
-    if os.path.exists(os.path.join(base, "manifest-v3.txt")):
+    # readiness marker is written LAST (after the orphan and `current`) —
+    # probing an intermediate file like manifest-v3.txt would let a
+    # crash mid-build cache a half-built fixture forever
+    if os.path.exists(os.path.join(base, "_READY")):
         return base
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(os.path.join(base, "data"))
@@ -966,6 +969,7 @@ def _ensure_versioned_table(spark: SparkSession, sf_dir: str, name: str) -> str:
     with open(os.path.join(base, "current.tmp"), "w") as f:
         f.write("manifest-v3.txt")
     os.replace(os.path.join(base, "current.tmp"), os.path.join(base, "current"))
+    open(os.path.join(base, "_READY"), "w").close()
     return base
 
 
@@ -1084,6 +1088,15 @@ def vacuum_orphan_files_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for v in (1, 2, 3):
         with open(os.path.join(base, f"manifest-v{v}.txt")) as f:
             referenced.update(f.read().split())
+    # idempotent within a session: a PREVIOUS invocation vacuumed the
+    # fixture's orphan, so re-stage it (a dying writer leaving debris is
+    # the op's precondition, not a one-shot accident) — without this a
+    # retry/timing re-run would bake n_orphans_removed=0 into the row
+    # and spuriously fail the oracle's pinned 1
+    if not os.path.exists(os.path.join(data, "batch-orphan")):
+        load_table(spark, sf_dir, "orders").select("o_orderkey").filter(
+            F.col("o_orderkey") % 3 == 1
+        ).write.parquet(os.path.join(data, "batch-orphan"))
     orphans = [d for d in sorted(os.listdir(data)) if d not in referenced]
     for d in orphans:
         shutil.rmtree(os.path.join(data, d))

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions import (
     EN_STOPWORDS,
+    quality_score_col,
     en_stopword_ratio,
     exploded_shingles,
     fingerprint_col,
@@ -139,6 +140,19 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
 
+def quality_sql(toks: str, text: str = "text") -> str:
+    """DuckDB twin of functions/text.py::quality_score_col — one SQL
+    spelling of the composite quality score, parameterized by the toks
+    expression so CTE-staged and inline callers share it."""
+    return (
+        f"(0.4 * least(length({text}) / 200.0, 1.0)"
+        f" + 0.4 * (len(list_distinct({toks})) * 1.0"
+        f"          / greatest(len({toks}), 1))"
+        f" + 0.2 * (len(list_filter({toks}, x -> x IN ({_STOP_SQL}))) * 1.0"
+        f"          / greatest(len({toks}), 1)))"
+    )
+
+
 @query(
     "text_lang_id",
     oracle=f"""
@@ -175,11 +189,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / greatest(len({_SQL_TOKS}), 1) * 10000 + 0.5) / 10000    AS diversity,
            floor(len(list_filter({_SQL_TOKS}, x -> x IN ({_STOP_SQL}))) * 1.0
                  / greatest(len({_SQL_TOKS}), 1) * 10000 + 0.5) / 10000    AS stopword_ratio,
-           floor((0.4 * least(length(text) / 200.0, 1.0)
-               + 0.4 * (len(list_distinct({_SQL_TOKS})) * 1.0
-                        / greatest(len({_SQL_TOKS}), 1))
-               + 0.2 * (len(list_filter({_SQL_TOKS}, x -> x IN ({_STOP_SQL}))) * 1.0
-                        / greatest(len({_SQL_TOKS}), 1))) * 10000 + 0.5) / 10000 AS quality
+           floor({quality_sql(_SQL_TOKS)} * 10000 + 0.5) / 10000 AS quality
     FROM documents
     """,
 )
@@ -192,7 +202,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     len_score = F.least(F.length("text") / 200.0, F.lit(1.0))
     diversity = F.size(F.array_distinct(toks)) / n
     stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS))) / n
-    quality = 0.4 * len_score + 0.4 * diversity + 0.2 * stop_ratio
+    quality = quality_score_col("text", toks)
     return d.select(
         "doc_id",
         dround(len_score, 4).alias("len_score"),
@@ -774,11 +784,7 @@ def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, source,
-             0.4 * least(length(text) / 200.0, 1.0)
-             + 0.4 * (len(list_distinct({_SQL_TOKS})) * 1.0
-                      / greatest(len({_SQL_TOKS}), 1))
-             + 0.2 * (len(list_filter({_SQL_TOKS}, x -> x IN ({_STOP_SQL}))) * 1.0
-                      / greatest(len({_SQL_TOKS}), 1)) AS q,
+             {quality_sql(_SQL_TOKS)} AS q,
              md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fp
       FROM documents
     ),
@@ -801,12 +807,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = tokens_col("text")
-    n = F.greatest(F.size(toks), F.lit(1))
-    q = (
-        0.4 * F.least(F.length("text") / 200.0, F.lit(1.0))
-        + 0.4 * (F.size(F.array_distinct(toks)) / n)
-        + 0.2 * (F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS))) / n)
-    )
+    q = quality_score_col("text", toks)
     scored = d.select(
         "doc_id", "source", q.alias("q"), fingerprint_col(toks).alias("fp")
     ).filter(F.col("q") >= 0.55)

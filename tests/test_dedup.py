@@ -236,6 +236,11 @@ def test_exploded_shingles_matches_hof_spelling(spark):
         (4, ""),
         (5, "  spaced   out   tokens  "),
         (6, "a b c d e"),
+        # duplicate id: two PHYSICAL ROWS share doc_id — the window
+        # spelling must emit each row's own shingles (the __uid row-
+        # boundary guard), never blend tokens across the seam
+        (7, "p q r s"),
+        (7, "u v w"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     for k in (1, 2, 3, 5):

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pytest
 
-SF_DIR = "/root/testdata/sf0.001"
+from conftest import SF_DIR
 
 
 @pytest.fixture(scope="module")

@@ -131,3 +131,16 @@ def test_dbscan_planted_cluster_and_outlier(spark):
         }
         assert core == set(cluster)
         assert outlier not in core
+
+
+def test_vacuum_idempotent_within_session(spark):
+    """A retry/timing re-run of the vacuum key must find (and remove)
+    a freshly staged orphan, not bake 0 into the attested row."""
+    from conftest import SF_DIR
+
+    from reports_generator_spark.plans import registry
+
+    registry.load_all()
+    for _ in range(2):
+        row = registry.QUERIES["vacuum_orphan_files_safe"](spark, SF_DIR).first()
+        assert row["n_orphans_removed"] == 1
