@@ -240,6 +240,8 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # rounding-divergent BIGINT cast) — the r7 green was earned under
         # the OLD oracle, so the key re-enters the window
         "delete_copy_on_write",
+        # footer-stats aggregate pushdown (V2 parquet reader)
+        "agg_pushdown_parquet_stats",
     }
 )
 

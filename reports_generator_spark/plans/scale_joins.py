@@ -1221,3 +1221,47 @@ def scan_partition_layout_evolution(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum("o_orderkey").cast("bigint").alias("checksum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Parquet aggregate pushdown: MIN/MAX/COUNT answered from footer
+# statistics by the V2 reader — zero data pages decoded
+# --------------------------------------------------------------------------
+@query(
+    "agg_pushdown_parquet_stats",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(min(o_custkey) AS BIGINT) AS min_cust,
+           CAST(max(o_custkey) AS BIGINT) AS max_cust
+    FROM orders
+    """,
+)
+def agg_pushdown_parquet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown INTO the parquet scan (DataSource V2 +
+    spark.sql.parquet.aggregatePushdown): COUNT/MIN/MAX are answered
+    from row-group footer statistics — the scan's ReadSchema becomes
+    the aggregate values themselves and zero data pages are decoded
+    (``PushedAggregation: [COUNT(*), MIN(...), ...]`` plan-asserted in
+    tests/test_plan_shapes.py). At 100 TB this turns the row-count /
+    key-range probes every orchestrator runs before planning a backfill
+    from a full scan into a footer-metadata read — the same class of
+    win as the zone-map audit, applied to aggregation instead of
+    filtering. Parquet must route through the V2 reader
+    (useV1SourceList minus parquet — scoped to this key; tune()
+    restores the defaults, carried in session.RUNTIME_CONF, before the
+    next key). Oracle recomputes the exact aggregates from raw rows,
+    proving stats-answered == data-answered."""
+    spark.conf.set(
+        "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text"
+    )
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+        F.min("o_custkey").cast("bigint").alias("min_cust"),
+        F.max("o_custkey").cast("bigint").alias("max_cust"),
+    )

@@ -36,6 +36,11 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5.0",
     "spark.sql.adaptive.forceOptimizeSkewedJoin": "false",
     "spark.sql.autoBroadcastJoinThreshold": "10MB",
+    # agg_pushdown_parquet_stats routes parquet through the V2 reader
+    # and enables footer-stats aggregate pushdown for ITS scan only —
+    # these defaults restore the V1 path for every other key
+    "spark.sql.sources.useV1SourceList": "avro,csv,json,kafka,orc,parquet,text",
+    "spark.sql.parquet.aggregatePushdown": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # fixture `events.parquet` carries TIMESTAMP(NANOS); Spark reads
     # nanos as raw long and the events loader rescales to timestamp

@@ -585,3 +585,23 @@ def test_udtf_table_argument_is_arrow(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPythonUDTF" in plan
     assert "BatchEvalPythonUDTF" not in plan
+
+
+def test_parquet_aggregate_pushdown_reaches_footer_stats(spark):
+    """COUNT/MIN/MAX must be answered by the scan itself (footer
+    statistics), not by aggregating decoded rows."""
+    df = registry.QUERIES["agg_pushdown_parquet_stats"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation: [COUNT(*)" in plan, plan
+    from reports_generator_spark.session import tune
+
+    tune(spark)  # restore the V1 source list for subsequent tests
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """rank()<=k per group must trigger WindowGroupLimit (per-partition
+    top-k maintained during the sort, not a full window over every
+    row — the Spark 3.5+ rank-limit pushdown)."""
+    df = registry.QUERIES["sql_qualify_topn"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "WindowGroupLimit" in plan, plan
