@@ -197,51 +197,32 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "udf_grouped_map_zscore", "scan_csv_gzip_roundtrip",
         "analyze_table_cbo_stats", "stream_incremental_availablenow",
         # (dedup_minhash_recall_audit, dedup_incremental_minhash,
-        # graph_bfs_reachability re-enter the round-8 window below:
-        # their shingle stage changed spelling this round)
+        # graph_bfs_reachability re-entered the round-8 window:
+        # their shingle stage changed spelling that round)
+        # --- round 8 green (CORRECTNESS_r08.json: 50/50 hash-match) ---
+        # 35 round-8 window keys (re-attests already listed above keep
+        # their earlier line; the 15 first-time greens are listed here)
+        "dedup_incremental_minhash", "graph_bfs_reachability",
+        "udtf_table_argument", "stream_watermark_late_drop",
+        "dedup_minhash_recall_audit", "scan_file_zonemap_skipping_audit",
+        "merge_schema_evolution", "join_skew_aqe_adaptive",
+        "scan_time_travel_versions", "scan_incremental_since_snapshot",
+        "vacuum_orphan_files_safe", "bucket_pruned_point_lookup",
+        "scan_partition_layout_evolution", "agg_pushdown_parquet_stats",
+        "corpus_release_end2end",
     }
 )
 
 
 #: Keys whose ATTESTATION must (re-)run through the driver's bounded
-#: 50-key window in the CURRENT round (round 8), so they sort FIRST:
-#:  - the 15 keys whose shared shingle stage changed spelling this round
-#:    (HOF transform() lambda → codegen'd lead() windows, VERDICT r7
-#:    item #1 — values identical by construction, re-attested anyway);
-#:  - keys whose ORACLE was strengthened (TRUE-literal attestation
-#:    booleans now independently recomputed by DuckDB, VERDICT item #3);
-#:  - every NEW round-8 key.
+#: 50-key window in the CURRENT round (round 9), so they sort FIRST:
+#: every NEW round-9 key, plus any key whose oracle TEXT changed this
+#: round (the r8 rule: an oracle edit invalidates the earlier green).
 _ADDED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # shingle-stage respelling (functions/text.py exploded_shingles)
-        "dedup_ngram_jaccard", "dedup_containment", "dedup_near_minhash",
-        "dedup_minhash_portable", "dedup_incremental_minhash",
-        "dedup_cluster_cc", "dedup_corpus_end2end", "graph_pagerank",
-        "graph_triangle_count", "entity_resolution_blocked",
-        "graph_label_propagation", "graph_bfs_reachability",
-        "decontaminate_ngram", "ngram_topk", "dedup_minhash_recall_audit",
-        # oracle strengthened: DuckDB now derives the attestation boolean
-        # from its OWN sketch instead of asserting a TRUE literal
-        "agg_approx_distinct", "data_profile_approx",
-        "agg_approx_percentile", "feature_quantile_bin_approx",
-        # new round-8 keys
-        "corpus_release_end2end",
-        "scan_file_zonemap_skipping_audit", "merge_schema_evolution",
-        "join_skew_aqe_adaptive",
-        "scan_time_travel_versions", "scan_incremental_since_snapshot",
-        "vacuum_orphan_files_safe", "bucket_pruned_point_lookup",
-        "scan_partition_layout_evolution",
-        # HLL oracles strengthened (DuckDB derives the band from its own sketch)
-        "sketch_rollup_hll", "agg_hll_intersect_estimate",
-        "stream_incremental_hll",
-        # new round-8 keys (API surface + streaming semantics)
-        "udtf_table_argument", "stream_watermark_late_drop",
-        # oracle text changed this round (explicit floor() replacing the
-        # rounding-divergent BIGINT cast) — the r7 green was earned under
-        # the OLD oracle, so the key re-enters the window
-        "delete_copy_on_write",
-        # footer-stats aggregate pushdown (V2 parquet reader)
-        "agg_pushdown_parquet_stats",
+        # round-9 lakehouse write-path completions (VERDICT r8 items 4-6)
+        "delete_merge_on_read_dv", "manifest_commit_conflict_detect",
+        "table_changes_cdc_versions",
     }
 )
 

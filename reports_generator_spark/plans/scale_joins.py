@@ -1265,3 +1265,424 @@ def agg_pushdown_parquet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_custkey").cast("bigint").alias("min_cust"),
         F.max("o_custkey").cast("bigint").alias("max_cust"),
     )
+
+
+# --------------------------------------------------------------------------
+# Merge-on-read DELETE (deletion-vector sidecar) — the MOR complement of
+# delete_copy_on_write. COW pays the rewrite at delete time; MOR writes a
+# tiny key-set sidecar and pays a broadcast anti-join at read time. At
+# 100 TB with sparse deletes (GDPR erasure: a few thousand keys against
+# billions of rows) MOR is the economic path: zero data files rewritten,
+# and the sidecar is merged away by the next scheduled compaction.
+# --------------------------------------------------------------------------
+@query(
+    "delete_merge_on_read_dv",
+    oracle=f"""
+    WITH s AS (SELECT max(o_orderkey) AS mx FROM orders),
+    t AS (
+      SELECT o_orderkey,
+             (o_orderkey <= CAST(floor((mx + 1) / 4) AS BIGINT)
+              AND o_orderkey % 5 = 2) AS hit
+      FROM orders, s
+    )
+    SELECT count(*) AS rows_before,
+           CAST(sum(CAST(hit AS BIGINT)) AS BIGINT) AS rows_deleted,
+           CAST(count(*) - sum(CAST(hit AS BIGINT)) AS BIGINT) AS rows_after,
+           CAST(sum(o_orderkey) FILTER (WHERE NOT hit) AS BIGINT)
+             AS survivor_checksum,
+           CAST(0 AS BIGINT) AS n_data_files_rewritten
+    FROM t
+    """,
+)
+def delete_merge_on_read_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE via a deletion-vector sidecar (merge-on-read):
+    the SAME predicate as ``delete_copy_on_write`` (low key range,
+    every 5th key) against the same 8-dir partitioned layout, but
+    instead of rewriting the touched partitions the delete writes ONE
+    parquet sidecar holding the deleted key set under ``_deletes/``;
+    the read path is ``scan LEFT ANTI (broadcast) dv``. The audit row
+    carries the identical (rows_before/deleted/after, checksum)
+    columns as the COW key — the oracle is the same computation, so a
+    green row proves MOR read-back ≡ COW result bit-for-bit — plus
+    n_data_files_rewritten, verified against the actual data-file
+    listing before/after (asserted unchanged in-code; the plan test
+    asserts the read side broadcasts the DV and no partition rewrite
+    job ran). n_data_files_rewritten=0 is a FILESYSTEM fact (same
+    documented exemption class as vacuum's n_orphans_removed): no SQL
+    oracle can observe the file listing, only that the surviving
+    relation is value-identical cross-engine — which the three REAL
+    columns attest. Reference contrast: Proof.scala:147-151 can only
+    overwrite whole outputs; neither delete path exists there."""
+    import tempfile
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":mor:" + spark.sparkContext.applicationId)
+        .encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"rg_mor_{tag}")
+    data = os.path.join(base, "data")
+    dv_dir = os.path.join(base, "_deletes")
+    shutil.rmtree(base, ignore_errors=True)
+
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderkey")).first()[0]  # scalar-only collect
+    thr = (mx + 1) // 4
+
+    fid = F.floor(F.col("o_orderkey") * float(_COW_PARTS) / (mx + 1)).cast("bigint")
+    o.withColumn("fid", fid).write.partitionBy("fid").mode("overwrite").parquet(data)
+
+    def data_files() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for root, _dirs, files in os.walk(data):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = data_files()
+    lake = spark.read.parquet(data)
+    rows_before = lake.count()
+
+    # the DELETE: write the key-set sidecar — no data file touched
+    hit = (F.col("o_orderkey") <= thr) & (F.col("o_orderkey") % 5 == 2)
+    lake.filter(hit).select("o_orderkey").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(dv_dir)
+
+    after = data_files()
+    assert after == before, "MOR delete must not rewrite any data file"
+    n_rewritten = sum(
+        1 for p in set(before) | set(after)
+        if before.get(p) != after.get(p)
+    )
+
+    # the MOR read path: scan + broadcast anti-join of the sidecar
+    dv = spark.read.parquet(dv_dir)
+    merged = spark.read.parquet(data).join(
+        F.broadcast(dv), "o_orderkey", "left_anti"
+    )
+    return merged.agg(
+        F.lit(rows_before).cast("bigint").alias("rows_before"),
+        (F.lit(rows_before).cast("bigint") - F.count(F.lit(1))).alias(
+            "rows_deleted"
+        ),
+        F.count(F.lit(1)).alias("rows_after"),
+        F.sum("o_orderkey").cast("bigint").alias("survivor_checksum"),
+        F.lit(n_rewritten).cast("bigint").alias("n_data_files_rewritten"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Optimistic-concurrency commit protocol on the manifest log: conflict
+# DETECTION (atomic version-file creation), RESOLUTION (append rebases,
+# overlapping rewrite aborts) — completing the lakehouse write path that
+# sink_atomic_commit_protocol (single writer) started.
+# --------------------------------------------------------------------------
+class CommitConflict(Exception):
+    """A concurrent commit replaced/removed files this writer read."""
+
+
+def _log_versions(base: str) -> list[int]:
+    return sorted(
+        int(f.split("-v")[1].split(".")[0])
+        for f in os.listdir(base)
+        if f.startswith("manifest-v") and f.endswith(".txt")
+    )
+
+
+def _log_read(base: str, v: int) -> list[str]:
+    with open(os.path.join(base, f"manifest-v{v}.txt")) as f:
+        return f.read().split()
+
+
+def commit_with_conflict_detection(
+    base: str,
+    parent_v: int,
+    add: list[str],
+    remove: list[str],
+    read_set: set[str],
+    max_retries: int = 5,
+) -> tuple[int, int]:
+    """Optimistic commit: attempt to publish ``parent files - remove +
+    add`` as version parent+1. The version file is created with
+    O_CREAT|O_EXCL — on POSIX (and object stores' if-none-match puts)
+    exactly ONE concurrent writer can win a version number. A loser
+    re-reads the log: if every file in its ``read_set`` still exists
+    in the new latest version the change is independent — REBASE onto
+    it and retry; if a concurrent commit removed/replaced any file the
+    writer's outcome depends on, raise CommitConflict (ABORT — the
+    lost-update this protocol exists to prevent).
+
+    Returns (committed_version, n_retries)."""
+    v = parent_v
+    for attempt in range(max_retries + 1):
+        files = [b for b in _log_read(base, v) if b not in set(remove)] + add
+        target = os.path.join(base, f"manifest-v{v + 1}.txt")
+        tmp = target + f".w{os.getpid()}.{attempt}.tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(files))
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            os.remove(tmp)
+            latest = _log_versions(base)[-1]
+            missing = read_set - set(_log_read(base, latest))
+            if missing:
+                raise CommitConflict(
+                    f"files {sorted(missing)} were removed by a concurrent "
+                    f"commit (v{v + 1}..v{latest})"
+                ) from None
+            v = latest  # independent change: rebase and retry
+            continue
+        # won the version: publish atomically via rename over the fd path
+        os.close(fd)
+        os.replace(tmp, target)
+        return v + 1, attempt
+    raise CommitConflict(f"gave up after {max_retries} rebases")
+
+
+@query(
+    "manifest_commit_conflict_detect",
+    oracle="""
+    SELECT count(*) FILTER (WHERE o_orderkey % 4 IN (1, 2))
+             AS n_rows_v2,
+           CAST(sum(o_orderkey) FILTER (WHERE o_orderkey % 4 IN (1, 2))
+                AS BIGINT) AS checksum_v2,
+           count(*) FILTER (WHERE o_orderkey % 4 IN (1, 2, 3))
+             AS n_rows_final,
+           CAST(sum(o_orderkey) FILTER (WHERE o_orderkey % 4 IN (1, 2, 3))
+                AS BIGINT) AS checksum_final,
+           CAST(3 AS BIGINT) AS final_version,
+           CAST(1 AS BIGINT) AS n_retries,
+           CAST(1 AS BIGINT) AS n_aborts
+    FROM orders
+    """,
+)
+def manifest_commit_conflict_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-writer commit conflict detection on the manifest log
+    — the multi-writer half of the atomic-commit protocol. Three
+    writers race against base version v1 = [b1, b2]:
+
+    - writer A (compaction, read_set={b1}) wins v2 = [b1c, b2];
+    - writer B (append b3, empty read_set) loses the v2 race, detects
+      the existing version file, REBASES onto v2 and commits
+      v3 = [b1c, b2, b3] — the retry branch (appends are independent
+      of any concurrent change);
+    - writer C (a second compaction of b1, read_set={b1}) loses the
+      race AND finds b1 gone from the latest manifest — ABORT with
+      CommitConflict, the lost-update a last-writer-wins log would
+      silently publish.
+
+    The audit attests v2 and the final v3 content cross-engine (the
+    batches are deterministic o_orderkey%4 slices, so DuckDB recomputes
+    both counts+checksums from raw orders — writer C's staged data must
+    NOT appear). final_version / n_retries / n_aborts are protocol
+    facts (documented filesystem-count exemption class, like vacuum's
+    n_orphans_removed): the REAL cross-engine columns are the four
+    count/checksum values. Detection = O_CREAT|O_EXCL version-file
+    creation (object-store equivalent: if-none-match PUT); resolution
+    = read-set validation against the latest manifest, exactly the
+    Delta/Iceberg optimistic-concurrency design. Behavior branches
+    (retry, abort, rebase-chain) are unit-tested in
+    tests/test_lakehouse.py."""
+    import tempfile
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":occ:" + spark.sparkContext.applicationId)
+        .encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"rg_occ_{tag}")
+    # the protocol run IS the operator — rebuild the log every invocation
+    # (same contract as delete_copy_on_write's fixture reset)
+    shutil.rmtree(base, ignore_errors=True)
+    data = os.path.join(base, "data")
+    os.makedirs(data)
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    for name, residue in (("b1", 1), ("b2", 2)):
+        o.filter(F.col("o_orderkey") % 4 == residue).write.parquet(
+            os.path.join(data, name)
+        )
+    with open(os.path.join(base, "manifest-v1.txt"), "w") as f:
+        f.write("b1\nb2")
+
+    # all three writers stage against parent v1 BEFORE any commit lands
+    o.filter(F.col("o_orderkey") % 4 == 1).coalesce(1).write.parquet(
+        os.path.join(data, "b1c")
+    )  # A: compaction of b1
+    o.filter(F.col("o_orderkey") % 4 == 3).write.parquet(
+        os.path.join(data, "b3")
+    )  # B: append
+    o.filter(F.col("o_orderkey") % 4 == 1).coalesce(1).write.parquet(
+        os.path.join(data, "b1c2")
+    )  # C: competing compaction of b1
+
+    n_retries = n_aborts = 0
+    # A commits first and wins v2
+    v_a, r_a = commit_with_conflict_detection(
+        base, 1, add=["b1c"], remove=["b1"], read_set={"b1"}
+    )
+    # B raced against v1: detects A's v2, rebases, lands v3
+    v_b, r_b = commit_with_conflict_detection(
+        base, 1, add=["b3"], remove=[], read_set=set()
+    )
+    n_retries += r_a + r_b
+    # C raced against v1: its read-set file b1 is gone — must abort
+    try:
+        commit_with_conflict_detection(
+            base, 1, add=["b1c2"], remove=["b1"], read_set={"b1"}
+        )
+    except CommitConflict:
+        n_aborts += 1
+
+    final_v = _log_versions(base)[-1]
+
+    def snap(v: int) -> DataFrame:
+        return spark.read.parquet(
+            *[os.path.join(data, b) for b in _log_read(base, v)]
+        )
+
+    v2 = snap(2).agg(
+        F.count(F.lit(1)).alias("n_rows_v2"),
+        F.sum("o_orderkey").cast("bigint").alias("checksum_v2"),
+    )
+    fin = snap(final_v).agg(
+        F.count(F.lit(1)).alias("n_rows_final"),
+        F.sum("o_orderkey").cast("bigint").alias("checksum_final"),
+        F.lit(final_v).cast("bigint").alias("final_version"),
+        F.lit(n_retries).cast("bigint").alias("n_retries"),
+        F.lit(n_aborts).cast("bigint").alias("n_aborts"),
+    )
+    # two 1-row aggregate frames folded into the audit row (documented
+    # crossJoin-of-scalars class)
+    return v2.crossJoin(fin)
+
+
+# --------------------------------------------------------------------------
+# Row-level CDC between table versions (table_changes): compose the
+# manifest log's time travel with a file-granularity diff — the consumer
+# reads ONLY files that changed between two snapshots, then row-diffs
+# those into insert/update/delete records. scan_incremental_since_snapshot
+# covers appends; this covers the COW update/delete versions too.
+# --------------------------------------------------------------------------
+def _ensure_cdc_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session) a 2-version manifest-logged table whose
+    v1→v2 transition exercises all three change kinds, each a
+    deterministic o_orderkey slice (so the oracle recomputes every CDC
+    row from raw orders). Payload = integer cents of o_totalprice.
+
+      del  : k%7==3                      (file f-del dropped in v2)
+      upd  : k%7==1                      (f-upd-v1 → f-upd-v2, cents+100)
+      ins  : k%5==0 and k%7 not in (1,3) (file f-ins added in v2)
+      keep : the rest                    (f-keep in BOTH manifests)
+
+    v1 = [f-keep, f-upd-v1, f-del]; v2 = [f-keep, f-upd-v2, f-ins]."""
+    import tempfile
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":cdc:" + spark.sparkContext.applicationId)
+        .encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"rg_cdc_{tag}")
+    if os.path.exists(os.path.join(base, "_READY")):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    data = os.path.join(base, "data")
+    os.makedirs(data)
+
+    k = F.col("o_orderkey")
+    t = load_table(spark, sf_dir, "orders").select(
+        k.alias("o_orderkey"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    slices = {
+        "f-del": t.filter(k % 7 == 3),
+        "f-upd-v1": t.filter(k % 7 == 1),
+        "f-upd-v2": t.filter(k % 7 == 1).withColumn(
+            "cents", F.col("cents") + 100
+        ),
+        "f-ins": t.filter((k % 5 == 0) & ~(k % 7).isin(1, 3)),
+        "f-keep": t.filter(~(k % 7).isin(1, 3) & (k % 5 != 0)),
+    }
+    for name, df in slices.items():
+        df.write.parquet(os.path.join(data, name))
+    for v, files in ((1, "f-keep\nf-upd-v1\nf-del"), (2, "f-keep\nf-upd-v2\nf-ins")):
+        tmp = os.path.join(base, f"manifest-v{v}.txt.tmp")
+        with open(tmp, "w") as f:
+            f.write(files)
+        os.replace(tmp, os.path.join(base, f"manifest-v{v}.txt"))
+    open(os.path.join(base, "_READY"), "w").close()
+    return base
+
+
+@query(
+    "table_changes_cdc_versions",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT k AS o_orderkey, 'delete' AS change_type,
+           cents AS pre_cents, CAST(NULL AS BIGINT) AS post_cents
+    FROM t WHERE k % 7 = 3
+    UNION ALL
+    SELECT k, 'update', cents, cents + 100
+    FROM t WHERE k % 7 = 1
+    UNION ALL
+    SELECT k, 'insert', CAST(NULL AS BIGINT), cents
+    FROM t WHERE k % 5 = 0 AND k % 7 NOT IN (1, 3)
+    """,
+)
+def table_changes_cdc_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between two committed versions
+    (``table_changes(v1, v2)``): diff the manifests at FILE granularity
+    first — files present in both versions cannot contribute changes
+    and are NEVER scanned (asserted via df.inputFiles() in
+    tests/test_lakehouse.py: f-keep, the bulk of the table, stays
+    cold) — then full-outer-join the removed-file rows against the
+    added-file rows on the key:
+
+      post only            → insert   (pre_cents NULL)
+      pre only             → delete   (post_cents NULL)
+      both, value differs  → update   (one row carrying pre AND post)
+
+    Rows rewritten with IDENTICAL values (pure compaction) are filtered
+    out with IS DISTINCT FROM — a file rewrite is not a row change.
+    At 100 TB this is the CDC economics that matter: change volume is
+    proportional to touched FILES, not table size, and the row diff
+    shuffles only those. Emits every CDC row (not a summary) — the
+    oracle recomputes the full insert/update/delete relation from raw
+    orders, so the driver value-hashes each row. Reference contrast:
+    Proof.scala's sink (147-151) can only overwrite/append; no version
+    or change feed exists there."""
+    base = _ensure_cdc_table(spark, sf_dir)
+    data = os.path.join(base, "data")
+
+    def files(v: int) -> list[str]:
+        with open(os.path.join(base, f"manifest-v{v}.txt")) as f:
+            return f.read().split()
+
+    v1, v2 = files(1), files(2)
+    removed = [b for b in v1 if b not in set(v2)]
+    added = [b for b in v2 if b not in set(v1)]
+
+    pre = spark.read.parquet(*[os.path.join(data, b) for b in removed]).select(
+        "o_orderkey", F.col("cents").alias("pre_cents")
+    )
+    post = spark.read.parquet(*[os.path.join(data, b) for b in added]).select(
+        "o_orderkey", F.col("cents").alias("post_cents")
+    )
+    diff = pre.join(post, "o_orderkey", "full_outer")
+    return diff.select(
+        "o_orderkey",
+        F.when(F.col("pre_cents").isNull(), F.lit("insert"))
+        .when(F.col("post_cents").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+        "pre_cents",
+        "post_cents",
+    ).filter(
+        ~F.col("pre_cents").eqNullSafe(F.col("post_cents"))
+    )

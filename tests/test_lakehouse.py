@@ -1,0 +1,162 @@
+"""Behavior tests for the round-9 lakehouse write-path keys:
+merge-on-read deletes, optimistic commit conflicts, row-level CDC."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from conftest import SF_DIR
+
+from reports_generator_spark.plans import registry
+from reports_generator_spark.plans.scale_joins import (
+    CommitConflict,
+    commit_with_conflict_detection,
+)
+
+registry.load_all()
+
+
+# --------------------------------------------------------------------------
+# commit_with_conflict_detection: the protocol branches, unit-level
+# (pure filesystem — no Spark needed)
+# --------------------------------------------------------------------------
+@pytest.fixture()
+def log(tmp_path):
+    base = str(tmp_path)
+    with open(os.path.join(base, "manifest-v1.txt"), "w") as f:
+        f.write("b1\nb2")
+    return base
+
+
+def _read(base, v):
+    with open(os.path.join(base, f"manifest-v{v}.txt")) as f:
+        return f.read().split()
+
+
+def test_commit_uncontended_publishes_next_version(log):
+    v, retries = commit_with_conflict_detection(
+        log, 1, add=["b3"], remove=[], read_set=set()
+    )
+    assert (v, retries) == (2, 0)
+    assert _read(log, 2) == ["b1", "b2", "b3"]
+
+
+def test_commit_retry_branch_rebases_independent_append(log):
+    # writer A wins v2 (replaces b1)
+    commit_with_conflict_detection(log, 1, add=["b1c"], remove=["b1"], read_set={"b1"})
+    # writer B raced against v1; append is independent -> rebase onto v2
+    v, retries = commit_with_conflict_detection(
+        log, 1, add=["b3"], remove=[], read_set=set()
+    )
+    assert (v, retries) == (3, 1)
+    # the rebase must carry A's replacement, not resurrect b1
+    # (manifest line order is not semantic: remove-then-append)
+    assert set(_read(log, 3)) == {"b1c", "b2", "b3"}
+
+
+def test_commit_abort_branch_on_removed_read_set(log):
+    commit_with_conflict_detection(log, 1, add=["b1c"], remove=["b1"], read_set={"b1"})
+    with pytest.raises(CommitConflict, match="b1"):
+        commit_with_conflict_detection(
+            log, 1, add=["b1c2"], remove=["b1"], read_set={"b1"}
+        )
+    # the abort must not have published a version
+    assert not os.path.exists(os.path.join(log, "manifest-v3.txt"))
+
+
+def test_commit_abort_leaves_no_tmp_debris(log):
+    commit_with_conflict_detection(log, 1, add=["b1c"], remove=["b1"], read_set={"b1"})
+    with pytest.raises(CommitConflict):
+        commit_with_conflict_detection(
+            log, 1, add=["b1c2"], remove=["b1"], read_set={"b1"}
+        )
+    assert not [f for f in os.listdir(log) if f.endswith(".tmp")]
+
+
+def test_commit_retry_chain_across_multiple_losses(log):
+    # two independent commits land first
+    commit_with_conflict_detection(log, 1, add=["b3"], remove=[], read_set=set())
+    commit_with_conflict_detection(log, 2, add=["b4"], remove=[], read_set=set())
+    # a writer still holding parent v1 rebases twice
+    v, retries = commit_with_conflict_detection(
+        log, 1, add=["b5"], remove=[], read_set=set()
+    )
+    assert v == 4 and retries >= 1
+    assert set(_read(log, 4)) == {"b1", "b2", "b3", "b4", "b5"}
+
+
+# --------------------------------------------------------------------------
+# delete_merge_on_read_dv: no data file rewritten; result == COW result
+# --------------------------------------------------------------------------
+def test_mor_delete_rewrites_zero_files_and_matches_cow(spark):
+    mor = registry.QUERIES["delete_merge_on_read_dv"](spark, SF_DIR).first()
+    assert mor["n_data_files_rewritten"] == 0
+    cow = registry.QUERIES["delete_copy_on_write"](spark, SF_DIR).first()
+    # same predicate, two delete strategies: the surviving relation
+    # must be bit-identical
+    assert mor["rows_before"] == cow["rows_before"]
+    assert mor["rows_deleted"] == cow["rows_deleted"]
+    assert mor["rows_after"] == cow["rows_after"]
+    assert mor["survivor_checksum"] == cow["survivor_checksum"]
+
+
+def test_mor_read_path_broadcasts_the_deletion_vector(spark):
+    df = registry.QUERIES["delete_merge_on_read_dv"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # anti-join against the DV sidecar, broadcast (never a shuffle of
+    # the 100 TB fact side against a KB-scale key set)
+    assert "LeftAnti" in plan, plan
+
+
+# --------------------------------------------------------------------------
+# table_changes_cdc_versions: file-granularity pruning + row semantics
+# --------------------------------------------------------------------------
+def test_cdc_never_scans_unchanged_files(spark):
+    df = registry.QUERIES["table_changes_cdc_versions"](spark, SF_DIR)
+    scanned = df.inputFiles()
+    assert scanned, "CDC scan must read the changed files"
+    assert not [f for f in scanned if "f-keep" in f], (
+        "files present in both versions must stay cold"
+    )
+
+
+def test_cdc_change_types_partition_the_key_space(spark):
+    rows = registry.QUERIES["table_changes_cdc_versions"](spark, SF_DIR).collect()
+    by_type: dict[str, list] = {"insert": [], "update": [], "delete": []}
+    for r in rows:
+        by_type[r["change_type"]].append(r)
+    # inserts carry post only, deletes pre only, updates both
+    assert all(r["pre_cents"] is None and r["post_cents"] is not None
+               for r in by_type["insert"])
+    assert all(r["pre_cents"] is not None and r["post_cents"] is None
+               for r in by_type["delete"])
+    assert all(r["pre_cents"] is not None
+               and r["post_cents"] == r["pre_cents"] + 100
+               for r in by_type["update"])
+    # each key appears exactly once (updates are single pre+post rows)
+    keys = [r["o_orderkey"] for r in rows]
+    assert len(keys) == len(set(keys))
+    # the slices are the documented residue classes
+    assert all(r["o_orderkey"] % 7 == 3 for r in by_type["delete"])
+    assert all(r["o_orderkey"] % 7 == 1 for r in by_type["update"])
+    assert all(r["o_orderkey"] % 5 == 0 and r["o_orderkey"] % 7 not in (1, 3)
+               for r in by_type["insert"])
+    assert by_type["insert"] and by_type["update"] and by_type["delete"]
+
+
+def test_cdc_pure_compaction_emits_no_rows(spark, tmp_path):
+    """A file rewritten with identical rows (compaction) is not a row
+    change: the IS DISTINCT FROM filter must drop it."""
+    from pyspark.sql import functions as F
+
+    pre = spark.range(10).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") * 7).alias("pre_cents")
+    )
+    post = spark.range(10).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") * 7).alias("post_cents")
+    )
+    diff = pre.join(post, "o_orderkey", "full_outer").filter(
+        ~F.col("pre_cents").eqNullSafe(F.col("post_cents"))
+    )
+    assert diff.count() == 0
