@@ -86,11 +86,23 @@ def exploded_shingles(
     """
     from pyspark.sql import Window
 
+    # the temp columns below are reserved: a caller whose frame already
+    # carries one would get silently blended shingles, so fail loudly
+    # (ADVICE r8)
+    reserved = {"__uid", "__pos", "__tok", "__guard_uid"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"exploded_shingles: input columns {sorted(clash)} collide with "
+            "reserved temp names __uid/__pos/__tok/__guard_uid — rename them"
+        )
+
     spark = df.sparkSession
-    par = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        spark.sparkContext.defaultParallelism,
-    )
+    try:
+        conf_par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:  # e.g. "auto" under some deployments
+        conf_par = 200
+    par = max(conf_par, spark.sparkContext.defaultParallelism)
     # __uid distinguishes physical ROWS that share an id_col value: the
     # window below partitions by id (so downstream id-keyed consumers
     # reuse the exchange), ordering by (__uid, __pos) — without the uid

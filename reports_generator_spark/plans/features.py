@@ -388,7 +388,12 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feature_quantile_bin_approx",
     oracle="""
     WITH cuts AS (
-      SELECT approx_quantile(o_totalprice,
+      -- EXACT deciles oracle-side (quantile_cont), deliberately NOT
+      -- DuckDB's approx_quantile: the oracle states the balance
+      -- invariant from ground truth, so a DuckDB version bump or an
+      -- unlucky t-digest cannot flip the attestation while Spark is
+      -- correct. The sketch under test is Spark's GK sketch alone.
+      SELECT quantile_cont(o_totalprice,
                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
       FROM orders
     ),
@@ -418,11 +423,13 @@ def feature_quantile_bin_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     (GK accuracy 10000 on this data is near-exact; the band catches a
     broken sketch or off-by-one binning, not tuning drift). The
     sketch's cut values are engine-internal, so the oracle does NOT
-    assert TRUE literals: DuckDB computes its OWN approx_quantile
-    deciles, bins with the same branchless list-search, and derives
-    the SAME (n_bins, total, balanced_ok) from its own sketch — each
-    engine independently certifies the ±5% balance invariant (the
-    pagerank/agg_approx_distinct attestation pattern)."""
+    assert TRUE literals: DuckDB computes EXACT deciles
+    (quantile_cont), bins with the same branchless list-search, and
+    derives (n_bins, total, balanced_ok) from ground truth — so only
+    Spark's GK sketch is under test, and a DuckDB version bump or an
+    unlucky oracle-side sketch cannot flip the attestation (ADVICE r8;
+    previously the oracle used DuckDB's own approx_quantile, coupling
+    the green row to two sketches at once)."""
     o = load_table(spark, sf_dir, "orders")
     cuts = o.agg(
         F.percentile_approx(

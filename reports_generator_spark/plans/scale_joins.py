@@ -885,6 +885,13 @@ def join_skew_aqe_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the downstream groupBy, which OptimizeSkewedJoin declines
     by default — forceOptimizeSkewedJoin=true is the real-deployment
     setting when the join dominates the follow-up aggregation."""
+    # The lowered confs must stay live until the CALLER executes the
+    # returned (lazy) frame — AQE reads them at runtime — so the
+    # success path defers restoration to the next key's tune()
+    # (session.RUNTIME_CONF carries every default). But an exception
+    # inside THIS builder means no frame ever reaches the caller, so
+    # restore immediately rather than leak 512-byte advisory sizes
+    # into whatever runs next (ADVICE r8).
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set(
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB"
@@ -892,7 +899,16 @@ def join_skew_aqe_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
     spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    try:
+        return _join_skew_aqe_body(spark, sf_dir)
+    except BaseException:
+        from ..session import tune
 
+        tune(spark)
+        raise
+
+
+def _join_skew_aqe_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").repartition(16)
     f_side = e.select(
         F.when(F.col("event_id") % 2 == 0, F.lit(0))
@@ -1253,18 +1269,28 @@ def agg_pushdown_parquet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     restores the defaults, carried in session.RUNTIME_CONF, before the
     next key). Oracle recomputes the exact aggregates from raw rows,
     proving stats-answered == data-answered."""
+    # As with join_skew_aqe_adaptive: the V2-reader confs must outlive
+    # this builder (the caller plans/executes the returned frame), so
+    # the success path is restored by the next key's tune(); restore
+    # eagerly only on an exception inside the builder (ADVICE r8).
     spark.conf.set(
         "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text"
     )
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return o.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min("o_orderkey").cast("bigint").alias("min_key"),
-        F.max("o_orderkey").cast("bigint").alias("max_key"),
-        F.min("o_custkey").cast("bigint").alias("min_cust"),
-        F.max("o_custkey").cast("bigint").alias("max_cust"),
-    )
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return o.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+            F.min("o_custkey").cast("bigint").alias("min_cust"),
+            F.max("o_custkey").cast("bigint").alias("max_cust"),
+        )
+    except BaseException:
+        from ..session import tune
+
+        tune(spark)
+        raise
 
 
 # --------------------------------------------------------------------------
