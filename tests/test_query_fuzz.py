@@ -687,3 +687,197 @@ def test_generated_array_pipeline_matches_duckdb(spark, duck, spec):
     FROM documents
     """
     assert_matches_oracle(sdf, duck, sql)
+
+
+# --- window FRAME fuzzing: RANGE vs ROWS boundaries, ties, empty
+# frames, IGNORE NULLS (VERDICT r8 item 7) ------------------------------
+# Two sub-families with different determinism regimes:
+#  (a) aggregate-over-frame: sum/count/min/max are deterministic over a
+#      RANGE frame even when the ORDER BY has ties (peers share one
+#      frame), and over a ROWS frame only under a total order — so
+#      RANGE specs here order by a deliberately LOW-CARDINALITY key
+#      with NO tiebreaker (the tie semantics under test), while ROWS
+#      specs append the unique-key tiebreak.
+#  (b) offset/positional with IGNORE NULLS: lead/lag/first/last/
+#      nth_value over a column with injected NULLs, total order.
+# All values are integer cents — exact comparison.
+
+# (frame_key, needs_total_order, spark_frame(Window,w)->w, sql_frame)
+def _frame_spec(name):
+    from pyspark.sql import Window as W
+
+    if name == "range_upc":  # peers of CURRENT ROW are IN the frame
+        return False, lambda w: w.rangeBetween(W.unboundedPreceding, W.currentRow), \
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    if name == "range_2_2":  # value-distance frame, independent of ties
+        return False, lambda w: w.rangeBetween(-2, 2), \
+            "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING"
+    if name == "range_cr_uf":
+        return False, lambda w: w.rangeBetween(W.currentRow, W.unboundedFollowing), \
+            "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+    if name == "range_0_0":  # exactly the peer group
+        return False, lambda w: w.rangeBetween(0, 0), \
+            "RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+    if name == "rows_up_1p":  # EMPTY at each partition head -> NULL agg
+        return True, lambda w: w.rowsBetween(W.unboundedPreceding, -1), \
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    if name == "rows_1f_3f":  # EMPTY at each partition tail
+        return True, lambda w: w.rowsBetween(1, 3), \
+            "ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING"
+    if name == "rows_2p_1p":
+        return True, lambda w: w.rowsBetween(-2, -1), \
+            "ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING"
+    raise AssertionError(name)
+
+
+_FRAME_AGGS = [
+    ("sum", lambda c: F.sum(c), "CAST(sum({c}) OVER ({ov}) AS BIGINT)"),
+    ("count", lambda c: F.count(c), "CAST(count({c}) OVER ({ov}) AS BIGINT)"),
+    ("min", lambda c: F.min(c), "CAST(min({c}) OVER ({ov}) AS BIGINT)"),
+    ("max", lambda c: F.max(c), "CAST(max({c}) OVER ({ov}) AS BIGINT)"),
+]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.sampled_from(
+        ["range_upc", "range_2_2", "range_cr_uf", "range_0_0",
+         "rows_up_1p", "rows_1f_3f", "rows_2p_1p"]
+    ),
+    st.sampled_from([a[0] for a in _FRAME_AGGS]),
+    st.sampled_from([3, 7, 10]),  # tie density of the RANGE order key
+    st.booleans(),  # descending order
+)
+def test_generated_window_frame_matches_duckdb(spark, duck, frame, agg, mod, desc):
+    """Any (frame boundary, aggregate, tie density, direction) combo
+    must agree across engines: RANGE frames are measured in ORDER-BY
+    VALUE distance and include ALL peers of the boundary rows (ordered
+    by a low-cardinality key with NO tiebreak — the tie semantics are
+    the point), ROWS frames count physical rows under a total order,
+    and an empty frame (head/tail exclusive bounds) aggregates to NULL
+    on both engines, never 0."""
+    from pyspark.sql import Window
+
+    sf = __import__("conftest").SF_DIR
+    needs_total, fr, fr_sql = _frame_spec(frame)
+    sfn, agg_tpl = next(a[1:] for a in _FRAME_AGGS if a[0] == agg)
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        (F.col("o_custkey") % 5).cast("bigint").alias("g"),
+        (F.col("o_orderkey") % mod).cast("bigint").alias("ord"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    ocol = F.col("ord").desc() if desc else F.col("ord").asc()
+    if needs_total:
+        w = Window.partitionBy("g").orderBy(ocol, F.col("o_orderkey").asc())
+        ov = f"PARTITION BY g ORDER BY ord {'DESC' if desc else 'ASC'}," \
+             " o_orderkey ASC"
+    else:
+        w = Window.partitionBy("g").orderBy(ocol)
+        ov = f"PARTITION BY g ORDER BY ord {'DESC' if desc else 'ASC'}"
+    sdf = o.select(
+        "o_orderkey",
+        sfn(F.col("cents")).over(fr(w)).cast("bigint").alias("wval"),
+    )
+    sql = f"""
+      WITH base AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_custkey % 5 AS BIGINT) AS g,
+               CAST(o_orderkey % {mod} AS BIGINT) AS ord,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+      )
+      SELECT o_orderkey,
+             {agg_tpl.format(c='cents', ov=f'{ov} {fr_sql}')} AS wval
+      FROM base
+    """
+    assert_matches_oracle(sdf, duck, sql)
+
+
+def _null_fn(name, ignore):
+    """(spark_col_fn(w)->Column, sql_text) over the nullable column
+    ``nv``; DuckDB spells IGNORE NULLS inside the argument list."""
+    ig_sql = " IGNORE NULLS" if ignore else ""
+    # PySpark's F.lead/F.lag take no ignoreNulls arg — the clause is
+    # SQL-only, so build those two via F.expr (parsed as a window
+    # function, then bound to the Window with .over)
+    ig_expr = " ignore nulls" if ignore else ""
+    if name == "lead":
+        return lambda w: F.expr(f"lead(nv, 2){ig_expr}").over(w), \
+            f"lead(nv, 2{ig_sql}) OVER ({{ov}})"
+    if name == "lag":
+        return lambda w: F.expr(f"lag(nv, 1){ig_expr}").over(w), \
+            f"lag(nv, 1{ig_sql}) OVER ({{ov}})"
+    if name == "first":
+        return lambda w: F.first("nv", ignore).over(w), \
+            f"first_value(nv{ig_sql}) OVER ({{ov}})"
+    if name == "last":
+        return lambda w: F.last("nv", ignore).over(w), \
+            f"last_value(nv{ig_sql}) OVER ({{ov}})"
+    if name == "nth2":
+        return lambda w: F.nth_value("nv", 2, ignore).over(w), \
+            f"nth_value(nv, 2{ig_sql}) OVER ({{ov}})"
+    raise AssertionError(name)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.sampled_from(["lead", "lag", "first", "last", "nth2"]),
+    st.booleans(),  # IGNORE NULLS vs RESPECT NULLS
+    st.sampled_from([2, 3, 5]),  # null density: nv NULL when cents%k==0
+    st.booleans(),  # frame: default (UP..CURRENT ROW) vs full partition
+)
+def test_generated_ignore_nulls_matches_duckdb(spark, duck, fn, ignore, kmod, full):
+    """lead/lag/first/last/nth_value with IGNORE NULLS over injected
+    NULLs must agree across engines, under both the DEFAULT frame
+    (RANGE UNBOUNDED PRECEDING..CURRENT ROW — last_value is then the
+    current row's peer group edge) and the full-partition ROWS frame.
+    Total order (unique-key tiebreak) keeps positional results exact."""
+    from pyspark.sql import Window as W
+
+    sf = __import__("conftest").SF_DIR
+    sfn, sql_tpl = _null_fn(fn, ignore)
+    # lead/lag are frame-insensitive and Spark REJECTS an explicit
+    # frame on them ("Cannot specify window frame for lead function")
+    # — the positional offset walks rows, not a frame
+    full = full and fn not in ("lead", "lag")
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        (F.col("o_custkey") % 5).cast("bigint").alias("g"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    ).select(
+        "o_orderkey", "g",
+        F.when(F.col("cents") % kmod != 0, F.col("cents")).alias("nv"),
+    )
+    w = W.partitionBy("g").orderBy(F.col("o_orderkey").asc())
+    fr_sql = ""
+    if full:
+        w = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        fr_sql = " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    sdf = o.select("o_orderkey", sfn(w).cast("bigint").alias("wval"))
+    ov = f"PARTITION BY g ORDER BY o_orderkey ASC{fr_sql}"
+    sql = f"""
+      WITH base AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_custkey % 5 AS BIGINT) AS g,
+               CASE WHEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         % {kmod} != 0
+                    THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               END AS nv
+        FROM orders
+      )
+      SELECT o_orderkey,
+             CAST({sql_tpl.format(ov=ov)} AS BIGINT) AS wval
+      FROM base
+    """
+    assert_matches_oracle(sdf, duck, sql)
