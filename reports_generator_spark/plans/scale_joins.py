@@ -1431,40 +1431,50 @@ def commit_with_conflict_detection(
     max_retries: int = 5,
 ) -> tuple[int, int]:
     """Optimistic commit: attempt to publish ``parent files - remove +
-    add`` as version parent+1. The version file is created with
-    O_CREAT|O_EXCL — on POSIX (and object stores' if-none-match puts)
-    exactly ONE concurrent writer can win a version number. A loser
-    re-reads the log: if every file in its ``read_set`` still exists
-    in the new latest version the change is independent — REBASE onto
-    it and retry; if a concurrent commit removed/replaced any file the
-    writer's outcome depends on, raise CommitConflict (ABORT — the
-    lost-update this protocol exists to prevent).
+    add`` as version parent+1. The version file is claimed by
+    hard-LINKING a fully-written temp file to the version name —
+    atomic create-WITH-content (the object-store analog is an
+    if-none-match PUT of the whole body): exactly one concurrent
+    writer can win a version number, and no reader can ever observe a
+    claimed-but-empty manifest (an os.open(O_EXCL)-then-write scheme
+    would expose exactly that window). A loser re-reads the log: if
+    every file in its ``read_set`` still exists in the new latest
+    version the change is independent — REBASE onto it and retry; if
+    a concurrent commit removed/replaced any file the writer's
+    outcome depends on, raise CommitConflict (ABORT — the lost-update
+    this protocol exists to prevent).
 
     Returns (committed_version, n_retries)."""
+    import tempfile
+
+    rm = set(remove)
     v = parent_v
     for attempt in range(max_retries + 1):
-        files = [b for b in _log_read(base, v) if b not in set(remove)] + add
+        files = [b for b in _log_read(base, v) if b not in rm] + add
         target = os.path.join(base, f"manifest-v{v + 1}.txt")
-        tmp = target + f".w{os.getpid()}.{attempt}.tmp"
-        with open(tmp, "w") as f:
-            f.write("\n".join(files))
+        # unique temp name (mkstemp: safe across processes AND threads);
+        # the .tmp suffix keeps it invisible to _log_versions' *.txt scan
+        fd, tmp = tempfile.mkstemp(
+            prefix=f"manifest-v{v + 1}.", suffix=".tmp", dir=base
+        )
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            os.remove(tmp)
-            latest = _log_versions(base)[-1]
-            missing = read_set - set(_log_read(base, latest))
-            if missing:
-                raise CommitConflict(
-                    f"files {sorted(missing)} were removed by a concurrent "
-                    f"commit (v{v + 1}..v{latest})"
-                ) from None
-            v = latest  # independent change: rebase and retry
-            continue
-        # won the version: publish atomically via rename over the fd path
-        os.close(fd)
-        os.replace(tmp, target)
-        return v + 1, attempt
+            with os.fdopen(fd, "w") as f:
+                f.write("\n".join(files))
+            try:
+                os.link(tmp, target)  # the atomic claim-with-content
+            except FileExistsError:
+                latest = _log_versions(base)[-1]
+                missing = read_set - set(_log_read(base, latest))
+                if missing:
+                    raise CommitConflict(
+                        f"files {sorted(missing)} were removed by a "
+                        f"concurrent commit (v{v + 1}..v{latest})"
+                    ) from None
+                v = latest  # independent change: rebase and retry
+                continue
+            return v + 1, attempt
+        finally:
+            os.remove(tmp)  # win, rebase, abort, or crash: never leak tmp
     raise CommitConflict(f"gave up after {max_retries} rebases")
 
 
@@ -1506,9 +1516,11 @@ def manifest_commit_conflict_detect(spark: SparkSession, sf_dir: str) -> DataFra
     NOT appear). final_version / n_retries / n_aborts are protocol
     facts (documented filesystem-count exemption class, like vacuum's
     n_orphans_removed): the REAL cross-engine columns are the four
-    count/checksum values. Detection = O_CREAT|O_EXCL version-file
-    creation (object-store equivalent: if-none-match PUT); resolution
-    = read-set validation against the latest manifest, exactly the
+    count/checksum values. Detection = atomic hard-link of a fully
+    written temp file to the version name — claim-with-content, so no
+    reader ever sees an empty manifest (object-store equivalent:
+    if-none-match PUT of the whole body); resolution = read-set
+    validation against the latest manifest, exactly the
     Delta/Iceberg optimistic-concurrency design. Behavior branches
     (retry, abort, rebase-chain) are unit-tested in
     tests/test_lakehouse.py."""
@@ -1691,8 +1703,9 @@ def table_changes_cdc_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
             return f.read().split()
 
     v1, v2 = files(1), files(2)
-    removed = [b for b in v1 if b not in set(v2)]
-    added = [b for b in v2 if b not in set(v1)]
+    v1s, v2s = set(v1), set(v2)
+    removed = [b for b in v1 if b not in v2s]
+    added = [b for b in v2 if b not in v1s]
 
     pre = spark.read.parquet(*[os.path.join(data, b) for b in removed]).select(
         "o_orderkey", F.col("cents").alias("pre_cents")
@@ -1700,9 +1713,19 @@ def table_changes_cdc_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = spark.read.parquet(*[os.path.join(data, b) for b in added]).select(
         "o_orderkey", F.col("cents").alias("post_cents")
     )
-    diff = pre.join(post, "o_orderkey", "full_outer")
+    return cdc_row_diff(pre, post)
+
+
+def cdc_row_diff(pre: DataFrame, post: DataFrame, key: str = "o_orderkey") -> DataFrame:
+    """The row-level diff at the heart of ``table_changes``: full-outer
+    join of pre-image rows (from files the new version dropped) against
+    post-image rows (from files it added), classified into
+    insert/delete/update; rows whose value is unchanged — a pure
+    compaction rewrite — emit nothing (null-safe inequality). Exposed
+    as a helper so tests drive the PRODUCTION diff, not a re-spelling."""
+    diff = pre.join(post, key, "full_outer")
     return diff.select(
-        "o_orderkey",
+        key,
         F.when(F.col("pre_cents").isNull(), F.lit("insert"))
         .when(F.col("post_cents").isNull(), F.lit("delete"))
         .otherwise(F.lit("update"))

@@ -103,10 +103,13 @@ def test_mor_delete_rewrites_zero_files_and_matches_cow(spark):
 
 def test_mor_read_path_broadcasts_the_deletion_vector(spark):
     df = registry.QUERIES["delete_merge_on_read_dv"](spark, SF_DIR)
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    # anti-join against the DV sidecar, broadcast (never a shuffle of
-    # the 100 TB fact side against a KB-scale key set)
-    assert "LeftAnti" in plan, plan
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # anti-join against the DV sidecar, BROADCAST — the 100 TB fact
+    # side must never shuffle against a KB-scale key set, so assert
+    # the physical join strategy, not just the join type
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 # --------------------------------------------------------------------------
@@ -145,18 +148,30 @@ def test_cdc_change_types_partition_the_key_space(spark):
     assert by_type["insert"] and by_type["update"] and by_type["delete"]
 
 
-def test_cdc_pure_compaction_emits_no_rows(spark, tmp_path):
+def test_cdc_pure_compaction_emits_no_rows(spark):
     """A file rewritten with identical rows (compaction) is not a row
-    change: the IS DISTINCT FROM filter must drop it."""
+    change — driven through the PRODUCTION cdc_row_diff (the same
+    function table_changes_cdc_versions returns), not a re-spelled
+    copy of its filter."""
     from pyspark.sql import functions as F
 
-    pre = spark.range(10).select(
+    from reports_generator_spark.plans.scale_joins import cdc_row_diff
+
+    # v1 -> v2: ids 0-9 rewritten identically (compaction), 10-11
+    # genuinely updated, 12 deleted, 13 inserted
+    pre = spark.range(13).select(
         F.col("id").alias("o_orderkey"), (F.col("id") * 7).alias("pre_cents")
     )
-    post = spark.range(10).select(
-        F.col("id").alias("o_orderkey"), (F.col("id") * 7).alias("post_cents")
+    post = (
+        spark.range(14)
+        .filter("id != 12")
+        .select(
+            F.col("id").alias("o_orderkey"),
+            (F.col("id") * 7 + F.when(F.col("id").isin(10, 11), 1).otherwise(0))
+            .alias("post_cents"),
+        )
     )
-    diff = pre.join(post, "o_orderkey", "full_outer").filter(
-        ~F.col("pre_cents").eqNullSafe(F.col("post_cents"))
-    )
-    assert diff.count() == 0
+    rows = {r["o_orderkey"]: r["change_type"]
+            for r in cdc_row_diff(pre, post).collect()}
+    # the 10 compaction rows emit NOTHING; the real changes all appear
+    assert rows == {10: "update", 11: "update", 12: "delete", 13: "insert"}
