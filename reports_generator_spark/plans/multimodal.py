@@ -132,9 +132,20 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal ingest path: `binaryFile` datasource over a payload
     tree (pathGlobFilter-pruned), id parsed from the file name, bytes
     hashed JVM-side. This is how image/audio blobs enter the engine as
-    opaque binary columns at scale — one task per file group, no
-    Python in the scan. (ASCII fixture ⇒ md5(bytes) == md5(text).)"""
+    opaque binary columns at scale — one task per file GROUP, no
+    Python in the scan. (ASCII fixture ⇒ md5(bytes) == md5(text).)
+
+    Small-object packing (round-9 sf1 sweep finding): the default
+    ``spark.sql.files.openCostInBytes`` of 4 MB packs only
+    maxPartitionBytes/4MB ≈ 4 tiny files per task — the 50k-file sf1
+    fixture planned 12,500 tasks of pure open/schedule overhead
+    (13.2 s, ratio 11.8× on 10× data). Tiny-object ingest lowers the
+    modeled open cost so hundreds of objects pack per task; restored
+    for subsequent keys by tune() (default carried in
+    session.RUNTIME_CONF). On a real blob store the same knob trades
+    request count against parallelism."""
     d = _binary_fixture_dir(spark, sf_dir)
+    spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024))
     bf = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")

@@ -227,6 +227,10 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # DuckDB's approx_quantile per ADVICE r8 — the green row must be
         # re-earned under the new oracle)
         "feature_quantile_bin_approx",
+        # plan changed this round (small-object open-cost packing after
+        # the full-surface sf1 sweep flagged 12.5k-task overhead) —
+        # values identical, re-attested anyway per the r8 convention
+        "scan_binaryfile",
     }
 )
 

@@ -60,6 +60,10 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": os.environ.get(
         "SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)
     ),
+    # scan_binaryfile lowers the modeled per-file open cost so tiny
+    # payload objects pack hundreds-per-task; this default restores the
+    # stock value for every other key (tune() runs before each key)
+    "spark.sql.files.openCostInBytes": str(4 * 1024 * 1024),
 }
 
 
