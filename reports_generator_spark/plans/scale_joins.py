@@ -1735,3 +1735,96 @@ def cdc_row_diff(pre: DataFrame, post: DataFrame, key: str = "o_orderkey") -> Da
     ).filter(
         ~F.col("pre_cents").eqNullSafe(F.col("post_cents"))
     )
+
+
+@query(
+    "compact_merge_deletion_vectors",
+    oracle=f"""
+    WITH s AS (SELECT max(o_orderkey) AS mx FROM orders),
+    t AS (
+      SELECT o_orderkey,
+             CAST(floor(o_orderkey * {_COW_PARTS}.0 / (mx + 1)) AS BIGINT)
+               AS fid,
+             (o_orderkey <= CAST(floor((mx + 1) / 4) AS BIGINT)
+              AND o_orderkey % 5 = 2) AS hit
+      FROM orders, s
+    )
+    SELECT CAST(count(*) - sum(CAST(hit AS BIGINT)) AS BIGINT) AS rows_after,
+           CAST(sum(o_orderkey) FILTER (WHERE NOT hit) AS BIGINT)
+             AS survivor_checksum,
+           count(DISTINCT fid) FILTER (WHERE hit) AS n_parts_rewritten,
+           CAST(0 AS BIGINT) AS dv_files_remaining
+    FROM t
+    """,
+)
+def compact_merge_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third leg of the delete lifecycle: scheduled compaction
+    MERGES the deletion-vector sidecar away. MOR made the delete cheap
+    (one key-set write, zero data files touched) at the price of a
+    broadcast anti-join on every read; this maintenance pass pays the
+    COW rewrite ONCE — only for the partitions that actually hold
+    deleted keys, located from the DV alone — then drops the sidecar,
+    returning the table to plain-scan reads. The audit row re-reads
+    the compacted table with NO DV merge and must equal the COW
+    delete's result (same predicate — the oracle is the same
+    computation), proving write-cheap + read-merged + compacted are
+    three routes to one relation. dv_files_remaining=0 is a
+    filesystem fact (documented exemption class); the rewrite
+    granularity (n_parts_rewritten = 2 of 8) is recomputed by the
+    oracle from slice arithmetic. At 100 TB this is the nightly
+    OPTIMIZE that keeps read amplification bounded while deletes stay
+    O(changed keys) during the day."""
+    import tempfile
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":morc:" + spark.sparkContext.applicationId)
+        .encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"rg_morc_{tag}")
+    data = os.path.join(base, "data")
+    dv_dir = os.path.join(base, "_deletes")
+    # the compaction MUTATES the fixture, so rebuild per invocation
+    # (delete_copy_on_write contract)
+    shutil.rmtree(base, ignore_errors=True)
+
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderkey")).first()[0]  # scalar-only collect
+    thr = (mx + 1) // 4
+
+    fid = F.floor(F.col("o_orderkey") * float(_COW_PARTS) / (mx + 1)).cast("bigint")
+    o.withColumn("fid", fid).write.partitionBy("fid").mode("overwrite").parquet(data)
+    hit = (F.col("o_orderkey") <= thr) & (F.col("o_orderkey") % 5 == 2)
+    spark.read.parquet(data).filter(hit).select("o_orderkey").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(dv_dir)
+
+    # --- the compaction pass -------------------------------------------
+    # partitions to rewrite are derivable from the DV ALONE (fid is a
+    # function of the key): no scan of the standing table to plan the
+    # rewrite — at 100 TB the planning cost is O(|DV|), not O(table)
+    dv = spark.read.parquet(dv_dir)
+    touched = dv.select(
+        F.floor(F.col("o_orderkey") * float(_COW_PARTS) / (mx + 1))
+        .cast("bigint")
+        .alias("fid")
+    ).distinct()
+    n_rewritten = touched.count()  # bounded by partition count
+
+    lake = spark.read.parquet(data)
+    survivors_in_touched = (
+        lake.join(F.broadcast(touched), "fid")
+        .join(F.broadcast(dv), "o_orderkey", "left_anti")
+    )
+    survivors_in_touched.write.partitionBy("fid").mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(data)
+    shutil.rmtree(dv_dir)  # the sidecar is merged away
+
+    dv_remaining = 1 if os.path.exists(dv_dir) else 0
+    back = spark.read.parquet(data)  # plain scan — NO read-side merge
+    return back.agg(
+        F.count(F.lit(1)).alias("rows_after"),
+        F.sum("o_orderkey").cast("bigint").alias("survivor_checksum"),
+        F.lit(n_rewritten).cast("bigint").alias("n_parts_rewritten"),
+        F.lit(dv_remaining).cast("bigint").alias("dv_files_remaining"),
+    )

@@ -175,3 +175,17 @@ def test_cdc_pure_compaction_emits_no_rows(spark):
             for r in cdc_row_diff(pre, post).collect()}
     # the 10 compaction rows emit NOTHING; the real changes all appear
     assert rows == {10: "update", 11: "update", 12: "delete", 13: "insert"}
+
+
+def test_dv_compaction_equals_mor_and_cow(spark):
+    """write-cheap (MOR), read-merged, and compacted must be three
+    routes to the same relation; compaction must touch only the
+    partitions the DV implies and leave no sidecar behind."""
+    comp = registry.QUERIES["compact_merge_deletion_vectors"](spark, SF_DIR).first()
+    mor = registry.QUERIES["delete_merge_on_read_dv"](spark, SF_DIR).first()
+    assert comp["rows_after"] == mor["rows_after"]
+    assert comp["survivor_checksum"] == mor["survivor_checksum"]
+    assert comp["dv_files_remaining"] == 0
+    # rewrite granularity matches the COW delete's (same predicate)
+    cow = registry.QUERIES["delete_copy_on_write"](spark, SF_DIR).first()
+    assert comp["n_parts_rewritten"] == cow["n_parts_rewritten"]
