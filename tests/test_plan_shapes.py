@@ -238,6 +238,10 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # overlap stats × selected rows) into the audit row, the
         # incremental scan its two (incremental slice × full table)
         "scan_file_zonemap_skipping_audit", "scan_incremental_since_snapshot",
+        # round-9 member: the commit-conflict audit folds its two 1-row
+        # frames (v2 count/checksum × final count/checksum+protocol
+        # facts) into the audit row — 1-row-stats broadcast-cross class
+        "manifest_commit_conflict_detect",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
