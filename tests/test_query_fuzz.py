@@ -881,3 +881,87 @@ def test_generated_ignore_nulls_matches_duckdb(spark, duck, fn, ignore, kmod, fu
       FROM base
     """
     assert_matches_oracle(sdf, duck, sql)
+
+
+# --- NULL-ordering fuzzing: explicit NULLS FIRST/LAST across window
+# shapes. The defaults DIVERGE between engines (Spark: NULLS FIRST for
+# ASC / NULLS LAST for DESC; DuckDB: NULLS LAST always), so every
+# ordering here spells the placement explicitly on BOTH sides — the
+# portable discipline the engine's own keys follow — and the family
+# proves the explicit spellings agree everywhere: ranking over a total
+# order, running ROWS frames, and RANGE frames where the NULL rows form
+# their own peer group at the chosen end.
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.booleans(),  # descending
+    st.booleans(),  # nulls first
+    st.sampled_from(["row_number", "running_sum", "range_sum_upc"]),
+    st.sampled_from([2, 3, 5]),  # null density of the order key
+)
+def test_generated_null_ordering_matches_duckdb(spark, duck, desc, nf, fn, kmod):
+    from pyspark.sql import Window as W
+
+    sf = __import__("conftest").SF_DIR
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        (F.col("o_custkey") % 5).cast("bigint").alias("g"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    ).select(
+        "o_orderkey", "g", "cents",
+        # nullable ORDER BY key
+        F.when(F.col("cents") % kmod != 0, F.col("cents") % 97).alias("nv"),
+    )
+    c = F.col("nv")
+    ocol = (
+        (c.desc_nulls_first() if nf else c.desc_nulls_last()) if desc
+        else (c.asc_nulls_first() if nf else c.asc_nulls_last())
+    )
+    dirn = "DESC" if desc else "ASC"
+    place = "NULLS FIRST" if nf else "NULLS LAST"
+
+    if fn == "range_sum_upc":
+        # RANGE requires a single order expression: no tiebreak — the
+        # NULL rows are one peer group at the chosen end and share one
+        # frame; sum is deterministic under ties
+        w = W.partitionBy("g").orderBy(ocol).rangeBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        wcol = F.sum("cents").over(w)
+        ov = f"PARTITION BY g ORDER BY nv {dirn} {place} " \
+             "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        wsql = f"sum(cents) OVER ({ov})"
+    else:
+        w = W.partitionBy("g").orderBy(ocol, F.col("o_orderkey").asc())
+        ov = f"PARTITION BY g ORDER BY nv {dirn} {place}, o_orderkey ASC"
+        if fn == "row_number":
+            wcol = F.row_number().over(w)
+            wsql = f"row_number() OVER ({ov})"
+        else:
+            w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            wcol = F.sum("cents").over(w)
+            wsql = (
+                f"sum(cents) OVER ({ov} ROWS BETWEEN UNBOUNDED PRECEDING"
+                " AND CURRENT ROW)"
+            )
+    sdf = o.select("o_orderkey", wcol.cast("bigint").alias("wval"))
+    sql = f"""
+      WITH base AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_custkey % 5 AS BIGINT) AS g,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+      ), base2 AS (
+        SELECT o_orderkey, g, cents,
+               CASE WHEN cents % {kmod} != 0 THEN cents % 97 END AS nv
+        FROM base
+      )
+      SELECT o_orderkey, CAST({wsql} AS BIGINT) AS wval
+      FROM base2
+    """
+    assert_matches_oracle(sdf, duck, sql)
