@@ -189,3 +189,28 @@ def test_dv_compaction_equals_mor_and_cow(spark):
     # rewrite granularity matches the COW delete's (same predicate)
     cow = registry.QUERIES["delete_copy_on_write"](spark, SF_DIR).first()
     assert comp["n_parts_rewritten"] == cow["n_parts_rewritten"]
+
+
+def test_conf_mutating_key_restores_on_builder_exception(spark):
+    """A failure INSIDE a conf-mutating builder must not leak degraded
+    session confs to whatever runs next (ADVICE r8): the V2-reader /
+    pushdown overrides are restored by the except path, not left for
+    the next key's tune()."""
+    import pytest as _pt
+
+    from reports_generator_spark.plans.scale_joins import (
+        agg_pushdown_parquet_stats,
+    )
+    from reports_generator_spark.session import RUNTIME_CONF
+
+    with _pt.raises(Exception):
+        # nonexistent dir -> spark.read.parquet raises inside the builder
+        agg_pushdown_parquet_stats(spark, "/nonexistent/sfdir")
+    assert (
+        spark.conf.get("spark.sql.sources.useV1SourceList")
+        == RUNTIME_CONF["spark.sql.sources.useV1SourceList"]
+    )
+    assert (
+        spark.conf.get("spark.sql.parquet.aggregatePushdown")
+        == RUNTIME_CONF["spark.sql.parquet.aggregatePushdown"]
+    )
