@@ -965,3 +965,70 @@ def test_generated_null_ordering_matches_duckdb(spark, duck, desc, nf, fn, kmod)
       FROM base2
     """
     assert_matches_oracle(sdf, duck, sql)
+
+
+# --- grouping-topology fuzzing: ROLLUP / CUBE / GROUPING SETS ----------
+# The multi-grouping surface is a classic divergence zone: which rows
+# are super-aggregate rows, how the null-group is marked, and the
+# GROUPING() indicator per column. Dims here are non-null, so a NULL in
+# the output can only mean "aggregated over" — and grouping(col) is
+# compared per column as the explicit cross-engine probe (the
+# engine-specific composite grouping_id bit order is deliberately NOT
+# compared). Both sides run the SAME ANSI text: Spark through
+# spark.sql over a temp view (the engine's declared SQL surface),
+# DuckDB over its registered view.
+
+_GRP_DIMS = [
+    ("st", "o_orderstatus"),
+    ("pr", "o_orderpriority"),
+    ("ck", "CAST(o_custkey % 5 AS BIGINT)"),
+]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.sampled_from(["rollup", "cube", "sets"]),
+    st.integers(2, 3),                      # how many dims participate
+    st.integers(0, 6),                      # seed for the sets variant
+)
+def test_generated_grouping_sets_matches_duckdb(spark, duck, mode, ndims, seed):
+    sf = __import__("conftest").SF_DIR
+    dims = _GRP_DIMS[:ndims]
+    names = [n for n, _ in dims]
+    exprs = ", ".join(f"{e} AS {n}" for n, e in dims)
+
+    if mode == "rollup":
+        grp = f"ROLLUP({', '.join(names)})"
+    elif mode == "cube":
+        grp = f"CUBE({', '.join(names)})"
+    else:
+        # deterministic subset list derived from the seed: always
+        # includes the full set and the grand total, plus one mid set
+        mid = names[seed % ndims]
+        grp = f"GROUPING SETS (({', '.join(names)}), ({mid}), ())"
+
+    g_cols = ", ".join(
+        f"CAST(grouping({n}) AS BIGINT) AS g_{n}" for n in names
+    )
+    body = f"""
+      WITH base AS (SELECT {exprs},
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             FROM orders)
+      SELECT {', '.join(names)}, {g_cols},
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM base GROUP BY {grp}
+    """
+    # scoped view name: never shadow/leak "orders" into the shared
+    # session catalog (the r8 registry-contamination lesson)
+    view = "orders_grpfz"
+    spark.read.parquet(f"{sf}/orders.parquet").createOrReplaceTempView(view)
+    try:
+        sdf = spark.sql(body.replace("FROM orders)", f"FROM {view})"))
+        assert_matches_oracle(sdf, duck, body)
+    finally:
+        spark.catalog.dropTempView(view)
