@@ -223,6 +223,7 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # round-9 lakehouse write-path completions (VERDICT r8 items 4-6)
         "delete_merge_on_read_dv", "manifest_commit_conflict_detect",
         "table_changes_cdc_versions", "compact_merge_deletion_vectors",
+        "sink_write_audit_publish",
         # oracle text changed this round (exact quantile_cont replacing
         # DuckDB's approx_quantile per ADVICE r8 — the green row must be
         # re-earned under the new oracle)

@@ -1828,3 +1828,122 @@ def compact_merge_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit(n_rewritten).cast("bigint").alias("n_parts_rewritten"),
         F.lit(dv_remaining).cast("bigint").alias("dv_files_remaining"),
     )
+
+
+@query(
+    "sink_write_audit_publish",
+    oracle="""
+    WITH a AS (SELECT o_orderkey,
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+               FROM orders WHERE o_orderkey % 3 = 0),
+    good AS (SELECT o_orderkey, cents FROM (
+               SELECT o_orderkey,
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+               FROM orders WHERE o_orderkey % 3 = 1) t),
+    bad AS (SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 11 = 0
+                        THEN -CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                        ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   END AS cents
+            FROM orders WHERE o_orderkey % 3 = 2)
+    SELECT (SELECT count(*) FROM a) + (SELECT count(*) FROM good)
+             AS n_rows_final,
+           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM a)
+             + (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM good)
+             AS key_checksum_final,
+           CAST((SELECT count(*) FROM good WHERE cents <= 0) AS BIGINT)
+             AS good_batch_violations,
+           CAST((SELECT count(*) FROM bad WHERE cents <= 0) AS BIGINT)
+             AS bad_batch_violations,
+           CAST(2 AS BIGINT) AS final_version,
+           CAST(1 AS BIGINT) AS n_published,
+           CAST(1 AS BIGINT) AS n_rejected
+    """,
+)
+def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish on the manifest log (the Iceberg WAP
+    pattern): a candidate batch is STAGED as data files, the
+    expectation suite runs against the staged snapshot (base + staged
+    — auditing what readers WOULD see), and only a green audit
+    publishes the new manifest version through the optimistic commit
+    path; a red audit leaves the log untouched and the staged dir an
+    orphan for vacuum. Two candidates against base v1 (orders%3=0):
+    the good batch (%3=1) passes (0 violations) and publishes v2; the
+    bad batch (%3=2, with cents negated where key%11=0 — the planted
+    defect) is REJECTED, so the final table must contain base+good
+    exactly and the log must end at v2. The oracle recomputes the
+    final count/checksum AND both audit violation counts from the
+    planted rule — only final_version/n_published/n_rejected are
+    protocol facts (documented exemption class). This is the
+    quality gate every production ingestion runs BEFORE making data
+    visible; at 100 TB the audit costs one scan of the staged files
+    only (the base is already attested)."""
+    import tempfile
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":wap:" + spark.sparkContext.applicationId)
+        .encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"rg_wap_{tag}")
+    # the publish decision IS the operator — rebuild per invocation
+    shutil.rmtree(base, ignore_errors=True)
+    data = os.path.join(base, "data")
+    os.makedirs(data)
+
+    k = F.col("o_orderkey")
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    t.filter(k % 3 == 0).write.parquet(os.path.join(data, "base"))
+    with open(os.path.join(base, "manifest-v1.txt"), "w") as f:
+        f.write("base")
+
+    t.filter(k % 3 == 1).write.parquet(os.path.join(data, "cand-good"))
+    t.filter(k % 3 == 2).withColumn(
+        "cents",
+        F.when(k % 11 == 0, -F.col("cents")).otherwise(F.col("cents")),
+    ).write.parquet(os.path.join(data, "cand-bad"))
+
+    def audit(staged: str) -> int:
+        """Violations of the expectation suite over the SNAPSHOT a
+        reader would see if published (base ∪ staged); the planted
+        rule is cents > 0 and key non-null. Scalar-only collect."""
+        latest = _log_versions(base)[-1]
+        snap = spark.read.parquet(
+            *[os.path.join(data, b) for b in _log_read(base, latest)],
+            os.path.join(data, staged),
+        )
+        return snap.filter(
+            (F.col("cents") <= 0) | F.col("o_orderkey").isNull()
+        ).count()
+
+    n_published = n_rejected = 0
+    violations = {}
+    for cand in ("cand-good", "cand-bad"):
+        v = audit(cand)
+        violations[cand] = v
+        if v == 0:
+            commit_with_conflict_detection(
+                base, _log_versions(base)[-1], add=[cand], remove=[],
+                read_set=set(),
+            )
+            n_published += 1
+        else:
+            n_rejected += 1  # staged dir stays an orphan for vacuum
+
+    final_v = _log_versions(base)[-1]
+    final = spark.read.parquet(
+        *[os.path.join(data, b) for b in _log_read(base, final_v)]
+    )
+    return final.agg(
+        F.count(F.lit(1)).alias("n_rows_final"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum_final"),
+        F.lit(violations["cand-good"]).cast("bigint")
+        .alias("good_batch_violations"),
+        F.lit(violations["cand-bad"]).cast("bigint")
+        .alias("bad_batch_violations"),
+        F.lit(final_v).cast("bigint").alias("final_version"),
+        F.lit(n_published).cast("bigint").alias("n_published"),
+        F.lit(n_rejected).cast("bigint").alias("n_rejected"),
+    )

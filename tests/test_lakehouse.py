@@ -214,3 +214,25 @@ def test_conf_mutating_key_restores_on_builder_exception(spark):
         spark.conf.get("spark.sql.parquet.aggregatePushdown")
         == RUNTIME_CONF["spark.sql.parquet.aggregatePushdown"]
     )
+
+
+def test_wap_rejected_batch_never_becomes_visible(spark):
+    """The red-audit candidate must not appear in any published
+    version, and the staged dir must remain on disk as an orphan
+    (vacuum's territory, not the publisher's)."""
+    import glob
+    import os as _os
+
+    row = registry.QUERIES["sink_write_audit_publish"](spark, SF_DIR).first()
+    assert row["final_version"] == 2
+    assert row["n_published"] == 1 and row["n_rejected"] == 1
+    assert row["good_batch_violations"] == 0
+    assert row["bad_batch_violations"] > 0
+    base = glob.glob("/tmp/rg_wap_*")
+    assert base, "WAP fixture dir must exist"
+    b = max(base, key=_os.path.getmtime)
+    with open(_os.path.join(b, "manifest-v2.txt")) as f:
+        published = f.read().split()
+    assert "cand-bad" not in published and "cand-good" in published
+    # the rejected batch is staged-but-orphaned
+    assert _os.path.exists(_os.path.join(b, "data", "cand-bad"))
