@@ -145,19 +145,30 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     session.RUNTIME_CONF). On a real blob store the same knob trades
     request count against parallelism."""
     d = _binary_fixture_dir(spark, sf_dir)
+    # conf-mutating-builder convention (see join_skew_aqe_adaptive):
+    # the lowered open cost must stay live until the CALLER executes
+    # the lazy frame (split packing happens at planning), so success-
+    # path restore is the next key's tune(); restore eagerly only if
+    # the builder itself fails
     spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024))
-    bf = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.bin")
-        .load(d)
-    )
-    return bf.select(
-        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
-        .cast("bigint")
-        .alias("doc_id"),
-        F.col("length").alias("n_bytes"),
-        F.md5("content").alias("content_hash"),
-    )
+    try:
+        bf = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(d)
+        )
+        return bf.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_hash"),
+        )
+    except BaseException:
+        from ..session import tune
+
+        tune(spark)
+        raise
 
 
 @query(

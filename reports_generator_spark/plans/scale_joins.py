@@ -1301,6 +1301,45 @@ def agg_pushdown_parquet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # billions of rows) MOR is the economic path: zero data files rewritten,
 # and the sidecar is merged away by the next scheduled compaction.
 # --------------------------------------------------------------------------
+def _mor_lake_fixture(
+    spark: SparkSession, sf_dir: str, suffix: str
+) -> tuple[str, str, str, int, int]:
+    """Build (fresh, per invocation) the 8-dir key-range-partitioned
+    orders lake the COW/MOR/compaction delete keys share, under a
+    unique tmp base. Returns (base, data_dir, dv_dir, mx, thr); the
+    CALLER writes the deletion vector (MOR wants file-listing
+    assertions around that write). One definition so the three delete
+    strategies provably operate on the same layout and predicate."""
+    import tempfile
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + f":{suffix}:"
+         + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"rg_{suffix}_{tag}")
+    data = os.path.join(base, "data")
+    dv_dir = os.path.join(base, "_deletes")
+    shutil.rmtree(base, ignore_errors=True)
+
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderkey")).first()[0]  # scalar-only collect
+    thr = (mx + 1) // 4
+    fid = F.floor(
+        F.col("o_orderkey") * float(_COW_PARTS) / (mx + 1)
+    ).cast("bigint")
+    o.withColumn("fid", fid).write.partitionBy("fid").mode(
+        "overwrite"
+    ).parquet(data)
+    return base, data, dv_dir, mx, thr
+
+
+def _mor_hit(thr: int):
+    """The shared delete predicate of the COW/MOR/compaction keys."""
+    return (F.col("o_orderkey") <= thr) & (F.col("o_orderkey") % 5 == 2)
+
+
+
+
 @query(
     "delete_merge_on_read_dv",
     oracle=f"""
@@ -1339,23 +1378,7 @@ def delete_merge_on_read_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is value-identical cross-engine — which the three REAL
     columns attest. Reference contrast: Proof.scala:147-151 can only
     overwrite whole outputs; neither delete path exists there."""
-    import tempfile
-
-    tag = hashlib.md5(
-        (os.path.abspath(sf_dir) + ":mor:" + spark.sparkContext.applicationId)
-        .encode()
-    ).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"rg_mor_{tag}")
-    data = os.path.join(base, "data")
-    dv_dir = os.path.join(base, "_deletes")
-    shutil.rmtree(base, ignore_errors=True)
-
-    o = load_table(spark, sf_dir, "orders")
-    mx = o.agg(F.max("o_orderkey")).first()[0]  # scalar-only collect
-    thr = (mx + 1) // 4
-
-    fid = F.floor(F.col("o_orderkey") * float(_COW_PARTS) / (mx + 1)).cast("bigint")
-    o.withColumn("fid", fid).write.partitionBy("fid").mode("overwrite").parquet(data)
+    _base, data, dv_dir, _mx, thr = _mor_lake_fixture(spark, sf_dir, "mor")
 
     def data_files() -> dict[str, float]:
         out: dict[str, float] = {}
@@ -1371,8 +1394,7 @@ def delete_merge_on_read_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_before = lake.count()
 
     # the DELETE: write the key-set sidecar — no data file touched
-    hit = (F.col("o_orderkey") <= thr) & (F.col("o_orderkey") % 5 == 2)
-    lake.filter(hit).select("o_orderkey").coalesce(1).write.mode(
+    lake.filter(_mor_hit(thr)).select("o_orderkey").coalesce(1).write.mode(
         "overwrite"
     ).parquet(dv_dir)
 
@@ -1774,51 +1796,15 @@ def compact_merge_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFram
     oracle from slice arithmetic. At 100 TB this is the nightly
     OPTIMIZE that keeps read amplification bounded while deletes stay
     O(changed keys) during the day."""
-    import tempfile
+    _base, data, dv_dir, mx, thr = _mor_lake_fixture(spark, sf_dir, "morc")
+    spark.read.parquet(data).filter(_mor_hit(thr)).select(
+        "o_orderkey"
+    ).coalesce(1).write.mode("overwrite").parquet(dv_dir)
 
-    tag = hashlib.md5(
-        (os.path.abspath(sf_dir) + ":morc:" + spark.sparkContext.applicationId)
-        .encode()
-    ).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"rg_morc_{tag}")
-    data = os.path.join(base, "data")
-    dv_dir = os.path.join(base, "_deletes")
-    # the compaction MUTATES the fixture, so rebuild per invocation
-    # (delete_copy_on_write contract)
-    shutil.rmtree(base, ignore_errors=True)
-
-    o = load_table(spark, sf_dir, "orders")
-    mx = o.agg(F.max("o_orderkey")).first()[0]  # scalar-only collect
-    thr = (mx + 1) // 4
-
-    fid = F.floor(F.col("o_orderkey") * float(_COW_PARTS) / (mx + 1)).cast("bigint")
-    o.withColumn("fid", fid).write.partitionBy("fid").mode("overwrite").parquet(data)
-    hit = (F.col("o_orderkey") <= thr) & (F.col("o_orderkey") % 5 == 2)
-    spark.read.parquet(data).filter(hit).select("o_orderkey").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(dv_dir)
-
-    # --- the compaction pass -------------------------------------------
-    # partitions to rewrite are derivable from the DV ALONE (fid is a
-    # function of the key): no scan of the standing table to plan the
-    # rewrite — at 100 TB the planning cost is O(|DV|), not O(table)
-    dv = spark.read.parquet(dv_dir)
-    touched = dv.select(
-        F.floor(F.col("o_orderkey") * float(_COW_PARTS) / (mx + 1))
-        .cast("bigint")
-        .alias("fid")
-    ).distinct()
-    n_rewritten = touched.count()  # bounded by partition count
-
-    lake = spark.read.parquet(data)
-    survivors_in_touched = (
-        lake.join(F.broadcast(touched), "fid")
-        .join(F.broadcast(dv), "o_orderkey", "left_anti")
-    )
-    survivors_in_touched.write.partitionBy("fid").mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).parquet(data)
-    shutil.rmtree(dv_dir)  # the sidecar is merged away
+    fid_of = F.floor(
+        F.col("o_orderkey") * float(_COW_PARTS) / (mx + 1)
+    ).cast("bigint")
+    n_rewritten = compact_away_dv(spark, data, dv_dir, fid_of)
 
     dv_remaining = 1 if os.path.exists(dv_dir) else 0
     back = spark.read.parquet(data)  # plain scan — NO read-side merge
@@ -1830,16 +1816,52 @@ def compact_merge_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def compact_away_dv(spark, data: str, dv_dir: str, fid_of) -> int:
+    """The compaction pass itself, reusable and directly testable:
+    rewrite only the partitions the DV implies (``fid_of`` maps the
+    key column to its partition id — planning cost O(|DV|), no scan
+    of the standing table), apply the anti-join, then handle the
+    boundary dynamic overwrite cannot: a partition whose rows are ALL
+    deleted receives zero survivor rows, so dynamic overwrite leaves
+    its old files in place and a plain rewrite would silently
+    RESURRECT the deleted rows — those emptied partition dirs are
+    dropped explicitly. Finally the sidecar is removed. Returns the
+    number of partitions rewritten or dropped."""
+    dv = spark.read.parquet(dv_dir)
+    touched = dv.select(fid_of.alias("fid")).distinct()
+
+    lake = spark.read.parquet(data)
+    survivors_in_touched = lake.join(F.broadcast(touched), "fid").join(
+        F.broadcast(dv), "o_orderkey", "left_anti"
+    )
+    # partitions that keep at least one survivor (tiny: bounded by the
+    # touched-partition count) — computed BEFORE the overwrite mutates
+    # the directory
+    kept = {
+        r["fid"]
+        for r in survivors_in_touched.select("fid").distinct().collect()
+    }
+    emptied = {
+        r["fid"] for r in touched.collect() if r["fid"] not in kept
+    }
+    survivors_in_touched.write.partitionBy("fid").mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(data)
+    for f in emptied:  # the dynamic-overwrite-cannot-drop boundary
+        shutil.rmtree(os.path.join(data, f"fid={f}"), ignore_errors=True)
+    shutil.rmtree(dv_dir)  # the sidecar is merged away
+    return len(kept) + len(emptied)
+
+
 @query(
     "sink_write_audit_publish",
     oracle="""
     WITH a AS (SELECT o_orderkey,
                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                FROM orders WHERE o_orderkey % 3 = 0),
-    good AS (SELECT o_orderkey, cents FROM (
-               SELECT o_orderkey,
-                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-               FROM orders WHERE o_orderkey % 3 = 1) t),
+    good AS (SELECT o_orderkey,
+                    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             FROM orders WHERE o_orderkey % 3 = 1),
     bad AS (SELECT o_orderkey,
                    CASE WHEN o_orderkey % 11 = 0
                         THEN -CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)

@@ -222,13 +222,15 @@ def test_wap_rejected_batch_never_becomes_visible(spark):
     (vacuum's territory, not the publisher's)."""
     import glob
     import os as _os
+    import tempfile as _tf
 
     row = registry.QUERIES["sink_write_audit_publish"](spark, SF_DIR).first()
     assert row["final_version"] == 2
     assert row["n_published"] == 1 and row["n_rejected"] == 1
     assert row["good_batch_violations"] == 0
     assert row["bad_batch_violations"] > 0
-    base = glob.glob("/tmp/rg_wap_*")
+    # the fixture lives under tempfile.gettempdir(), not literal /tmp
+    base = glob.glob(_os.path.join(_tf.gettempdir(), "rg_wap_*"))
     assert base, "WAP fixture dir must exist"
     b = max(base, key=_os.path.getmtime)
     with open(_os.path.join(b, "manifest-v2.txt")) as f:
@@ -236,3 +238,35 @@ def test_wap_rejected_batch_never_becomes_visible(spark):
     assert "cand-bad" not in published and "cand-good" in published
     # the rejected batch is staged-but-orphaned
     assert _os.path.exists(_os.path.join(b, "data", "cand-bad"))
+
+
+def test_dv_compaction_drops_fully_emptied_partition(spark, tmp_path):
+    """The dynamic-overwrite boundary: a partition whose rows are ALL
+    deleted gets zero survivor rows, which dynamic overwrite cannot
+    drop — the compaction pass must remove it explicitly or the
+    deleted rows RESURRECT on the next plain scan."""
+    from pyspark.sql import functions as F
+
+    from reports_generator_spark.plans.scale_joins import compact_away_dv
+
+    data = str(tmp_path / "data")
+    dv_dir = str(tmp_path / "_deletes")
+    # 2 partitions: fid 0 holds keys 0-4, fid 1 holds keys 5-9
+    lake = spark.range(10).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") / 5).cast("bigint").alias("fid"),
+    )
+    lake.write.partitionBy("fid").parquet(data)
+    # DV deletes ALL of partition 0 and one row of partition 1
+    spark.range(6).select(F.col("id").alias("o_orderkey")).write.parquet(dv_dir)
+
+    n = compact_away_dv(
+        spark, data, dv_dir, (F.col("o_orderkey") / 5).cast("bigint")
+    )
+    assert n == 2  # one rewritten, one dropped
+    back = spark.read.parquet(data)
+    assert sorted(r["o_orderkey"] for r in back.collect()) == [6, 7, 8, 9]
+    import os as _os
+
+    assert not _os.path.exists(_os.path.join(data, "fid=0"))
+    assert not _os.path.exists(dv_dir)
