@@ -210,28 +210,39 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "vacuum_orphan_files_safe", "bucket_pruned_point_lookup",
         "scan_partition_layout_evolution", "agg_pushdown_parquet_stats",
         "corpus_release_end2end",
+        # --- round 9 green (CORRECTNESS_r09.json: 50/50 hash-match) ---
+        # 7 window keys (feature_quantile_bin_approx and scan_binaryfile
+        # were re-windowed re-attests, already listed above); the 5
+        # first-time lakehouse write-path greens are listed here
+        "delete_merge_on_read_dv", "manifest_commit_conflict_detect",
+        "table_changes_cdc_versions", "compact_merge_deletion_vectors",
+        "sink_write_audit_publish",
     }
 )
 
 
 #: Keys whose ATTESTATION must (re-)run through the driver's bounded
-#: 50-key window in the CURRENT round (round 9), so they sort FIRST:
-#: every NEW round-9 key, plus any key whose oracle TEXT changed this
-#: round (the r8 rule: an oracle edit invalidates the earlier green).
+#: 50-key window in the CURRENT round (round 10), so they sort FIRST:
+#: every NEW round-10 key, plus any key whose oracle TEXT or plan
+#: changed this round (the r8 rule: an oracle edit invalidates the
+#: earlier green; the r9 convention re-attests plan changes too).
 _ADDED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # round-9 lakehouse write-path completions (VERDICT r8 items 4-6)
-        "delete_merge_on_read_dv", "manifest_commit_conflict_detect",
-        "table_changes_cdc_versions", "compact_merge_deletion_vectors",
+        # plan/protocol changed this round (ADVICE r9: ABA read-set
+        # validation now walks every intervening commit) — re-attested
+        "manifest_commit_conflict_detect",
+        # plan changed this round (ADVICE r9: survivors staged before the
+        # dynamic overwrite; emptied dirs dropped pre-DV-removal so a
+        # crash retry re-derives them) — re-attested
+        "compact_merge_deletion_vectors",
+        # audit economics changed this round (VERDICT r9 item 8: row-local
+        # expectation classes audit staged files only) — re-attested
         "sink_write_audit_publish",
-        # oracle text changed this round (exact quantile_cont replacing
-        # DuckDB's approx_quantile per ADVICE r8 — the green row must be
-        # re-earned under the new oracle)
-        "feature_quantile_bin_approx",
-        # plan changed this round (small-object open-cost packing after
-        # the full-surface sf1 sweep flagged 12.5k-task overhead) —
-        # values identical, re-attested anyway per the r8 convention
-        "scan_binaryfile",
+        # round-10 lakehouse metadata-scaling keys (VERDICT r9 items 2-3)
+        "expire_snapshots_retention", "manifest_checkpoint_compaction",
+        "merge_mor_transactional",
+        # round-10 exactly-once streaming recovery (VERDICT r9 item 4)
+        "stream_exactly_once_replay",
     }
 )
 
