@@ -23,7 +23,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from reports_generator_spark.session import get_spark
+    from reports_generator_spark.session import get_spark, tune
     from reports_generator_spark.plans import registry
 
     registry.load_all()
@@ -104,6 +104,11 @@ def main() -> None:
         except Exception as exc:  # a failing query must not hide the rest
             timings[name] = -1.0
             print(f"BENCH-ERROR {name}: {exc}", file=sys.stderr)
+        finally:
+            # conf-mutating keys stay degraded until their lazy frame
+            # executes (the save above); restore HERE so no key depends
+            # on a next key's tune() running (ADVICE r9)
+            tune(spark)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -1466,11 +1466,21 @@ def commit_with_conflict_detection(
     outcome depends on, raise CommitConflict (ABORT — the lost-update
     this protocol exists to prevent).
 
+    Read-set validation walks EVERY intervening commit
+    (parent+1..latest), not just the latest manifest: a file removed
+    and later re-added under the same name between the two (the ABA
+    case — e.g. a compaction dropped it, then an unrelated writer
+    appended a new file reusing the name) is still a conflict,
+    because the re-added file is not the bytes this writer read.
+    Delta and Iceberg validate per intervening commit for the same
+    reason.
+
     Returns (committed_version, n_retries)."""
     import tempfile
 
     rm = set(remove)
     v = parent_v
+    validated_thru = parent_v  # read_set checked against commits ≤ this
     for attempt in range(max_retries + 1):
         files = [b for b in _log_read(base, v) if b not in rm] + add
         target = os.path.join(base, f"manifest-v{v + 1}.txt")
@@ -1486,12 +1496,20 @@ def commit_with_conflict_detection(
                 os.link(tmp, target)  # the atomic claim-with-content
             except FileExistsError:
                 latest = _log_versions(base)[-1]
-                missing = read_set - set(_log_read(base, latest))
-                if missing:
-                    raise CommitConflict(
-                        f"files {sorted(missing)} were removed by a "
-                        f"concurrent commit (v{v + 1}..v{latest})"
-                    ) from None
+                # validate read_set against EACH intervening commit:
+                # removal at any step aborts, even if a same-named file
+                # exists again in a later version (ABA)
+                prev = set(_log_read(base, validated_thru))
+                for w in range(validated_thru + 1, latest + 1):
+                    cur = set(_log_read(base, w))
+                    clobbered = read_set & (prev - cur)
+                    if clobbered:
+                        raise CommitConflict(
+                            f"files {sorted(clobbered)} were removed by "
+                            f"concurrent commit v{w}"
+                        ) from None
+                    prev = cur
+                validated_thru = latest
                 v = latest  # independent change: rebase and retry
                 continue
             return v + 1, attempt
@@ -1826,14 +1844,26 @@ def compact_away_dv(spark, data: str, dv_dir: str, fid_of) -> int:
     its old files in place and a plain rewrite would silently
     RESURRECT the deleted rows — those emptied partition dirs are
     dropped explicitly. Finally the sidecar is removed. Returns the
-    number of partitions rewritten or dropped."""
+    number of partitions rewritten or dropped.
+
+    Crash-safety ordering: the sidecar is removed LAST, so a reader
+    between a partial compaction and the retry still merges the DV and
+    never sees a deleted row; a retry re-derives both the touched and
+    the emptied partition sets from the surviving DV (an emptied dir's
+    rows are all DV hits, so they anti-join to zero survivors again),
+    making every step idempotent. The survivor relation is eagerly
+    MATERIALIZED (localCheckpoint) before the overwrite — the write
+    job must not lazily re-read the very path it is overwriting;
+    dynamic partitionOverwriteMode's stage-then-commit happens to make
+    that safe today, but a compaction's correctness shouldn't ride on
+    a commit-protocol implementation detail."""
     dv = spark.read.parquet(dv_dir)
     touched = dv.select(fid_of.alias("fid")).distinct()
 
     lake = spark.read.parquet(data)
     survivors_in_touched = lake.join(F.broadcast(touched), "fid").join(
         F.broadcast(dv), "o_orderkey", "left_anti"
-    )
+    ).localCheckpoint()  # cut the lineage back to the path being rewritten
     # partitions that keep at least one survivor (tiny: bounded by the
     # touched-partition count) — computed BEFORE the overwrite mutates
     # the directory
@@ -1851,6 +1881,18 @@ def compact_away_dv(spark, data: str, dv_dir: str, fid_of) -> int:
         shutil.rmtree(os.path.join(data, f"fid={f}"), ignore_errors=True)
     shutil.rmtree(dv_dir)  # the sidecar is merged away
     return len(kept) + len(emptied)
+
+
+def wap_audit_row_local(spark: SparkSession, staged_path: str) -> DataFrame:
+    """The WAP expectation audit for ROW-LOCAL rules (cents > 0, key
+    non-null): a violation in the would-be snapshot (base ∪ staged)
+    can only come from a staged row, so the audit frame reads the
+    staged files ONLY — at 100 TB the quality gate costs one scan of
+    the new batch, never of the published table. Module-level so
+    tests can assert the frame's inputFiles exclude the base."""
+    return spark.read.parquet(staged_path).filter(
+        (F.col("cents") <= 0) | F.col("o_orderkey").isNull()
+    )
 
 
 @query(
@@ -1898,8 +1940,17 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted rule — only final_version/n_published/n_rejected are
     protocol facts (documented exemption class). This is the
     quality gate every production ingestion runs BEFORE making data
-    visible; at 100 TB the audit costs one scan of the staged files
-    only (the base is already attested)."""
+    visible; at 100 TB the audit costs one scan of the STAGED FILES
+    ONLY — the planted expectations (cents > 0, key non-null) are
+    ROW-LOCAL, so a violation in the would-be snapshot can only come
+    from a staged row; the already-published base need not be
+    rescanned (tests assert the audit's inputFiles exclude it).
+    Expectation classes that are NOT row-local — uniqueness/PK (a
+    staged key may collide with a base key), FK referential integrity
+    (a staged row may reference a base row), cross-row aggregates
+    (row-count drift, distribution shift) — genuinely require the
+    base side too, though as an index/anti-join probe of the staged
+    keys against base statistics, never a full base rescan."""
     import tempfile
 
     tag = hashlib.md5(
@@ -1928,17 +1979,11 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.parquet(os.path.join(data, "cand-bad"))
 
     def audit(staged: str) -> int:
-        """Violations of the expectation suite over the SNAPSHOT a
-        reader would see if published (base ∪ staged); the planted
-        rule is cents > 0 and key non-null. Scalar-only collect."""
-        latest = _log_versions(base)[-1]
-        snap = spark.read.parquet(
-            *[os.path.join(data, b) for b in _log_read(base, latest)],
-            os.path.join(data, staged),
-        )
-        return snap.filter(
-            (F.col("cents") <= 0) | F.col("o_orderkey").isNull()
-        ).count()
+        """Violations the would-be snapshot (base ∪ staged) adds over
+        the published base. The rules here are ROW-LOCAL, so only the
+        staged files can introduce one — the audit scans them alone
+        (inputFiles asserted base-free in tests). Scalar-only collect."""
+        return wap_audit_row_local(spark, os.path.join(data, staged)).count()
 
     n_published = n_rejected = 0
     violations = {}

@@ -27,6 +27,25 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _restore_runtime_conf():
+    """Conf-mutating keys (scan_binaryfile, join_skew_aqe_adaptive,
+    agg_pushdown_parquet_stats, …) deliberately leave their degraded
+    conf in place until the returned lazy frame executes; in the
+    driver/bench loop the NEXT key's tune() restores it. Tests have no
+    such next key, so restore after EVERY test — a leaked
+    openCostInBytes/advisory-size would silently degrade every later
+    test in the session (ADVICE r9)."""
+    yield
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        from reports_generator_spark.session import tune
+
+        tune(s)
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()

@@ -74,6 +74,24 @@ def test_commit_abort_leaves_no_tmp_debris(log):
     assert not [f for f in os.listdir(log) if f.endswith(".tmp")]
 
 
+def test_commit_aba_removed_then_readded_name_still_aborts(log):
+    """ABA: a read_set file removed by one intervening commit and
+    re-added under the SAME NAME by a later one must still abort —
+    the re-added file is not the bytes this writer read, so
+    validating only against the latest manifest would commit on a
+    stale snapshot (the Delta/Iceberg per-commit validation rule)."""
+    # v2: compaction removes b1
+    commit_with_conflict_detection(log, 1, add=["b1c"], remove=["b1"], read_set={"b1"})
+    # v3: unrelated append reuses the name b1
+    commit_with_conflict_detection(log, 2, add=["b1"], remove=[], read_set=set())
+    assert "b1" in _read(log, 3)  # latest DOES contain b1 again
+    with pytest.raises(CommitConflict, match="b1"):
+        commit_with_conflict_detection(
+            log, 1, add=["b1c2"], remove=["b1"], read_set={"b1"}
+        )
+    assert not os.path.exists(os.path.join(log, "manifest-v4.txt"))
+
+
 def test_commit_retry_chain_across_multiple_losses(log):
     # two independent commits land first
     commit_with_conflict_detection(log, 1, add=["b3"], remove=[], read_set=set())
@@ -240,6 +258,34 @@ def test_wap_rejected_batch_never_becomes_visible(spark):
     assert _os.path.exists(_os.path.join(b, "data", "cand-bad"))
 
 
+def test_wap_row_local_audit_reads_staged_files_only(spark, tmp_path):
+    """Audit economics: for row-local expectation rules, the audit
+    frame must scan the STAGED batch only — its inputFiles must not
+    include any published base file (at 100 TB the base rescan is the
+    difference between a cheap gate and an unaffordable one)."""
+    from pyspark.sql import functions as F
+
+    from reports_generator_spark.plans.scale_joins import wap_audit_row_local
+
+    base_dir = str(tmp_path / "base")
+    staged_dir = str(tmp_path / "staged")
+    t = spark.range(20).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") + 1).alias("cents")
+    )
+    t.filter(F.col("o_orderkey") % 2 == 0).write.parquet(base_dir)
+    t.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "cents",
+        F.when(F.col("o_orderkey") == 11, F.lit(-1)).otherwise(F.col("cents")),
+    ).write.parquet(staged_dir)
+
+    audit = wap_audit_row_local(spark, staged_dir)
+    assert audit.count() == 1  # the planted violation is found
+    scanned = audit.inputFiles()
+    assert scanned, "audit must actually read the staged files"
+    assert all("staged" in p for p in scanned), scanned
+    assert not any("base" in p for p in scanned), scanned
+
+
 def test_dv_compaction_drops_fully_emptied_partition(spark, tmp_path):
     """The dynamic-overwrite boundary: a partition whose rows are ALL
     deleted gets zero survivor rows, which dynamic overwrite cannot
@@ -268,5 +314,52 @@ def test_dv_compaction_drops_fully_emptied_partition(spark, tmp_path):
     assert sorted(r["o_orderkey"] for r in back.collect()) == [6, 7, 8, 9]
     import os as _os
 
+    assert not _os.path.exists(_os.path.join(data, "fid=0"))
+    assert not _os.path.exists(dv_dir)
+
+
+def test_dv_compaction_retry_after_crash_window_is_idempotent(spark, tmp_path):
+    """Crash-safety: the sidecar is removed LAST, so a run that dies
+    between the partition overwrite and the emptied-dir/sidecar
+    cleanup leaves (rewritten survivors + stale emptied dir + DV).
+    A retry must re-derive everything from the surviving DV and
+    converge to the same final state — no resurrection, no double
+    deletion."""
+    from pyspark.sql import functions as F
+
+    from reports_generator_spark.plans.scale_joins import compact_away_dv
+
+    data = str(tmp_path / "data")
+    dv_dir = str(tmp_path / "_deletes")
+    fid_of = (F.col("o_orderkey") / 5).cast("bigint")
+    lake = spark.range(10).select(
+        F.col("id").alias("o_orderkey"), fid_of.alias("fid")
+    )
+    lake.write.partitionBy("fid").parquet(data)
+    dv = spark.range(6).select(F.col("id").alias("o_orderkey"))
+    dv.write.parquet(dv_dir)
+
+    # simulate the crash window: the overwrite COMMITTED (fid=1 holds
+    # only its survivors) but the run died before dropping the emptied
+    # fid=0 dir and the sidecar
+    spark.createDataFrame([(k, 1) for k in (6, 7, 8, 9)], "o_orderkey long, fid long") \
+        .write.partitionBy("fid").mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic").parquet(data)
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(data, "fid=0"))  # stale, pre-retry
+    assert _os.path.exists(dv_dir)
+
+    # a reader BETWEEN crash and retry still merges the DV: no
+    # deleted row is ever visible
+    merged = spark.read.parquet(data).join(
+        spark.read.parquet(dv_dir), "o_orderkey", "left_anti"
+    )
+    assert sorted(r["o_orderkey"] for r in merged.collect()) == [6, 7, 8, 9]
+
+    # the retry converges
+    compact_away_dv(spark, data, dv_dir, fid_of)
+    back = spark.read.parquet(data)
+    assert sorted(r["o_orderkey"] for r in back.collect()) == [6, 7, 8, 9]
     assert not _os.path.exists(_os.path.join(data, "fid=0"))
     assert not _os.path.exists(dv_dir)
