@@ -302,6 +302,10 @@ def load_all() -> None:
     # release key (clean → near-dedup → decontaminate → mix → shard →
     # pack as ONE plan with observe() telemetry)
     from . import release  # noqa: F401
+    # lakehouse_meta.py registers the round-10 metadata-scaling +
+    # transactional-MERGE surface (snapshot expiry, delta-log
+    # checkpointing, MOR MERGE through one OCC commit)
+    from . import lakehouse_meta  # noqa: F401
 
     # Reorder for the driver's bounded attestation window (round 1 cut off
     # at exactly 50 entries): keys added/changed this round first (their

@@ -282,6 +282,32 @@ def stream_foreachbatch_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_upsert_foreachbatch(spark, sf_dir)
 
 
+@query(
+    "stream_exactly_once_replay",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum,
+           count(*) - count(DISTINCT event_id) AS n_duplicate_rows,
+           CAST(3 AS BIGINT) AS n_epochs_published,
+           CAST(1 AS BIGINT) AS n_replays_suppressed
+    FROM events
+    """,
+)
+def stream_exactly_once_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once foreachBatch recovery: the stream publishes three
+    epochs through a stage-then-claim-marker sink, epoch 1 is then
+    RE-DELIVERED (the crash-between-commit-and-checkpoint-ack path —
+    foreachBatch's contract is at-least-once, so idempotence is the
+    sink's job), and the published table must still equal the events
+    relation exactly — n_duplicate_rows is a REAL cross-engine column
+    (event_id is unique), so any double-publish fails the hash. See
+    streaming/foreach_sink.py::exactly_once_publish (the Delta/Iceberg
+    txnAppId/txnVersion idempotent-writer pattern)."""
+    from ..streaming.foreach_sink import stream_exactly_once_replay
+
+    return stream_exactly_once_replay(spark, sf_dir)
+
+
 
 @query(
     "stream_sliding_window_agg",

@@ -85,6 +85,151 @@ def merge_snapshot(cur: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Exactly-once foreachBatch publish: epoch-id idempotence.
+#
+# Structured Streaming's recovery contract for foreachBatch is
+# AT-LEAST-ONCE: if the process dies between the sink running and the
+# checkpoint acknowledging the epoch, the restarted query re-delivers
+# the SAME (batch_df, batch_id). Exactly-once therefore lives in the
+# sink: publication is a two-step (stage the batch, then atomically
+# claim an epoch marker), and a replayed epoch finds the marker and
+# becomes a no-op. This is precisely the Delta/Iceberg
+# txnAppId/txnVersion idempotent-writer pattern.
+# --------------------------------------------------------------------------
+def exactly_once_publish(batch_df: DataFrame, batch_id: int, target: str) -> str:
+    """Idempotent per-epoch publish into ``target``:
+
+    1. STAGE the batch under ``_staged/epoch-{id}-{uuid}`` (a crash
+       here leaves an unreferenced orphan — vacuum territory, never
+       visible to readers);
+    2. CLAIM ``_log/epoch-{id}.txt`` by hard-linking a fully-written
+       temp file containing the staged dir's name (atomic
+       create-with-content, same mechanics as the manifest log's OCC
+       claim) — exactly one attempt per epoch can win.
+
+    A replayed batch (same batch_id after crash-before-checkpoint-ack)
+    finds the marker, removes its own re-staged dir and reports
+    ``replay-skipped`` — readers resolve markers, so each epoch's rows
+    are visible EXACTLY once no matter how many times the engine
+    re-delivers it."""
+    import tempfile
+
+    staged_rel = f"epoch-{batch_id}-{uuid.uuid4().hex[:8]}"
+    staged = os.path.join(target, "_staged", staged_rel)
+    log_dir = os.path.join(target, "_log")
+    os.makedirs(log_dir, exist_ok=True)
+    batch_df.write.parquet(staged)
+
+    marker = os.path.join(log_dir, f"epoch-{batch_id}.txt")
+    fd, tmp = tempfile.mkstemp(
+        prefix=f"epoch-{batch_id}.", suffix=".tmp", dir=log_dir
+    )
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(staged_rel)
+        try:
+            os.link(tmp, marker)
+        except FileExistsError:
+            # the epoch already published (this is a replay): drop the
+            # re-staged copy — the first publication stays the only one
+            shutil.rmtree(staged, ignore_errors=True)
+            return "replay-skipped"
+        return "published"
+    finally:
+        os.remove(tmp)
+
+
+def read_published(spark: SparkSession, target: str) -> DataFrame:
+    """A reader resolves the epoch MARKERS, never the staging area:
+    orphaned staged dirs (crash between stage and claim, or a replay's
+    discarded copy) are invisible by construction."""
+    log_dir = os.path.join(target, "_log")
+    staged = [
+        open(os.path.join(log_dir, m)).read().strip()
+        for m in sorted(os.listdir(log_dir))
+        if m.startswith("epoch-") and m.endswith(".txt")
+    ]
+    return spark.read.parquet(
+        *[os.path.join(target, "_staged", s) for s in staged]
+    )
+
+
+def stream_exactly_once_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the events stream through the exactly-once sink as THREE
+    micro-batches (3 source files, maxFilesPerTrigger=1), then replay
+    epoch 1 — the crash-between-commit-and-checkpoint-ack recovery
+    path, where Structured Streaming re-delivers the same (batch_df,
+    batch_id) — and prove the published table is unchanged: the sink's
+    epoch marker suppresses the second publication. Returns the final
+    published relation's audit row; the duplicate count is a REAL
+    cross-engine column (event_id is unique in the fixture, so any
+    double-publish would surface as n_duplicate_rows > 0)."""
+    s = _stream_session(spark)
+    tag = _eos_tag(spark, sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"rg_eos_{tag}")
+    src = os.path.join(base, "src")
+    target = os.path.join(base, "table")
+    # the publish/replay protocol IS the operator — rebuild per run
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src)
+
+    ev = s.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "event_type"
+    )
+    t0 = 1_600_000_000
+    for i in range(3):
+        tmp = os.path.join(base, f"__slice{i}")
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(tmp)
+        fn = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+        dst = os.path.join(src, f"slice-{i}.parquet")
+        shutil.copy(os.path.join(tmp, fn), dst)
+        os.utime(dst, (t0 + 100 * i, t0 + 100 * i))  # mtime = batch order
+        shutil.rmtree(tmp)
+
+    outcomes: list[str] = []
+    schema = s.read.parquet(src).schema
+    stream = (
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: outcomes.append(exactly_once_publish(df, bid, target))
+        )
+        .option("checkpointLocation", os.path.join(base, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_published = outcomes.count("published")
+
+    # THE REPLAY: re-deliver epoch 1 with its exact batch content (what
+    # the engine does on restart if the ack for batch 1 was lost)
+    replay_df = s.read.parquet(os.path.join(src, "slice-1.parquet"))
+    replay_outcome = exactly_once_publish(replay_df, 1, target)
+    n_suppressed = int(replay_outcome == "replay-skipped")
+
+    pub = read_published(s, target)
+    return pub.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("id_checksum"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias(
+            "n_duplicate_rows"
+        ),
+        F.lit(n_published).cast("bigint").alias("n_epochs_published"),
+        F.lit(n_suppressed).cast("bigint").alias("n_replays_suppressed"),
+    )
+
+
+def _eos_tag(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+
+    return hashlib.md5(
+        (os.path.abspath(sf_dir) + ":eos:" + spark.sparkContext.applicationId)
+        .encode()
+    ).hexdigest()[:10]
+
+
 def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the file-source event stream through a foreachBatch MERGE
     into a parquet snapshot; return the final snapshot."""

@@ -363,3 +363,127 @@ def test_dv_compaction_retry_after_crash_window_is_idempotent(spark, tmp_path):
     assert sorted(r["o_orderkey"] for r in back.collect()) == [6, 7, 8, 9]
     assert not _os.path.exists(_os.path.join(data, "fid=0"))
     assert not _os.path.exists(dv_dir)
+
+
+# --------------------------------------------------------------------------
+# Round-10 metadata scaling: snapshot expiry + checkpointed delta log
+# --------------------------------------------------------------------------
+def _mklog(base, versions):
+    """Write a full-file-list manifest log: versions = [[files...], ...]."""
+    for i, files in enumerate(versions, start=1):
+        with open(os.path.join(base, f"manifest-v{i}.txt"), "w") as f:
+            f.write("\n".join(files))
+
+
+def test_expire_snapshots_retention_boundary(tmp_path):
+    from reports_generator_spark.plans.lakehouse_meta import expire_snapshots
+
+    base = str(tmp_path)
+    _mklog(base, [["b0"], ["b0", "b1"], ["b0c", "b1"], ["b0c", "b1", "b2"]])
+
+    expired, unref = expire_snapshots(base, keep_last_n=2)
+    assert expired == [1, 2]
+    # b0 was referenced only by expired versions; b0c/b1 stay live
+    assert unref == ["b0"]
+    assert not os.path.exists(os.path.join(base, "manifest-v1.txt"))
+    assert not os.path.exists(os.path.join(base, "manifest-v2.txt"))
+    assert os.path.exists(os.path.join(base, "manifest-v3.txt"))
+    assert os.path.exists(os.path.join(base, "manifest-v4.txt"))
+
+
+def test_expire_snapshots_keep_all_is_noop(tmp_path):
+    from reports_generator_spark.plans.lakehouse_meta import expire_snapshots
+
+    base = str(tmp_path)
+    _mklog(base, [["b0"], ["b0", "b1"]])
+    expired, unref = expire_snapshots(base, keep_last_n=5)
+    assert expired == [] and unref == []
+    assert os.path.exists(os.path.join(base, "manifest-v1.txt"))
+
+
+def test_expire_snapshots_must_keep_at_least_one(tmp_path):
+    from reports_generator_spark.plans.lakehouse_meta import expire_snapshots
+
+    base = str(tmp_path)
+    _mklog(base, [["b0"]])
+    with pytest.raises(ValueError):
+        expire_snapshots(base, keep_last_n=0)
+
+
+def test_expire_snapshots_file_shared_with_live_version_survives(tmp_path):
+    """A file referenced by BOTH an expired and a kept version must
+    NOT be reported vacuumable — deleting it would corrupt a live
+    snapshot."""
+    from reports_generator_spark.plans.lakehouse_meta import expire_snapshots
+
+    base = str(tmp_path)
+    _mklog(base, [["shared", "old"], ["shared", "new"]])
+    expired, unref = expire_snapshots(base, keep_last_n=1)
+    assert expired == [1]
+    assert unref == ["old"]  # "shared" is still live
+
+
+def test_delta_log_checkpoint_and_replay_agree(tmp_path):
+    from reports_generator_spark.plans.lakehouse_meta import (
+        _CKPT_EVERY,
+        delta_commit,
+        read_snapshot_checkpointed,
+        replay_deltas,
+    )
+
+    base = str(tmp_path)
+    v = 0
+    for i in range(2 * _CKPT_EVERY + 3):
+        v = delta_commit(base, v, add=[f"s{i}"], remove=[])
+    v = delta_commit(base, v, add=["c01"], remove=["s0", "s1"])
+
+    ckpt_files, ckpt_reads = read_snapshot_checkpointed(base)
+    naive_files, naive_reads = replay_deltas(base)
+    assert ckpt_files == naive_files
+    assert "s0" not in ckpt_files and "c01" in ckpt_files
+    # the whole point: metadata reads bounded by the checkpoint interval
+    assert ckpt_reads <= 1 + _CKPT_EVERY
+    assert naive_reads == v
+
+
+def test_delta_log_read_before_first_checkpoint(tmp_path):
+    """With no checkpoint yet, the reader degrades to a full replay —
+    correct, just not yet O(1)."""
+    from reports_generator_spark.plans.lakehouse_meta import (
+        delta_commit,
+        read_snapshot_checkpointed,
+    )
+
+    base = str(tmp_path)
+    v = delta_commit(base, 0, add=["a"], remove=[])
+    delta_commit(base, v, add=["b"], remove=[])
+    files, reads = read_snapshot_checkpointed(base)
+    assert files == {"a", "b"} and reads == 2
+
+
+def test_mor_manifest_dv_position_is_semantic(spark, tmp_path):
+    """A dv: entry suppresses keys only in files listed BEFORE it —
+    rows appended by the same MERGE commit (listed after) must
+    survive, otherwise an upsert would delete its own updates."""
+    from pyspark.sql import functions as F
+
+    from reports_generator_spark.plans.lakehouse_meta import read_mor_snapshot
+
+    base = str(tmp_path)
+    data = os.path.join(base, "data")
+    os.makedirs(data)
+    old = spark.createDataFrame([(1, 10), (2, 20)], "o_orderkey long, cents long")
+    new = spark.createDataFrame([(1, 99)], "o_orderkey long, cents long")
+    dv = spark.createDataFrame([(1,)], "o_orderkey long")
+    old.write.parquet(os.path.join(data, "old"))
+    new.write.parquet(os.path.join(data, "new"))
+    dv.write.parquet(os.path.join(data, "dv1"))
+    with open(os.path.join(base, "manifest-v1.txt"), "w") as f:
+        f.write("old\ndv:dv1\nnew")
+
+    rows = {
+        (r["o_orderkey"], r["cents"])
+        for r in read_mor_snapshot(spark, base, data, 1).collect()
+    }
+    # key 1's OLD version suppressed, NEW version (after the dv) kept
+    assert rows == {(1, 99), (2, 20)}

@@ -213,3 +213,78 @@ def test_watermark_late_drop_actually_drops(spark):
     assert dropped > 0, [p.get("stateOperators") for p in progress]
     # batches really were separate: 3 input files -> >= 3 progress entries
     assert len(progress) >= 3
+
+
+# --------------------------------------------------------------------------
+# exactly_once_publish: the epoch-idempotent foreachBatch sink
+# --------------------------------------------------------------------------
+def test_exactly_once_replay_of_same_epoch_is_suppressed(spark, tmp_path):
+    from reports_generator_spark.streaming.foreach_sink import (
+        exactly_once_publish,
+        read_published,
+    )
+
+    target = str(tmp_path / "t")
+    batch = spark.createDataFrame([(1,), (2,)], "event_id long")
+    assert exactly_once_publish(batch, 0, target) == "published"
+    # the recovery replay: same batch_id re-delivered
+    assert exactly_once_publish(batch, 0, target) == "replay-skipped"
+    rows = sorted(r["event_id"] for r in read_published(spark, target).collect())
+    assert rows == [1, 2]  # exactly once, not twice
+
+
+def test_exactly_once_distinct_epochs_all_publish(spark, tmp_path):
+    from reports_generator_spark.streaming.foreach_sink import (
+        exactly_once_publish,
+        read_published,
+    )
+
+    target = str(tmp_path / "t")
+    for bid in range(3):
+        df = spark.createDataFrame([(bid,)], "event_id long")
+        assert exactly_once_publish(df, bid, target) == "published"
+    assert read_published(spark, target).count() == 3
+
+
+def test_exactly_once_crash_before_claim_leaves_invisible_orphan(spark, tmp_path):
+    """Crash between STAGE and CLAIM: the staged dir exists but no
+    marker references it — readers must not see it, and the engine's
+    replay of that epoch publishes exactly once."""
+    import os
+
+    from reports_generator_spark.streaming.foreach_sink import (
+        exactly_once_publish,
+        read_published,
+    )
+
+    target = str(tmp_path / "t")
+    batch = spark.createDataFrame([(7,)], "event_id long")
+    # simulate the first attempt dying after staging, before the claim
+    orphan = os.path.join(target, "_staged", "epoch-0-deadcafe")
+    batch.write.parquet(orphan)
+    os.makedirs(os.path.join(target, "_log"), exist_ok=True)
+
+    # the replay (engine re-delivers epoch 0) publishes normally
+    assert exactly_once_publish(batch, 0, target) == "published"
+    pub = read_published(spark, target)
+    assert [r["event_id"] for r in pub.collect()] == [7]  # one copy
+    assert os.path.exists(orphan)  # vacuum territory, not the reader's
+
+
+def test_exactly_once_replay_discards_its_restaged_copy(spark, tmp_path):
+    """The suppressed replay must not leak its re-staged dir into the
+    reader's view, and must leave exactly one marker for the epoch."""
+    import os
+
+    from reports_generator_spark.streaming.foreach_sink import (
+        exactly_once_publish,
+        read_published,
+    )
+
+    target = str(tmp_path / "t")
+    batch = spark.createDataFrame([(1,)], "event_id long")
+    exactly_once_publish(batch, 5, target)
+    exactly_once_publish(batch, 5, target)
+    markers = os.listdir(os.path.join(target, "_log"))
+    assert markers == ["epoch-5.txt"]
+    assert read_published(spark, target).count() == 1
