@@ -1032,3 +1032,177 @@ def test_generated_grouping_sets_matches_duckdb(spark, duck, mode, ndims, seed):
         assert_matches_oracle(sdf, duck, body)
     finally:
         spark.catalog.dropTempView(view)
+
+
+# --- timestamp / timezone fuzzing (round-10 family) --------------------
+# The classic cross-engine divergence zone: date_trunc week anchors,
+# month-end clamped arithmetic, epoch-microsecond boundaries, and
+# format→parse round-trips, all under the engine's pinned UTC session
+# timezone. Output discipline per the portable-spelling rules: every
+# temporal value leaves the query as a formatted STRING or an integer
+# (never a raw DATE/TIMESTAMP column), and integer division uses the
+# engines' integer `div`/`//`, never double division.
+
+
+def _events_ts(spark):
+    """events.ts as a Spark TIMESTAMP column (fixture stores NANOS;
+    the nanosAsLong conf surfaces them as raw longs at read time —
+    rescale through the production loader)."""
+    import conftest
+
+    from reports_generator_spark.sources.tables import load_table
+
+    return load_table(spark, conftest.SF_DIR, "events")
+
+
+_TRUNC_UNITS = ["year", "quarter", "month", "week", "day", "hour"]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.sampled_from(_TRUNC_UNITS),
+    st.integers(2, 7),
+    st.integers(0, 1),
+)
+def test_generated_date_trunc_matches_duckdb(spark, duck, unit, mod, res):
+    """date_trunc at every unit — including 'week', whose Monday
+    anchor and year-boundary behavior (orders span 1995-2001, so ISO
+    week 52/53 edges are in-domain) must agree cross-engine — grouped
+    and counted, the bucket emitted as a formatted string."""
+    o = spark.read.parquet(
+        "%s/orders.parquet" % __import__("conftest").SF_DIR
+    ).filter((F.col("o_orderkey") % mod) == (res % mod))
+    sdf = o.groupBy(
+        F.date_format(F.date_trunc(unit, "o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+    )
+    sql = f"""
+        SELECT strftime(date_trunc('{unit}', o_orderdate),
+                        '%Y-%m-%d %H:%M:%S') AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key
+        FROM orders WHERE o_orderkey % {mod} = {res % mod}
+        GROUP BY 1
+    """
+    assert_matches_oracle(sdf, duck, sql)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.integers(0, 30),
+    st.integers(-25, 25),
+    st.booleans(),
+)
+def test_generated_month_arithmetic_matches_duckdb(spark, duck, d, n, use_last_day):
+    """Month-end clamped arithmetic: shift each order date by d days
+    (synthesizing genuine month-end dates — the fixture's dates are
+    month-starts), then add n months (clamping: Jan 31 + 1 month must
+    be Feb 28/29 on BOTH engines), optionally through last_day."""
+    o = spark.read.parquet(
+        "%s/orders.parquet" % __import__("conftest").SF_DIR
+    )
+    shifted = F.add_months(F.date_add(F.col("o_orderdate"), d), n)
+    if use_last_day:
+        shifted = F.last_day(shifted)
+    sdf = o.groupBy(
+        F.date_format(shifted, "yyyy-MM-dd").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    dk = f"CAST((CAST(o_orderdate AS DATE) + to_days({d}) + to_months({n})) AS DATE)"
+    if use_last_day:
+        dk = f"last_day({dk})"
+    sql = f"""
+        SELECT strftime({dk}, '%Y-%m-%d') AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    """
+    assert_matches_oracle(sdf, duck, sql)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.sampled_from([2, 3, 5, 7, 1000, 1_000_000]), st.integers(0, 1))
+def test_generated_epoch_micros_matches_duckdb(spark, duck, mod, res):
+    """Epoch-microsecond boundary arithmetic on sub-second event
+    timestamps: bucket by epoch_us % mod (mod 1e6 isolates the
+    sub-second fraction), aggregate with integer division only —
+    unix_micros needs the NTZ→LTZ cast, value-preserving under the
+    pinned UTC session."""
+    ev = _events_ts(spark)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    sdf = ev.groupBy((us % mod == res).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min(us).cast("bigint").alias("mn_us"),
+        F.max(us).cast("bigint").alias("mx_us"),
+        F.sum(F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"))
+        .cast("bigint").alias("sum_sec"),
+    )
+    sql = f"""
+        SELECT (epoch_us(ts) % {mod} = {res}) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(epoch_us(ts)) AS BIGINT) AS mn_us,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS mx_us,
+               CAST(sum(epoch_us(ts) // 1000000) AS BIGINT) AS sum_sec
+        FROM events GROUP BY 1
+    """
+    assert_matches_oracle(sdf, duck, sql)
+
+
+_FMT_PAIRS = [
+    ("yyyy-MM-dd HH:mm:ss", "%Y-%m-%d %H:%M:%S"),
+    ("yyyy-MM-dd", "%Y-%m-%d"),
+    ("yyyy-MM", "%Y-%m"),
+]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.sampled_from(range(len(_FMT_PAIRS))), st.integers(2, 5))
+def test_generated_format_parse_roundtrip_matches_duckdb(spark, duck, fi, mod):
+    """format → to_timestamp/strptime round-trip at decreasing
+    precision: the reparsed value truncates (never rounds) dropped
+    fields to their unit start on BOTH engines; compared as epoch
+    seconds after the round-trip."""
+    sfmt, dfmt = _FMT_PAIRS[fi]
+    ev = _events_ts(spark)
+    reparsed = F.to_timestamp(
+        F.date_format(F.col("ts").cast("timestamp"), sfmt), sfmt
+    )
+    sec = F.expr(
+        f"unix_micros(to_timestamp(date_format(CAST(ts AS TIMESTAMP),"
+        f" '{sfmt}'), '{sfmt}')) div 1000000"
+    )
+    sdf = ev.filter((F.col("event_id") % mod) == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min(sec).cast("bigint").alias("mn_sec"),
+        F.max(sec).cast("bigint").alias("mx_sec"),
+        F.countDistinct(reparsed).cast("bigint").alias("n_distinct"),
+    )
+    sql = f"""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(min(epoch_us(strptime(strftime(ts, '{dfmt}'), '{dfmt}'))
+                        // 1000000) AS BIGINT) AS mn_sec,
+               CAST(max(epoch_us(strptime(strftime(ts, '{dfmt}'), '{dfmt}'))
+                        // 1000000) AS BIGINT) AS mx_sec,
+               CAST(count(DISTINCT strptime(strftime(ts, '{dfmt}'), '{dfmt}'))
+                    AS BIGINT) AS n_distinct
+        FROM events WHERE event_id % {mod} = 0
+    """
+    assert_matches_oracle(sdf, duck, sql)
