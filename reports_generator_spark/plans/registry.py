@@ -243,6 +243,11 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "merge_mor_transactional",
         # round-10 exactly-once streaming recovery (VERDICT r9 item 4)
         "stream_exactly_once_replay",
+        # plan changed this round (VERDICT r9 item 5: the confirmed >4s
+        # isolated medians led to the vectorized signlsh_codes_udf
+        # hashing — bucket codes proven bit-identical, values unchanged,
+        # re-attested per the plan-change convention)
+        "embedding_neardup_lsh", "similarity_topk_lsh",
     }
 )
 

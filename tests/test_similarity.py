@@ -151,3 +151,47 @@ def test_neardup_symmetric_pairs(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = {(r["id_a"], r["id_b"]) for r in embedding_neardup(emb, threshold=0.9).collect()}
     assert out == {(0, 1)}  # id_a < id_b exactly once, no self-pairs
+
+
+def test_signlsh_codes_udf_matches_expression_form(spark):
+    """The vectorized multi-table hashing (signlsh_codes_udf, the hot
+    path) must produce BIT-IDENTICAL bucket codes to the expression
+    spelling (signlsh_bucket, the semantic reference) — same plane
+    seeds, same sign rule, same bit packing — at both registered
+    parameterizations. This is the contract that made the round-10
+    swap value-neutral."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from reports_generator_spark.operators.similarity import (
+        random_hyperplanes,
+        signlsh_bucket,
+        signlsh_codes_udf,
+    )
+    from reports_generator_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    for n_planes, n_tables, seed in [(5, 6, 7), (4, 4, 42)]:
+        ref = base.select(
+            "vid",
+            F.array(*[
+                signlsh_bucket(
+                    F.col("v"), random_hyperplanes(64, n_planes, seed + 1000 * t)
+                )
+                for t in range(n_tables)
+            ]).alias("ref_codes"),
+        )
+        fast = base.select(
+            "vid",
+            signlsh_codes_udf(n_planes, n_tables, 64, seed)(F.col("v")).alias(
+                "fast_codes"
+            ),
+        )
+        n_diff = ref.join(fast, "vid").filter(
+            F.col("ref_codes") != F.col("fast_codes")
+        ).count()
+        assert n_diff == 0
