@@ -493,3 +493,198 @@ def merge_mor_transactional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(final_v).cast("bigint").alias("final_version"),
         F.lit(n_rewritten).cast("bigint").alias("n_data_files_rewritten"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized-view maintenance from CDC deltas
+# --------------------------------------------------------------------------
+@query(
+    "mv_incremental_maintenance",
+    oracle="""
+    WITH t AS (SELECT o_orderkey,
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+               FROM orders),
+    v2 AS (
+      SELECT o_orderkey, cents FROM t
+      WHERE (o_orderkey % 7) NOT IN (1, 3) AND o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT o_orderkey, cents + 100 FROM t WHERE o_orderkey % 7 = 1
+      UNION ALL
+      SELECT o_orderkey, cents FROM t
+      WHERE o_orderkey % 5 = 0 AND (o_orderkey % 7) NOT IN (1, 3)
+    )
+    SELECT o_orderkey % 10 AS grp,
+           count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM v2 GROUP BY 1
+    """,
+)
+def mv_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an aggregate MATERIALIZED VIEW from
+    row-level CDC — the composition the CDC machinery exists for. The
+    MV (count + cents sum per o_orderkey%10 group) is computed once
+    against snapshot v1; the v1→v2 transition (the shared CDC fixture:
+    deletes k%7==3, updates k%7==1 → cents+100, inserts k%5==0) is
+    then applied as a DELTA AGGREGATE derived from the production
+    ``cdc_row_diff`` over ONLY the files the manifest diff marks
+    changed — the maintenance pass never rescans the unchanged base
+    (f-keep stays cold, inputFiles-asserted in tests). Merge rule for
+    additive aggregates: n += (+1 insert, −1 delete, 0 update),
+    sum += post − pre.
+
+    The returned relation is the incrementally-maintained MV at v2,
+    value-attested cross-engine against a DuckDB FULL recompute of the
+    v2 aggregate — plus an in-code equality assert against Spark's own
+    full recompute. At 100 TB this is the difference between MV
+    refresh costing O(changed rows) and O(table) — the Delta Live
+    Tables / Materialize maintenance model on this engine's log."""
+    from .scale_joins import _ensure_cdc_table
+
+    base = _ensure_cdc_table(spark, sf_dir)
+    data = os.path.join(base, "data")
+    v1_files = set(_log_read(base, 1))
+    v2_files = set(_log_read(base, 2))
+    grp = (F.col("o_orderkey") % 10).alias("grp")
+
+    def snap(files: set[str]) -> DataFrame:
+        return spark.read.parquet(*[os.path.join(data, b) for b in sorted(files)])
+
+    # the stored MV artifact: materialized (localCheckpoint) exactly as a
+    # production MV would be a table on disk — the maintenance pass below
+    # therefore reads ONLY the MV + the changed files, never the base
+    # (tests assert f-keep is absent from the result's inputFiles)
+    mv1 = snap(v1_files).groupBy(grp).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    ).localCheckpoint()
+
+    # CDC over CHANGED files only (manifest diff — the base stays cold)
+    pre = snap(v1_files - v2_files).select(
+        "o_orderkey", F.col("cents").alias("pre_cents")
+    )
+    post = snap(v2_files - v1_files).select(
+        "o_orderkey", F.col("cents").alias("post_cents")
+    )
+    delta = cdc_row_diff(pre, post).groupBy(grp).agg(
+        F.sum(
+            F.when(F.col("change_type") == "insert", 1)
+            .when(F.col("change_type") == "delete", -1)
+            .otherwise(0)
+        ).alias("dn"),
+        F.sum(
+            F.coalesce("post_cents", F.lit(0)) - F.coalesce("pre_cents", F.lit(0))
+        ).alias("dsum"),
+    )
+
+    merged = (
+        mv1.join(delta, "grp", "full_outer")
+        .select(
+            "grp",
+            (F.coalesce("n_rows", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("bigint").alias("n_rows"),
+            (F.coalesce("sum_cents", F.lit(0)) + F.coalesce("dsum", F.lit(0)))
+            .cast("bigint").alias("sum_cents"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+
+    # audit (test-scale only — the production path is `merged` alone):
+    # the incrementally-maintained MV must equal a full v2 recompute
+    full = snap(v2_files).groupBy(grp).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    n_diff = merged.exceptAll(full).unionAll(full.exceptAll(merged)).count()
+    assert n_diff == 0, "incremental MV diverged from full recompute"
+    return merged
+
+
+# --------------------------------------------------------------------------
+# Hidden partitioning (Iceberg partition transforms): the query filters
+# RAW columns; the scan derives partition predicates from the transforms.
+# --------------------------------------------------------------------------
+_HP_BUCKETS = 8
+
+
+def _ensure_hidden_part_table(spark: SparkSession, sf_dir: str) -> str:
+    """Orders laid out by two PARTITION TRANSFORMS of raw columns —
+    year(o_orderdate) (a truncate transform) × o_orderkey%8 (a bucket
+    transform) — the Iceberg hidden-partitioning design: the user
+    never sees p_year/p_bucket; scan planning derives them. Built once
+    per session (readiness marker LAST)."""
+    import tempfile
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":hp:" + spark.sparkContext.applicationId)
+        .encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"rg_hp_{tag}")
+    if os.path.exists(os.path.join(base, "_READY")):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    data = os.path.join(base, "data")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    )
+    o.withColumn("p_year", F.year("o_orderdate")).withColumn(
+        "p_bucket", (F.col("o_orderkey") % _HP_BUCKETS).cast("int")
+    ).write.partitionBy("p_year", "p_bucket").parquet(data)
+    open(os.path.join(base, "_READY"), "w").close()
+    return base
+
+
+#: the query's RAW predicate: a key IN-list (all ≡ 0 mod 8, so the
+#: derived bucket set is {0}) and a two-year date range
+_HP_KEYS = [8 * i for i in range(1, 60)]
+_HP_Y0, _HP_Y1 = 1996, 1997
+
+
+@query(
+    "scan_hidden_partitioning_transforms",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+    WHERE o_orderkey IN ({", ".join(map(str, _HP_KEYS))})
+      AND o_orderdate >= TIMESTAMP '{_HP_Y0}-01-01'
+      AND o_orderdate < TIMESTAMP '{_HP_Y1 + 1}-01-01'
+    """,
+)
+def scan_hidden_partitioning_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning (Iceberg partition transforms): the table
+    is laid out by year(o_orderdate) × bucket(8, o_orderkey), but the
+    QUERY references only the raw columns — the scan derives the
+    partition predicates from the transforms (years from the range
+    endpoints, buckets from the IN-list's residues: here every key is
+    ≡0 mod 8, so ONE bucket of 8 survives) and applies the raw
+    predicate as the residual. 2 years × 1 bucket = 2 of ~56
+    partitions scanned (inputFiles-asserted in tests) — the layout
+    prunes without the user ever naming a partition column, which is
+    the whole point of hiding transforms in table metadata: queries
+    can't forget to use them, and layout can evolve without rewriting
+    queries. Result is the full surviving ROW relation (not an
+    aggregate), value-attested cross-engine."""
+    base = _ensure_hidden_part_table(spark, sf_dir)
+    data = os.path.join(base, "data")
+
+    # scan planning: derive partition predicates from the transforms
+    years = list(range(_HP_Y0, _HP_Y1 + 1))
+    buckets = sorted({k % _HP_BUCKETS for k in _HP_KEYS})
+
+    return (
+        spark.read.parquet(data)
+        .filter(F.col("p_year").isin(years) & F.col("p_bucket").isin(buckets))
+        .filter(
+            F.col("o_orderkey").isin(_HP_KEYS)
+            & (F.col("o_orderdate") >= F.lit(f"{_HP_Y0}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{_HP_Y1 + 1}-01-01").cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            "cents",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )

@@ -248,6 +248,10 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # hashing — bucket codes proven bit-identical, values unchanged,
         # re-attested per the plan-change convention)
         "embedding_neardup_lsh", "similarity_topk_lsh",
+        # round-10 second batch: CDC-driven incremental MV maintenance,
+        # Iceberg-style hidden partitioning, corpus PII scrubbing
+        "mv_incremental_maintenance", "scan_hidden_partitioning_transforms",
+        "corpus_pii_scrub",
     }
 )
 

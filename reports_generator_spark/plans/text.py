@@ -1486,3 +1486,141 @@ def text_sentence_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_words") * 1.0 / F.greatest(F.col("n_sentences"), F.lit(1)), 4
         ).alias("avg_sentence_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing — the redaction pass every training-corpus release runs
+# --------------------------------------------------------------------------
+#: portable regexes (plain char classes + bounded quantifiers — the
+#: subset Java regex and RE2 agree on; no lookaround, no backrefs)
+_PII_EMAIL = r"[A-Za-z0-9._]+@[A-Za-z0-9._]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PII_PHONE = r"[0-9]{3}-[0-9]{4}"
+
+#: deterministic PII injection, spelled identically in Spark and SQL —
+#: the synthetic corpus carries no PII, so the fixture plants it as
+#: part of the query spec (doc_id-derived, both engines compute it)
+_PII_INJECT_SQL = """
+  text
+  || CASE WHEN doc_id % 3 = 0
+          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+          ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+          THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+          ELSE '' END
+"""
+
+
+def _pii_injected_col() -> "F.Column":
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"),
+                     F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" call 555-"),
+                     F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" from 10.0."), (d % 256).cast("string"),
+                     F.lit("."), ((d * 3) % 256).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def pii_scrub_col(text: "F.Column") -> "F.Column":
+    """Redact emails → [EMAIL], IPv4 → [IP], then phone fragments →
+    [PHONE] — order matters: the email pattern consumes dotted tokens
+    the IP pattern could otherwise bite into. Pure built-in
+    regexp_replace: codegen'd JVM regex over the corpus, no Python."""
+    scrubbed = F.regexp_replace(text, _PII_EMAIL, "[EMAIL]")
+    scrubbed = F.regexp_replace(scrubbed, _PII_IPV4, "[IP]")
+    return F.regexp_replace(scrubbed, _PII_PHONE, "[PHONE]")
+
+
+@query(
+    "corpus_pii_scrub",
+    oracle=f"""
+    WITH inj AS (
+      SELECT doc_id, {_PII_INJECT_SQL} AS t FROM documents
+    ),
+    scrub AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                 '{_PII_IPV4}', '[IP]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g') AS clean,
+             regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g') AS after_email
+      FROM inj
+    ),
+    counted AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(after_email, '{_PII_IPV4}')) AS n_ip,
+             len(regexp_extract_all(
+                 regexp_replace(after_email, '{_PII_IPV4}', '[IP]', 'g'),
+                 '{_PII_PHONE}')) AS n_phone,
+             clean,
+             len(regexp_extract_all(clean, '{_PII_EMAIL}'))
+               + len(regexp_extract_all(clean, '{_PII_IPV4}'))
+               + len(regexp_extract_all(clean, '{_PII_PHONE}')) AS resid
+      FROM scrub
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS n_emails_redacted,
+           CAST(sum(n_ip) AS BIGINT) AS n_ips_redacted,
+           CAST(sum(n_phone) AS BIGINT) AS n_phones_redacted,
+           CAST(sum(length(clean)) AS BIGINT) AS scrubbed_len_checksum,
+           CAST(sum(resid) AS BIGINT) AS n_residual_pii
+    FROM counted
+    """,
+)
+def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus — the redaction pass every
+    training-data release runs before packing. The synthetic corpus
+    carries no PII, so deterministic doc_id-derived emails / IPv4s /
+    phone fragments are INJECTED identically on both engines (the
+    injection is part of the query spec), then redacted with three
+    portable regexes (char classes + bounded quantifiers only — the
+    Java-regex ∩ RE2 subset, since Spark compiles Java patterns and
+    DuckDB RE2). Counts are taken stage-by-stage in scrub ORDER
+    (emails first — the email pattern consumes dotted tokens the IP
+    pattern could bite into), and the audit's strongest column is
+    n_residual_pii = matches REMAINING after the scrub, which must be
+    0 cross-engine; scrubbed_len_checksum pins the exact redacted
+    text. Pure regexp_replace/regexp_count expressions — the 100 TB
+    pass is one codegen'd map stage, no Python, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    inj = docs.select("doc_id", _pii_injected_col().alias("t"))
+    after_email = F.regexp_replace(F.col("t"), _PII_EMAIL, "[EMAIL]")
+    after_ip = F.regexp_replace(after_email, _PII_IPV4, "[IP]")
+    clean = pii_scrub_col(F.col("t"))
+    staged = inj.select(
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count(after_email, F.lit(_PII_IPV4)).alias("n_ip"),
+        F.regexp_count(after_ip, F.lit(_PII_PHONE)).alias("n_phone"),
+        clean.alias("clean"),
+        (
+            F.regexp_count(clean, F.lit(_PII_EMAIL))
+            + F.regexp_count(clean, F.lit(_PII_IPV4))
+            + F.regexp_count(clean, F.lit(_PII_PHONE))
+        ).alias("resid"),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("n_emails_redacted"),
+        F.sum("n_ip").cast("bigint").alias("n_ips_redacted"),
+        F.sum("n_phone").cast("bigint").alias("n_phones_redacted"),
+        F.sum(F.length("clean")).cast("bigint").alias("scrubbed_len_checksum"),
+        F.sum("resid").cast("bigint").alias("n_residual_pii"),
+    )

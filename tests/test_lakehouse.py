@@ -487,3 +487,43 @@ def test_mor_manifest_dv_position_is_semantic(spark, tmp_path):
     }
     # key 1's OLD version suppressed, NEW version (after the dv) kept
     assert rows == {(1, 99), (2, 20)}
+
+
+# --------------------------------------------------------------------------
+# Round-10 second batch: incremental MV, hidden partitioning
+# --------------------------------------------------------------------------
+def test_mv_maintenance_never_scans_unchanged_base(spark):
+    """The maintenance pass reads the stored MV + the CHANGED files
+    only — the unchanged base file (f-keep) must stay cold, or MV
+    refresh is O(table) instead of O(changes)."""
+    df = registry.QUERIES["mv_incremental_maintenance"](spark, SF_DIR)
+    scanned = df.inputFiles()
+    assert scanned, "the delta side must read the changed files"
+    assert not [f for f in scanned if "f-keep" in f], scanned
+
+
+def test_hidden_partitioning_scans_only_derived_partitions(spark):
+    """The raw-column predicate must prune through the transforms:
+    exactly 2 partitions (p_year∈{1996,1997} × p_bucket=0) of the ~56
+    laid out may be touched. Asserted from the EXECUTED scan's
+    numPartitions metric — inputFiles() reflects the pre-pruning file
+    index, so it cannot see partition pruning."""
+    df = registry.QUERIES["scan_hidden_partitioning_transforms"](spark, SF_DIR)
+    df.collect()
+
+    def scan_partitions(node):
+        if "Scan" in node.nodeName():
+            m = node.metrics()
+            it = m.keysIterator()
+            while it.hasNext():
+                k = it.next()
+                if k == "numPartitions":
+                    return m.apply(k).value()
+        for i in range(node.children().size()):
+            got = scan_partitions(node.children().apply(i))
+            if got is not None:
+                return got
+        return None
+
+    n_parts = scan_partitions(df._jdf.queryExecution().executedPlan())
+    assert n_parts == 2, n_parts
