@@ -688,3 +688,273 @@ def scan_hidden_partitioning_transforms(spark: SparkSession, sf_dir: str) -> Dat
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Positional BITMAP deletion vectors (the Delta/Iceberg DV design):
+# (file, row-position) bitmaps, not key sets.
+# --------------------------------------------------------------------------
+@query(
+    "delete_mor_dv_positional_bitmap",
+    oracle=f"""
+    WITH s AS (SELECT max(o_orderkey) AS mx FROM orders),
+    t AS (
+      SELECT o_orderkey,
+             (o_orderkey <= CAST(floor((mx + 1) / 4) AS BIGINT)
+              AND o_orderkey % 5 = 2) AS hit
+      FROM orders, s
+    )
+    SELECT count(*) AS rows_before,
+           CAST(sum(CAST(hit AS BIGINT)) AS BIGINT) AS rows_deleted,
+           CAST(count(*) - sum(CAST(hit AS BIGINT)) AS BIGINT) AS rows_after,
+           CAST(sum(o_orderkey) FILTER (WHERE NOT hit) AS BIGINT)
+             AS survivor_checksum,
+           CAST(0 AS BIGINT) AS n_data_files_rewritten
+    FROM t
+    """,
+)
+def delete_mor_dv_positional_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE with a POSITIONAL BITMAP deletion vector —
+    the actual Delta/Iceberg DV representation ((file, row-position)
+    bitmaps), where ``delete_merge_on_read_dv`` used a key set. The
+    same predicate against the same 8-dir layout and the SAME ORACLE
+    TEXT as the key-set MOR and the COW delete, so a green row proves
+    all three delete representations resolve to one relation.
+
+    Write path: one scan with the parquet reader's
+    ``_metadata.file_path`` / ``_metadata.row_index`` columns locates
+    hit positions; bits pack into 64-row words
+    (``bit_or(1L << row_index % 64)`` grouped by (file, word)) — the
+    sidecar holds ONE LONG PER 64 ROWS per touched word, independent
+    of key width, and row positions tolerate duplicate or absent keys
+    (the case key-set DVs cannot express). Zero data files rewritten
+    (mtime-asserted).
+
+    Read path: scan + broadcast LEFT join on (file, row_index div 64)
+    + a bit test — survivors are rows whose word is NULL or whose bit
+    is 0. All JVM-side integer ops inside codegen; the DV stays
+    KB-scale under broadcast. At 100 TB: deletes cost O(deleted/64)
+    longs and reads add one broadcast probe per row — this is why
+    every production lakehouse moved from key-set to positional DVs.
+    """
+    from .scale_joins import _mor_hit, _mor_lake_fixture
+
+    _base, data, dv_dir, _mx, thr = _mor_lake_fixture(spark, sf_dir, "morb")
+
+    def data_files() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for root, _dirs, files in os.walk(data):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = data_files()
+    src = spark.read.parquet(data).select(
+        "o_orderkey",
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    rows_before = src.count()
+
+    # the DELETE: pack hit positions into per-(file, word) bitmaps
+    src.filter(_mor_hit(thr)).groupBy(
+        "fp", F.expr("ri div 64").alias("word_idx")
+    ).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(ri % 64 AS INT)))")
+        .alias("word")
+    ).coalesce(1).write.mode("overwrite").parquet(dv_dir)
+
+    after = data_files()
+    assert after == before, "positional-DV delete must not rewrite data"
+    n_rewritten = sum(
+        1 for p in set(before) | set(after)
+        if before.get(p) != after.get(p)
+    )
+
+    # the MOR read path: broadcast the bitmap, test the row's bit
+    dv = spark.read.parquet(dv_dir)
+    lake = spark.read.parquet(data).select(
+        "o_orderkey",
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("ri"),
+    ).withColumn("word_idx", F.expr("ri div 64"))
+    merged = lake.join(F.broadcast(dv), ["fp", "word_idx"], "left").filter(
+        F.expr(
+            "word IS NULL OR (shiftright(word, CAST(ri % 64 AS INT)) & 1) = 0"
+        )
+    )
+    return merged.agg(
+        F.lit(rows_before).cast("bigint").alias("rows_before"),
+        (F.lit(rows_before).cast("bigint") - F.count(F.lit(1))).alias(
+            "rows_deleted"
+        ),
+        F.count(F.lit(1)).alias("rows_after"),
+        F.sum("o_orderkey").cast("bigint").alias("survivor_checksum"),
+        F.lit(n_rewritten).cast("bigint").alias("n_data_files_rewritten"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Column mapping (Delta column-mapping design): logical renames are
+# METADATA-ONLY — physical parquet column names never change.
+# --------------------------------------------------------------------------
+def _ensure_colmap_table(spark: SparkSession, sf_dir: str) -> str:
+    """A table whose parquet files carry PHYSICAL column names
+    (col_1, col_2) plus two mapping versions: v1 binds logical
+    {o_orderkey→col_1, cents→col_2}; v2 is the RENAME cents →
+    amount_cents — only the mapping file changes, never the data."""
+    import json
+    import tempfile
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":cm:" + spark.sparkContext.applicationId)
+        .encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"rg_cm_{tag}")
+    if os.path.exists(os.path.join(base, "_READY")):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    o = load_table(spark, sf_dir, "orders")
+    o.select(
+        F.col("o_orderkey").alias("col_1"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("col_2"),
+    ).write.parquet(os.path.join(base, "data"))
+    for v, mapping in (
+        (1, {"o_orderkey": "col_1", "cents": "col_2"}),
+        (2, {"o_orderkey": "col_1", "amount_cents": "col_2"}),
+    ):
+        tmp = os.path.join(base, f"mapping-v{v}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(mapping, f)
+        os.replace(tmp, os.path.join(base, f"mapping-v{v}.json"))
+    open(os.path.join(base, "_READY"), "w").close()
+    return base
+
+
+def read_with_column_mapping(
+    spark: SparkSession, base: str, v: int
+) -> DataFrame:
+    """Resolve LOGICAL column names through mapping version v — the
+    reader never sees physical names, so a rename is a one-file
+    metadata commit and historical files need no rewrite (the Delta
+    column-mapping contract). Unknown logical names fail cleanly at
+    resolution (KeyError), not as a silent wrong-column read."""
+    import json
+
+    with open(os.path.join(base, f"mapping-v{v}.json")) as f:
+        mapping = json.load(f)
+    df = spark.read.parquet(os.path.join(base, "data"))
+    return df.select(
+        *[F.col(phys).alias(logical) for logical, phys in mapping.items()]
+    )
+
+
+@query(
+    "scan_column_mapping_rename",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS amount_cents
+    FROM orders
+    """,
+)
+def scan_column_mapping_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping: rename a LOGICAL column (cents → amount_cents)
+    without touching a single data file — the parquet files carry
+    stable physical names (col_1, col_2) and each mapping version
+    binds logical→physical. The returned relation reads through
+    mapping v2 (post-rename) and is value-attested as the FULL row
+    relation under the NEW name; data-file mtimes are asserted
+    unchanged across the rename in tests, and reading a dropped
+    logical name fails cleanly. At 100 TB a rename is a one-file
+    metadata commit instead of a table rewrite — and because physical
+    names never change, files written before the rename keep working
+    (the Delta column-mapping design; Iceberg does the same with
+    field IDs)."""
+    base = _ensure_colmap_table(spark, sf_dir)
+    return read_with_column_mapping(spark, base, 2)
+
+
+# --------------------------------------------------------------------------
+# Timestamp-based time travel (AS OF <timestamp>)
+# --------------------------------------------------------------------------
+#: synthetic commit times (part of the query spec — deterministic)
+_ASOF_COMMITS = {
+    1: "2024-01-01 00:00:00",
+    2: "2024-01-02 00:00:00",
+    3: "2024-01-03 00:00:00",
+}
+
+
+def resolve_as_of(ts: str) -> int:
+    """AS OF semantics: the LATEST version whose commit time is ≤ ts
+    (Delta/Iceberg both resolve this way); a timestamp before the
+    first commit is an error, not an empty table."""
+    eligible = [v for v, cts in _ASOF_COMMITS.items() if cts <= ts]
+    if not eligible:
+        raise ValueError(f"no snapshot committed at or before {ts!r}")
+    return max(eligible)
+
+
+@query(
+    "scan_time_travel_as_of_timestamp",
+    oracle="""
+    SELECT count(*) FILTER (WHERE o_orderkey % 3 IN (1, 2)) AS n_rows_mid,
+           CAST(sum(o_orderkey) FILTER (WHERE o_orderkey % 3 IN (1, 2))
+                AS BIGINT) AS checksum_mid,
+           count(*) AS n_rows_boundary,
+           CAST(sum(o_orderkey) AS BIGINT) AS checksum_boundary,
+           CAST(2 AS BIGINT) AS resolved_mid,
+           CAST(3 AS BIGINT) AS resolved_boundary,
+           CAST(1 AS BIGINT) AS before_first_fails
+    FROM orders
+    """,
+)
+def scan_time_travel_as_of_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-based time travel (AS OF <ts>), completing the
+    version-based path (`scan_time_travel_versions`): commit times map
+    to versions and a query timestamp resolves to the LATEST commit ≤
+    ts. Three semantics attested on the shared 3-version fixture:
+
+    - mid-interval ts ('2024-01-02 12:00' between commits 2 and 3)
+      resolves to v2 — its relation recomputed by the oracle from the
+      %3∈{1,2} slices;
+    - EXACT-boundary ts (= commit 3's time) resolves to v3 inclusive
+      (≤, not <) — full orders;
+    - a ts before the first commit FAILS CLEANLY (ValueError), never
+      an empty read.
+
+    resolved_mid/resolved_boundary/before_first_fails are protocol
+    facts; the four count/checksum columns are the real cross-engine
+    relation. The resolution itself is a metadata-only driver step —
+    at 100 TB it costs one lookup in the commit log regardless of
+    table size (string comparison suffices here because the synthetic
+    commit times share one format and zone)."""
+    from .scale_joins import _ensure_versioned_table, _read_version
+
+    base = _ensure_versioned_table(spark, sf_dir, "timetravel")
+
+    v_mid = resolve_as_of("2024-01-02 12:00:00")
+    v_boundary = resolve_as_of(_ASOF_COMMITS[3])
+    try:
+        resolve_as_of("2023-12-31 23:59:59")
+        before_first_fails = 0
+    except ValueError:
+        before_first_fails = 1
+
+    mid = _read_version(spark, base, v_mid).agg(
+        F.count(F.lit(1)).alias("n_rows_mid"),
+        F.sum("o_orderkey").cast("bigint").alias("checksum_mid"),
+    )
+    boundary = _read_version(spark, base, v_boundary).agg(
+        F.count(F.lit(1)).alias("n_rows_boundary"),
+        F.sum("o_orderkey").cast("bigint").alias("checksum_boundary"),
+        F.lit(v_mid).cast("bigint").alias("resolved_mid"),
+        F.lit(v_boundary).cast("bigint").alias("resolved_boundary"),
+        F.lit(before_first_fails).cast("bigint").alias("before_first_fails"),
+    )
+    # two 1-row aggregate frames folded into the audit row (documented
+    # crossJoin-of-scalars class)
+    return mid.crossJoin(boundary)

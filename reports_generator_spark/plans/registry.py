@@ -252,6 +252,11 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # Iceberg-style hidden partitioning, corpus PII scrubbing
         "mv_incremental_maintenance", "scan_hidden_partitioning_transforms",
         "corpus_pii_scrub",
+        # round-10 third batch: positional bitmap DVs (the production
+        # Delta/Iceberg DV representation), metadata-only column rename,
+        # timestamp-based time travel
+        "delete_mor_dv_positional_bitmap", "scan_column_mapping_rename",
+        "scan_time_travel_as_of_timestamp",
     }
 )
 

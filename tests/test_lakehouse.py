@@ -527,3 +527,76 @@ def test_hidden_partitioning_scans_only_derived_partitions(spark):
 
     n_parts = scan_partitions(df._jdf.queryExecution().executedPlan())
     assert n_parts == 2, n_parts
+
+
+# --------------------------------------------------------------------------
+# Round-10 third batch: positional bitmap DVs, column mapping, AS OF ts
+# --------------------------------------------------------------------------
+def test_positional_bitmap_dv_equals_keyset_mor(spark):
+    """Three delete representations, one relation: the positional
+    bitmap DV's surviving (count, checksum) must equal the key-set
+    MOR's — they share the oracle text, this pins it engine-side."""
+    pos = registry.QUERIES["delete_mor_dv_positional_bitmap"](spark, SF_DIR).first()
+    ks = registry.QUERIES["delete_merge_on_read_dv"](spark, SF_DIR).first()
+    assert pos["n_data_files_rewritten"] == 0
+    assert pos["rows_before"] == ks["rows_before"]
+    assert pos["rows_deleted"] == ks["rows_deleted"]
+    assert pos["rows_after"] == ks["rows_after"]
+    assert pos["survivor_checksum"] == ks["survivor_checksum"]
+
+
+def test_positional_bitmap_dv_read_broadcasts(spark):
+    df = registry.QUERIES["delete_mor_dv_positional_bitmap"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_column_mapping_rename_touches_no_data_file(spark):
+    """The rename is a metadata-only commit: reading through mapping
+    v1 and v2 returns the same bytes under different logical names,
+    and no data file changes between the reads."""
+    import glob
+
+    from reports_generator_spark.plans.lakehouse_meta import (
+        _ensure_colmap_table,
+        read_with_column_mapping,
+    )
+
+    base = _ensure_colmap_table(spark, SF_DIR)
+    files = sorted(glob.glob(os.path.join(base, "data", "*.parquet")))
+    mtimes_before = [os.path.getmtime(f) for f in files]
+
+    v1 = read_with_column_mapping(spark, base, 1)
+    v2 = read_with_column_mapping(spark, base, 2)
+    assert v1.columns == ["o_orderkey", "cents"]
+    assert v2.columns == ["o_orderkey", "amount_cents"]
+    # same physical bytes under both mappings
+    a = v1.agg({"cents": "sum"}).first()[0]
+    b = v2.agg({"amount_cents": "sum"}).first()[0]
+    assert a == b
+
+    mtimes_after = [os.path.getmtime(f) for f in files]
+    assert mtimes_before == mtimes_after
+
+    # the dropped logical name fails cleanly post-rename
+    with pytest.raises(Exception):
+        v2.select("cents").collect()
+
+
+def test_as_of_timestamp_resolution_semantics():
+    from reports_generator_spark.plans.lakehouse_meta import (
+        _ASOF_COMMITS,
+        resolve_as_of,
+    )
+
+    # mid-interval -> latest commit at or before
+    assert resolve_as_of("2024-01-02 12:00:00") == 2
+    # exact boundary is INCLUSIVE
+    assert resolve_as_of(_ASOF_COMMITS[3]) == 3
+    # after the last commit -> latest
+    assert resolve_as_of("2030-01-01 00:00:00") == 3
+    # before the first commit -> clean error, never an empty table
+    with pytest.raises(ValueError):
+        resolve_as_of("2023-01-01 00:00:00")
