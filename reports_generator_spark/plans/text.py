@@ -1624,3 +1624,149 @@ def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("clean")).cast("bigint").alias("scrubbed_len_checksum"),
         F.sum("resid").cast("bigint").alias("n_residual_pii"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge learning — the tokenizer-training aggregation
+# --------------------------------------------------------------------------
+_BPE_ROUNDS = 3
+
+#: DuckDB twin of one pair-count round over a (word, freq, sym) frame.
+#: a[i] is 1-based in DuckDB; the engine side uses element_at (also
+#: 1-based), so the two spellings walk the same windows.
+_BPE_PAIRS_SQL = """
+  SELECT unnest(list_transform(range(1, len(a)),
+                               i -> a[i] || ' ' || a[i+1])) AS pair,
+         freq
+  FROM (SELECT freq,
+               list_filter(string_split(trim(sym), ' '), x -> x <> '') AS a
+        FROM {src})
+  WHERE len(a) >= 2
+"""
+
+
+def _bpe_oracle() -> str:
+    """Unrolled 3-round DuckDB twin: pair-count → argmax (freq desc,
+    pair asc) → literal space-delimited replace, repeated."""
+    parts = [
+        """
+    WITH words AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS word
+        FROM documents
+      ) WHERE regexp_matches(word, '^[a-z]+$')
+      GROUP BY word
+    ),
+    w0 AS (SELECT word, freq,
+                  ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym
+           FROM words)"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f""",
+    p{r} AS ({_BPE_PAIRS_SQL.format(src=f'w{r - 1}')}),
+    best{r} AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM p{r} GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1
+    ),
+    w{r} AS (
+      SELECT word, freq,
+             replace(sym,
+                     ' ' || (SELECT pair FROM best{r}) || ' ',
+                     ' ' || replace((SELECT pair FROM best{r}), ' ', '')
+                         || ' ') AS sym
+      FROM w{r - 1}
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round,"
+        f" (SELECT pair FROM best{r}) AS merged_pair,"
+        f" (SELECT cnt FROM best{r}) AS pair_count"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@query("tokenizer_bpe_merges", oracle=_bpe_oracle())
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 3 BPE merges from the corpus — the tokenizer-
+    TRAINING aggregation (token counting covers inference; this is the
+    other half a training-data platform runs). Classic BPE over the
+    word-frequency table: words symbolize to space-delimited
+    characters; each round counts adjacent symbol pairs weighted by
+    word frequency (pairs inside one word count once per occurrence),
+    merges the argmax pair (ties broken lexicographically — the
+    determinism contract), and rewrites the symbol strings with a
+    LITERAL leftmost-non-overlapping replace (same algorithm in the
+    JVM and RE2-free DuckDB ``replace``, so the engines walk identical
+    merge trajectories). Overlap boundary, pinned in tests: in a run
+    like ``a n a n``, the shared delimiter means only the FIRST
+    occurrence merges within a round — the survivor competes again in
+    later rounds. Classic scan-left-to-right BPE would merge both in
+    one round; this variant trades that for a merge rule both engines
+    execute bit-identically, and converges to the same vocabulary as
+    rounds proceed.
+
+    Scale shape: the iteration state is the (vocab-sized) word-freq
+    frame, NOT the corpus — the corpus is scanned ONCE to build it;
+    each round is one groupBy over exploded symbol pairs of the vocab
+    plus a scalar argmax collect (the documented kmeans/pagerank
+    driver-state pattern). At 100 TB the corpus pass dominates and
+    parallelizes trivially; rounds cost O(vocab), independent of
+    corpus size. The pair explode stages the split array as a named
+    column first (the Catalyst lambda-inlining boundary: referencing
+    an O(d) expression inside an element lambda of the same projection
+    inlines it per element)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "sym",
+            F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")),
+        )
+        .localCheckpoint()  # the vocab state: tiny, reused every round
+    )
+
+    merges: list[tuple[int, str, int]] = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            words.select("freq", F.split(F.trim("sym"), " ").alias("a"))
+            .filter(F.size("a") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(a)-1),"
+                        " i -> element_at(a, i) || ' ' || element_at(a, i+1))"
+                    )
+                ).alias("pair"),
+            )
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .first()  # scalar-only collect: the argmax merge decision
+        )
+        merges.append((r, best["pair"], best["cnt"]))
+        merged_sym = best["pair"].replace(" ", "")
+        words = words.withColumn(
+            "sym",
+            F.expr(
+                f"replace(sym, ' {best['pair']} ', ' {merged_sym} ')"
+            ),
+        ).localCheckpoint()
+
+    out = None
+    for r, pair, cnt in merges:
+        row = spark.range(1).select(
+            F.lit(r).cast("bigint").alias("round"),
+            F.lit(pair).alias("merged_pair"),
+            F.lit(cnt).cast("bigint").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -35,3 +35,64 @@ def test_pii_scrub_is_idempotent_and_leaves_no_residual(spark):
         F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).alias("r")
     ).agg(F.sum("r")).first()[0]
     assert planted > 0
+
+
+def test_bpe_pair_counting_weights_within_word_occurrences(spark):
+    """BPE semantics on a hand-built vocab: 'banana' (freq 2) holds
+    the pair 'a n' TWICE per occurrence, so its weighted count is
+    2×2=4 and it must win round 1; after merging, 'an a n a' no longer
+    pairs 'a n' at the overlap (leftmost non-overlapping replace)."""
+    from pyspark.sql import functions as F
+
+    words = spark.createDataFrame(
+        [("banana", 2), ("bann", 1)], "word string, freq long"
+    ).withColumn(
+        "sym", F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 "))
+    )
+
+    def pairs_of(w):
+        return (
+            w.select("freq", F.split(F.trim("sym"), " ").alias("a"))
+            .filter(F.size("a") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(a)-1),"
+                        " i -> element_at(a, i) || ' ' || element_at(a, i+1))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+
+    counts = {r["pair"]: r["cnt"] for r in pairs_of(words).collect()}
+    # banana: a n ×2 per word × freq 2 = 4; bann adds a n ×1 = 5 total
+    assert counts["a n"] == 5
+    assert counts["n a"] == 4  # banana only, twice per word
+    assert counts["n n"] == 1  # bann only
+
+    merged = words.withColumn(
+        "sym", F.expr("replace(sym, ' a n ', ' an ')")
+    )
+    counts2 = {r["pair"]: r["cnt"] for r in pairs_of(merged).collect()}
+    # leftmost NON-OVERLAPPING within a round (the space between the
+    # two 'a n's is shared, so only the first merges this round — the
+    # survivor just competes again in a later round; both engines
+    # implement literal replace identically, which is the contract):
+    # banana -> ' b an a n a '
+    assert counts2["a n"] == 2           # the surviving overlap, freq 2
+    assert counts2["an a"] == 2
+    assert counts2["b an"] == 3          # both words start b-an
+    assert counts2["an n"] == 1          # bann -> ' b an n '
+
+
+def test_bpe_merges_are_deterministic_across_runs(spark):
+    from conftest import SF_DIR
+    from reports_generator_spark.plans import registry
+
+    registry.load_all()
+    a = registry.QUERIES["tokenizer_bpe_merges"](spark, SF_DIR).collect()
+    b = registry.QUERIES["tokenizer_bpe_merges"](spark, SF_DIR).collect()
+    assert a == b
