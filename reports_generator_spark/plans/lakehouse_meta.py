@@ -45,6 +45,7 @@ from .scale_joins import (
     _log_versions,
     cdc_row_diff,
     commit_with_conflict_detection,
+    fixture_base,
 )
 
 
@@ -116,13 +117,7 @@ def expire_snapshots_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     protocol facts (documented filesystem-count exemption class); the
     four count/checksum columns are the REAL cross-engine relation.
     """
-    import tempfile
-
-    tag = hashlib.md5(
-        (os.path.abspath(sf_dir) + ":expire:" + spark.sparkContext.applicationId)
-        .encode()
-    ).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"rg_expire_{tag}")
+    base = fixture_base(spark, sf_dir, "expire")
     # the expiry run IS the operator — rebuild the log every invocation
     shutil.rmtree(base, ignore_errors=True)
     data = os.path.join(base, "data")
@@ -193,29 +188,43 @@ def expire_snapshots_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CKPT_EVERY = 8
 
 
+def _write_atomic(path: str, content: str) -> None:
+    """Fully write a temp file, then os.replace into place — a reader
+    sees the old file, the new file, or no file; never a torn write
+    (the same discipline as every other log write in the repo)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(content)
+    os.replace(tmp, path)
+
+
 def delta_commit(
     base: str, parent_v: int, add: list[str], remove: list[str]
 ) -> int:
     """Append one DELTA commit (``A name`` / ``R name`` lines) as
     version parent+1; every ``_CKPT_EVERY``-th version also writes a
-    full-state CHECKPOINT file and atomically swings the
-    ``_last_checkpoint`` pointer (tmp + rename — a reader sees the old
-    pointer or the new one, never a torn write). Single-writer helper:
-    multi-writer arbitration is commit_with_conflict_detection's job
-    and composes by claiming the delta file name the same way."""
+    full-state CHECKPOINT file and swings the ``_last_checkpoint``
+    pointer. ALL three writes are atomic (tmp + rename) — a torn delta
+    file would otherwise fold into a corrupt snapshot with no error.
+    The checkpoint folds from the PREVIOUS checkpoint (1 + ≤K metadata
+    reads), not from version 1 — otherwise checkpoint creation itself
+    would be O(history) and the write path would accumulate the very
+    O(v²/K) cost this module exists to eliminate. Single-writer
+    helper: multi-writer arbitration is
+    commit_with_conflict_detection's job and composes by claiming the
+    delta file name the same way."""
     v = parent_v + 1
-    with open(os.path.join(base, f"delta-v{v}.txt"), "w") as f:
-        f.write(
-            "\n".join([f"R {b}" for b in remove] + [f"A {b}" for b in add])
-        )
+    _write_atomic(
+        os.path.join(base, f"delta-v{v}.txt"),
+        "\n".join([f"R {b}" for b in remove] + [f"A {b}" for b in add]),
+    )
     if v % _CKPT_EVERY == 0:
-        files, _ = replay_deltas(base, upto=v)
-        with open(os.path.join(base, f"checkpoint-v{v}.txt"), "w") as f:
-            f.write("\n".join(sorted(files)))
-        tmp = os.path.join(base, "_last_checkpoint.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, os.path.join(base, "_last_checkpoint"))
+        files, _ = read_snapshot_checkpointed(base)  # prev ckpt + ≤K deltas
+        _write_atomic(
+            os.path.join(base, f"checkpoint-v{v}.txt"),
+            "\n".join(sorted(files)),
+        )
+        _write_atomic(os.path.join(base, "_last_checkpoint"), str(v))
     return v
 
 
@@ -291,13 +300,7 @@ def manifest_checkpoint_compaction(spark: SparkSession, sf_dir: str) -> DataFram
     commits/day this is the difference between a planner that opens 3
     metadata files and one that opens 100k (Delta Lake's _delta_log
     checkpoint design)."""
-    import tempfile
-
-    tag = hashlib.md5(
-        (os.path.abspath(sf_dir) + ":ckpt:" + spark.sparkContext.applicationId)
-        .encode()
-    ).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"rg_ckpt_{tag}")
+    base = fixture_base(spark, sf_dir, "ckpt")
     shutil.rmtree(base, ignore_errors=True)
     data = os.path.join(base, "data")
     os.makedirs(data)
@@ -412,13 +415,7 @@ def merge_mor_transactional(spark: SparkSession, sf_dir: str) -> DataFrame:
       cdc_row_diff helper) yields exactly the expected
       update/insert/delete counts — also oracle-recomputed.
     """
-    import tempfile
-
-    tag = hashlib.md5(
-        (os.path.abspath(sf_dir) + ":mrg:" + spark.sparkContext.applicationId)
-        .encode()
-    ).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"rg_mrg_{tag}")
+    base = fixture_base(spark, sf_dir, "mrg")
     shutil.rmtree(base, ignore_errors=True)
     data = os.path.join(base, "data")
     os.makedirs(data)
@@ -612,13 +609,7 @@ def _ensure_hidden_part_table(spark: SparkSession, sf_dir: str) -> str:
     transform) — the Iceberg hidden-partitioning design: the user
     never sees p_year/p_bucket; scan planning derives them. Built once
     per session (readiness marker LAST)."""
-    import tempfile
-
-    tag = hashlib.md5(
-        (os.path.abspath(sf_dir) + ":hp:" + spark.sparkContext.applicationId)
-        .encode()
-    ).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"rg_hp_{tag}")
+    base = fixture_base(spark, sf_dir, "hp")
     if os.path.exists(os.path.join(base, "_READY")):
         return base
     shutil.rmtree(base, ignore_errors=True)
@@ -806,13 +797,7 @@ def _ensure_colmap_table(spark: SparkSession, sf_dir: str) -> str:
     {o_orderkey→col_1, cents→col_2}; v2 is the RENAME cents →
     amount_cents — only the mapping file changes, never the data."""
     import json
-    import tempfile
-
-    tag = hashlib.md5(
-        (os.path.abspath(sf_dir) + ":cm:" + spark.sparkContext.applicationId)
-        .encode()
-    ).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"rg_cm_{tag}")
+    base = fixture_base(spark, sf_dir, "cm")
     if os.path.exists(os.path.join(base, "_READY")):
         return base
     shutil.rmtree(base, ignore_errors=True)

@@ -1310,13 +1310,7 @@ def _mor_lake_fixture(
     CALLER writes the deletion vector (MOR wants file-listing
     assertions around that write). One definition so the three delete
     strategies provably operate on the same layout and predicate."""
-    import tempfile
-
-    tag = hashlib.md5(
-        (os.path.abspath(sf_dir) + f":{suffix}:"
-         + spark.sparkContext.applicationId).encode()
-    ).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"rg_{suffix}_{tag}")
+    base = fixture_base(spark, sf_dir, suffix)
     data = os.path.join(base, "data")
     dv_dir = os.path.join(base, "_deletes")
     shutil.rmtree(base, ignore_errors=True)
@@ -1427,6 +1421,21 @@ def delete_merge_on_read_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # overlapping rewrite aborts) — completing the lakehouse write path that
 # sink_atomic_commit_protocol (single writer) started.
 # --------------------------------------------------------------------------
+def fixture_base(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """tmp-dir root for a per-(fixture, sf, session) lake fixture:
+    ``rg_{tag}_{md5(sf:tag:appid)[:10]}`` under tempfile.gettempdir().
+    ONE definition for the dozen fixture builders across
+    scale_joins/lakehouse_meta/foreach_sink — the scheme (what keys a
+    fixture is scoped by) must evolve in one place, not twelve."""
+    import tempfile
+
+    h = hashlib.md5(
+        (os.path.abspath(sf_dir) + f":{tag}:" + spark.sparkContext.applicationId)
+        .encode()
+    ).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"rg_{tag}_{h}")
+
+
 class CommitConflict(Exception):
     """A concurrent commit replaced/removed files this writer read."""
 
@@ -1480,9 +1489,23 @@ def commit_with_conflict_detection(
 
     rm = set(remove)
     v = parent_v
+
+    def log_read(base_: str, w: int) -> list[str]:
+        # a manifest this writer depends on can disappear mid-flight if
+        # snapshot expiry (lakehouse_meta.expire_snapshots) raced us —
+        # classify it as the commit conflict it is, never a raw
+        # FileNotFoundError the OCC protocol's callers don't handle
+        try:
+            return _log_read(base_, w)
+        except FileNotFoundError:
+            raise CommitConflict(
+                f"manifest v{w} was expired by a concurrent retention "
+                "pass — re-read the table and retry from a live snapshot"
+            ) from None
+
     validated_thru = parent_v  # read_set checked against commits ≤ this
     for attempt in range(max_retries + 1):
-        files = [b for b in _log_read(base, v) if b not in rm] + add
+        files = [b for b in log_read(base, v) if b not in rm] + add
         target = os.path.join(base, f"manifest-v{v + 1}.txt")
         # unique temp name (mkstemp: safe across processes AND threads);
         # the .tmp suffix keeps it invisible to _log_versions' *.txt scan
@@ -1499,9 +1522,9 @@ def commit_with_conflict_detection(
                 # validate read_set against EACH intervening commit:
                 # removal at any step aborts, even if a same-named file
                 # exists again in a later version (ABA)
-                prev = set(_log_read(base, validated_thru))
+                prev = set(log_read(base, validated_thru))
                 for w in range(validated_thru + 1, latest + 1):
-                    cur = set(_log_read(base, w))
+                    cur = set(log_read(base, w))
                     clobbered = read_set & (prev - cur)
                     if clobbered:
                         raise CommitConflict(
@@ -1564,13 +1587,7 @@ def manifest_commit_conflict_detect(spark: SparkSession, sf_dir: str) -> DataFra
     Delta/Iceberg optimistic-concurrency design. Behavior branches
     (retry, abort, rebase-chain) are unit-tested in
     tests/test_lakehouse.py."""
-    import tempfile
-
-    tag = hashlib.md5(
-        (os.path.abspath(sf_dir) + ":occ:" + spark.sparkContext.applicationId)
-        .encode()
-    ).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"rg_occ_{tag}")
+    base = fixture_base(spark, sf_dir, "occ")
     # the protocol run IS the operator — rebuild the log every invocation
     # (same contract as delete_copy_on_write's fixture reset)
     shutil.rmtree(base, ignore_errors=True)
@@ -1656,13 +1673,7 @@ def _ensure_cdc_table(spark: SparkSession, sf_dir: str) -> str:
       keep : the rest                    (f-keep in BOTH manifests)
 
     v1 = [f-keep, f-upd-v1, f-del]; v2 = [f-keep, f-upd-v2, f-ins]."""
-    import tempfile
-
-    tag = hashlib.md5(
-        (os.path.abspath(sf_dir) + ":cdc:" + spark.sparkContext.applicationId)
-        .encode()
-    ).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"rg_cdc_{tag}")
+    base = fixture_base(spark, sf_dir, "cdc")
     if os.path.exists(os.path.join(base, "_READY")):
         return base
     shutil.rmtree(base, ignore_errors=True)
@@ -1951,13 +1962,7 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     (row-count drift, distribution shift) — genuinely require the
     base side too, though as an index/anti-join probe of the staged
     keys against base statistics, never a full base rescan."""
-    import tempfile
-
-    tag = hashlib.md5(
-        (os.path.abspath(sf_dir) + ":wap:" + spark.sparkContext.applicationId)
-        .encode()
-    ).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"rg_wap_{tag}")
+    base = fixture_base(spark, sf_dir, "wap")
     # the publish decision IS the operator — rebuild per invocation
     shutil.rmtree(base, ignore_errors=True)
     data = os.path.join(base, "data")

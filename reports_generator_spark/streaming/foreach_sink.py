@@ -119,9 +119,14 @@ def exactly_once_publish(batch_df: DataFrame, batch_id: int, target: str) -> str
     staged = os.path.join(target, "_staged", staged_rel)
     log_dir = os.path.join(target, "_log")
     os.makedirs(log_dir, exist_ok=True)
-    batch_df.write.parquet(staged)
-
     marker = os.path.join(log_dir, f"epoch-{batch_id}.txt")
+    if os.path.exists(marker):
+        # fast path: a recovery can re-deliver MANY epochs — skip the
+        # full batch write (at scale, a whole parquet job) when the
+        # epoch is already published; the atomic link below still
+        # guards the stage-vs-claim race this check can't see
+        return "replay-skipped"
+    batch_df.write.parquet(staged)
     fd, tmp = tempfile.mkstemp(
         prefix=f"epoch-{batch_id}.", suffix=".tmp", dir=log_dir
     )
@@ -166,8 +171,9 @@ def stream_exactly_once_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine column (event_id is unique in the fixture, so any
     double-publish would surface as n_duplicate_rows > 0)."""
     s = _stream_session(spark)
-    tag = _eos_tag(spark, sf_dir)
-    base = os.path.join(tempfile.gettempdir(), f"rg_eos_{tag}")
+    from ..plans.scale_joins import fixture_base
+
+    base = fixture_base(spark, sf_dir, "eos")
     src = os.path.join(base, "src")
     target = os.path.join(base, "table")
     # the publish/replay protocol IS the operator — rebuild per run
@@ -219,15 +225,6 @@ def stream_exactly_once_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_published).cast("bigint").alias("n_epochs_published"),
         F.lit(n_suppressed).cast("bigint").alias("n_replays_suppressed"),
     )
-
-
-def _eos_tag(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
-
-    return hashlib.md5(
-        (os.path.abspath(sf_dir) + ":eos:" + spark.sparkContext.applicationId)
-        .encode()
-    ).hexdigest()[:10]
 
 
 def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -600,3 +600,56 @@ def test_as_of_timestamp_resolution_semantics():
     # before the first commit -> clean error, never an empty table
     with pytest.raises(ValueError):
         resolve_as_of("2023-01-01 00:00:00")
+
+
+def test_commit_against_expired_snapshot_raises_commit_conflict(log):
+    """A writer whose parent snapshot was expired by a concurrent
+    retention pass must get CommitConflict (re-read and retry), never
+    a raw FileNotFoundError the OCC callers don't handle."""
+    from reports_generator_spark.plans.lakehouse_meta import expire_snapshots
+
+    commit_with_conflict_detection(log, 1, add=["b3"], remove=[], read_set=set())
+    commit_with_conflict_detection(log, 2, add=["b4"], remove=[], read_set=set())
+    expire_snapshots(log, keep_last_n=1)  # drops manifests v1, v2
+    with pytest.raises(CommitConflict, match="expired"):
+        commit_with_conflict_detection(
+            log, 1, add=["b5"], remove=[], read_set={"b1"}
+        )
+
+
+def test_delta_checkpoint_builds_from_previous_checkpoint(tmp_path, monkeypatch):
+    """Checkpoint creation must fold from the PREVIOUS checkpoint
+    (1 + ≤K metadata reads), not replay history from v1 — otherwise
+    the write path accumulates O(v²/K) metadata I/O as the table
+    ages."""
+    from reports_generator_spark.plans import lakehouse_meta as lm
+
+    base = str(tmp_path)
+    reads = {"n": 0}
+    real_replay = lm.replay_deltas
+
+    def counting_replay(*a, **kw):
+        files, n = real_replay(*a, **kw)
+        reads["n"] += n
+        return files, n
+
+    monkeypatch.setattr(lm, "replay_deltas", counting_replay)
+    v = 0
+    for i in range(3 * lm._CKPT_EVERY):
+        reads["n"] = 0
+        v = lm.delta_commit(base, v, add=[f"s{i}"], remove=[])
+        # even at the 3rd checkpoint, a single commit's metadata reads
+        # stay bounded by the interval, not the history
+        assert reads["n"] <= lm._CKPT_EVERY
+    files, _ = lm.read_snapshot_checkpointed(base)
+    assert files == {f"s{i}" for i in range(3 * lm._CKPT_EVERY)}
+
+
+def test_delta_log_writes_are_atomic_no_tmp_debris(tmp_path):
+    from reports_generator_spark.plans import lakehouse_meta as lm
+
+    base = str(tmp_path)
+    v = 0
+    for i in range(lm._CKPT_EVERY + 1):
+        v = lm.delta_commit(base, v, add=[f"s{i}"], remove=[])
+    assert not [f for f in os.listdir(base) if f.endswith(".tmp")]

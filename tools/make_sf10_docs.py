@@ -38,6 +38,11 @@ OTHER_TABLES = (
 
 
 def main() -> None:
+    if not os.path.exists(os.path.join(SF1, "orders.parquet")):
+        raise SystemExit(
+            f"sf1 probe fixture missing at {SF1} — run tools/make_sf1.py "
+            "first (the non-documents tables symlink to it)"
+        )
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     cols = con.sql(
