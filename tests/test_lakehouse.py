@@ -653,3 +653,51 @@ def test_delta_log_writes_are_atomic_no_tmp_debris(tmp_path):
     for i in range(lm._CKPT_EVERY + 1):
         v = lm.delta_commit(base, v, add=[f"s{i}"], remove=[])
     assert not [f for f in os.listdir(base) if f.endswith(".tmp")]
+
+
+def test_commit_protocol_under_real_concurrency(tmp_path):
+    """8 writers × 10 independent appends each, racing from stale
+    parents on real threads: the claim-with-content protocol must
+    publish ALL 80 commits with no lost update, no torn manifest, no
+    tmp debris — the property the sequential branch tests simulate,
+    exercised for real."""
+    import threading
+
+    base = str(tmp_path)
+    with open(os.path.join(base, "manifest-v1.txt"), "w") as f:
+        f.write("seed")
+
+    errors: list[Exception] = []
+
+    def writer(wid: int) -> None:
+        try:
+            for i in range(10):
+                # every writer deliberately commits from a stale parent
+                # (v1) — the rebase path must absorb the contention
+                commit_with_conflict_detection(
+                    base, 1, add=[f"w{wid}-{i}"], remove=[],
+                    read_set=set(), max_retries=200,
+                )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    final_v = max(
+        int(f.split("-v")[1].split(".")[0])
+        for f in os.listdir(base)
+        if f.startswith("manifest-v") and f.endswith(".txt")
+    )
+    assert final_v == 81  # 1 seed + 80 commits, no version skipped
+    final = set(_read(base, final_v))
+    expected = {"seed"} | {f"w{w}-{i}" for w in range(8) for i in range(10)}
+    assert final == expected  # every add present exactly once
+    assert not [f for f in os.listdir(base) if f.endswith(".tmp")]
+    # every intermediate manifest is well-formed (no torn writes)
+    for v in range(1, final_v + 1):
+        assert _read(base, v)
