@@ -242,10 +242,11 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # frames (v2 count/checksum × final count/checksum+protocol
         # facts) into the audit row — 1-row-stats broadcast-cross class
         "manifest_commit_conflict_detect",
-        # round-10 member of the same class: the MERGE audit folds its
-        # two 1-row frames (post-merge count/checksum × CDC counts)
-        # into the audit row
-        "merge_mor_transactional",
+        # round-10 members of the same class: the MERGE audit folds its
+        # two 1-row frames (post-merge count/checksum × CDC counts) into
+        # the audit row; the AS-OF key folds its mid-resolution and
+        # boundary-resolution 1-row frames the same way
+        "merge_mor_transactional", "scan_time_travel_as_of_timestamp",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
