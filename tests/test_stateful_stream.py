@@ -288,3 +288,86 @@ def test_exactly_once_replay_discards_its_restaged_copy(spark, tmp_path):
     markers = os.listdir(os.path.join(target, "_log"))
     assert markers == ["epoch-5.txt"]
     assert read_published(spark, target).count() == 1
+
+
+def test_exactly_once_engine_level_replay_after_lost_ack(spark, tmp_path):
+    """The REAL recovery path, driven by the engine: run the stream,
+    then delete the checkpoint's commit ack for the last batch (the
+    crash-between-sink-commit-and-ack window) and RESTART on the same
+    checkpoint — Structured Streaming itself re-delivers that batch
+    with the same batch_id, and the sink's epoch marker must suppress
+    the second publication."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from reports_generator_spark.streaming.foreach_sink import (
+        exactly_once_publish,
+        read_published,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "table")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+    # three single-file batches, mtime-ordered
+    for i in range(3):
+        tmpdir = str(tmp_path / f"__s{i}")
+        spark.range(10 * i, 10 * i + 10).select(
+            F.col("id").alias("event_id")
+        ).coalesce(1).write.parquet(tmpdir)
+        fn = [x for x in os.listdir(tmpdir) if x.endswith(".parquet")][0]
+        dst = os.path.join(src, f"s{i}.parquet")
+        shutil.copy(os.path.join(tmpdir, fn), dst)
+        os.utime(dst, (1_600_000_000 + 100 * i,) * 2)
+
+    outcomes = []
+    schema = spark.read.parquet(src).schema
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda df, bid: outcomes.append(
+                    (bid, exactly_once_publish(df, bid, target))
+                )
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()  # fully unregister before the restart reuses chk
+
+    run_stream()
+    assert [o for _, o in outcomes] == ["published"] * 3
+
+    # the crash window: the sink committed batch 2 but the engine's
+    # ack was lost — remove the checkpoint commit file for batch 2
+    # AND its Hadoop local-FS checksum sidecar (.2.crc): a stale crc
+    # makes the replay's re-write of commits/2 fail checksum
+    # verification, which Spark misreports as a concurrent query
+    acks = sorted(glob.glob(os.path.join(chk, "commits", "[0-9]*")))
+    os.remove(acks[-1])
+    crc = os.path.join(
+        os.path.dirname(acks[-1]), f".{os.path.basename(acks[-1])}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    outcomes.clear()
+    run_stream()  # the ENGINE re-delivers batch 2 (same batch_id)
+    assert (2, "replay-skipped") in outcomes, outcomes
+    assert "published" not in [o for _, o in outcomes]
+
+    pub = read_published(spark, target)
+    rows = sorted(r["event_id"] for r in pub.collect())
+    assert rows == list(range(30))  # every row exactly once
+    markers = os.listdir(os.path.join(target, "_log"))
+    assert sorted(markers) == ["epoch-0.txt", "epoch-1.txt", "epoch-2.txt"]
