@@ -257,8 +257,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # timestamp-based time travel
         "delete_mor_dv_positional_bitmap", "scan_column_mapping_rename",
         "scan_time_travel_as_of_timestamp",
-        # round-10 fourth batch: tokenizer-training aggregation
-        "tokenizer_bpe_merges",
+        # round-10 fourth batch: tokenizer-training aggregation + the
+        # outer stream-stream join's watermark null-emission boundary
+        "tokenizer_bpe_merges", "stream_stream_join_left_outer_watermark",
     }
 )
 

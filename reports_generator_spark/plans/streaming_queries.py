@@ -181,6 +181,63 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join_left_outer_watermark",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+                    - INTERVAL 1 HOUR AS w),
+    m AS (
+      SELECT v.user_id, v.event_id AS view_event_id,
+             p.event_id AS purchase_event_id,
+             CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us,
+             CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us
+      FROM v JOIN p
+        ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    ),
+    un AS (
+      SELECT v.user_id, v.event_id AS view_event_id,
+             CAST(NULL AS BIGINT) AS purchase_event_id,
+             CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us,
+             CAST(NULL AS BIGINT) AS purchase_ts_us
+      FROM v
+      WHERE v.event_id NOT IN (SELECT view_event_id FROM m)
+        AND v.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+    )
+    SELECT * FROM m UNION ALL SELECT * FROM un
+    """,
+)
+def stream_stream_left_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join — the null-
+    emission boundary is the relation under test: matched pairs equal
+    the batch interval join; an UNMATCHED view emits its null-extended
+    row only once the global watermark W = min(max view_ts, max
+    purchase_ts) − 1h has passed its join window
+    (view_ts + 30min < W, evicted in the trailing no-data batch);
+    unmatched views inside the watermark horizon are HELD BACK — the
+    oracle recomputes all three classes (matched / null-emitted /
+    withheld) from raw events, so a wrong eviction boundary or an
+    eagerly-emitted null row fails the value hash. This is the
+    bounded-state outer-correlation shape (abandoned-cart analytics)
+    that runs 24/7 at corpus scale."""
+    from ..streaming.windowed import stream_stream_left_outer_join
+
+    out = stream_stream_left_outer_join(spark, sf_dir)
+    return out.select(
+        "user_id",
+        "view_event_id",
+        "purchase_event_id",
+        F.unix_micros(F.col("view_ts").cast("timestamp")).alias("view_ts_us"),
+        F.unix_micros(F.col("purchase_ts").cast("timestamp")).alias(
+            "purchase_ts_us"
+        ),
+    )
+
+
+@query(
     "stream_incremental_hll",
     oracle="""
     SELECT event_type,

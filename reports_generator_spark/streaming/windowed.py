@@ -183,6 +183,57 @@ def stream_stream_interval_join(
     return _run_to_memory(joined, "append")
 
 
+def stream_stream_left_outer_join(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics the
+    inner variant (stream_stream_interval_join) cannot show: an
+    unmatched left row may only emit its null-extended result once the
+    GLOBAL watermark (min over both sources of max-event-time − delay)
+    has passed its join window, because until then a matching right
+    row could still arrive. Under availableNow the data batch runs
+    with watermark 0 and the trailing no-data batch evicts: unmatched
+    views with ``view_ts + horizon < W`` emit null rows; the tail of
+    views inside the watermark horizon is deliberately HELD BACK (they
+    are neither matched nor safe to null-emit) — the oracle states
+    exactly that boundary, which is what makes this key a correctness
+    pin rather than a smoke test."""
+    spark = _stream_session(spark)
+    views = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select(
+        "user_id", "view_event_id", "purchase_event_id", "view_ts", "purchase_ts"
+    )
+    return _run_to_memory(joined, "append")
+
+
 def stream_sliding_window_agg(
     spark: SparkSession,
     sf_dir: str,

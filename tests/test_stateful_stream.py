@@ -371,3 +371,35 @@ def test_exactly_once_engine_level_replay_after_lost_ack(spark, tmp_path):
     assert rows == list(range(30))  # every row exactly once
     markers = os.listdir(os.path.join(target, "_log"))
     assert sorted(markers) == ["epoch-0.txt", "epoch-1.txt", "epoch-2.txt"]
+
+
+def test_left_outer_stream_join_holds_back_watermark_tail(spark):
+    """The null-emission boundary: unmatched views whose join window
+    the global watermark has NOT yet passed must be withheld — neither
+    matched nor null-emitted. The fixture's unmatched-view tail proves
+    the boundary bites (at least one view is withheld)."""
+    from conftest import SF_DIR
+    from reports_generator_spark.plans import registry
+
+    registry.load_all()
+    out = registry.QUERIES["stream_stream_join_left_outer_watermark"](
+        spark, SF_DIR
+    )
+    emitted_views = {r["view_event_id"] for r in out.collect()}
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    all_views = {
+        r["event_id"] for r in ev.filter(F.col("event_type") == "view")
+        .select("event_id").collect()
+    }
+    withheld = all_views - emitted_views
+    assert withheld, "the watermark tail must hold back at least one view"
+    # every withheld view sits inside the watermark horizon: its join
+    # window end is >= W = min(max view_ts, max purchase_ts) - 1h
+    import datetime as dt
+
+    mx = ev.groupBy("event_type").agg(F.max("ts").alias("m")).collect()
+    mx = {r["event_type"]: r["m"] for r in mx}
+    w = min(mx["view"], mx["purchase"]) - dt.timedelta(hours=1)
+    tail = ev.filter(F.col("event_id").isin(list(withheld))).select("ts").collect()
+    assert all(r["ts"] + dt.timedelta(minutes=30) >= w for r in tail)
