@@ -134,23 +134,24 @@ def stream_dedup_keys(
     return _run_to_memory(dd, "append")
 
 
-def stream_stream_interval_join(
+def _stream_stream_interval_join(
     spark: SparkSession,
     sf_dir: str,
+    how: str,
     watermark: str = "1 hour",
     horizon: str = "30 minutes",
 ) -> DataFrame:
-    """Stream-stream INNER join with an event-time interval bound:
-    each view joins purchases by the same user landing within
-    ``horizon`` after the view.
+    """ONE builder for both stream-stream interval-join keys (inner
+    and left_outer differ ONLY in ``how`` — a single spec so a fix to
+    the interval condition or watermark wiring can never diverge the
+    two attested keys): each view joins purchases by the same user
+    landing within ``horizon`` after the view.
 
     Both sides carry a watermark and the join condition bounds
     purchase_ts to [view_ts, view_ts + horizon], so the state store
     can evict a buffered row as soon as the other side's watermark
     passes its join window — the canonical bounded-state design for a
-    24/7 two-stream correlation at scale.  Under availableNow on the
-    fixture the output equals the batch interval join, which is what
-    the oracle checks.
+    24/7 two-stream correlation at scale.
     """
     spark = _stream_session(spark)
     views = (
@@ -178,60 +179,30 @@ def stream_stream_interval_join(
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
-        "inner",
+        how,
     ).select("user_id", "view_event_id", "purchase_event_id", "view_ts", "purchase_ts")
     return _run_to_memory(joined, "append")
 
 
-def stream_stream_left_outer_join(
-    spark: SparkSession,
-    sf_dir: str,
-    watermark: str = "1 hour",
-    horizon: str = "30 minutes",
-) -> DataFrame:
-    """Stream-stream LEFT OUTER interval join — the semantics the
-    inner variant (stream_stream_interval_join) cannot show: an
-    unmatched left row may only emit its null-extended result once the
-    GLOBAL watermark (min over both sources of max-event-time − delay)
-    has passed its join window, because until then a matching right
-    row could still arrive. Under availableNow the data batch runs
-    with watermark 0 and the trailing no-data batch evicts: unmatched
-    views with ``view_ts + horizon < W`` emit null rows; the tail of
-    views inside the watermark horizon is deliberately HELD BACK (they
-    are neither matched nor safe to null-emit) — the oracle states
-    exactly that boundary, which is what makes this key a correctness
-    pin rather than a smoke test."""
-    spark = _stream_session(spark)
-    views = (
-        _stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
-        .select(
-            "user_id",
-            F.col("event_id").alias("view_event_id"),
-            F.col("ts").alias("view_ts"),
-        )
-        .withWatermark("view_ts", watermark)
-    )
-    purchases = (
-        _stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user_id"),
-            F.col("event_id").alias("purchase_event_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", watermark)
-    )
-    joined = views.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
-        "left_outer",
-    ).select(
-        "user_id", "view_event_id", "purchase_event_id", "view_ts", "purchase_ts"
-    )
-    return _run_to_memory(joined, "append")
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INNER variant: under availableNow on the fixture the output
+    equals the batch interval join, which is what the oracle checks."""
+    return _stream_stream_interval_join(spark, sf_dir, "inner")
+
+
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER variant — the semantics the inner one cannot show:
+    an unmatched left row may only emit its null-extended result once
+    the GLOBAL watermark (min over both sources of max-event-time −
+    delay) has passed its join window, because until then a matching
+    right row could still arrive. Under availableNow the data batch
+    runs with watermark 0 and the trailing no-data batch evicts:
+    unmatched views with ``view_ts + horizon < W`` emit null rows; the
+    tail of views inside the watermark horizon is deliberately HELD
+    BACK (neither matched nor safe to null-emit) — the oracle states
+    exactly that boundary, which makes this key a correctness pin
+    rather than a smoke test."""
+    return _stream_stream_interval_join(spark, sf_dir, "left_outer")
 
 
 def stream_sliding_window_agg(

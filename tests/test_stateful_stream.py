@@ -20,6 +20,26 @@ def _mins(m: int) -> dt.datetime:
     return T0 + dt.timedelta(minutes=m)
 
 
+def _write_mtime_ordered_batches(spark, src_dir, frames):
+    """Write each DataFrame as ONE parquet file under src_dir with
+    strictly increasing mtimes — the file-source batch-order fixture
+    convention (mtime = batch order, one file per micro-batch) shared
+    by every multi-batch streaming test."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    os.makedirs(src_dir, exist_ok=True)
+    t0 = 1_600_000_000
+    for i, df in enumerate(frames):
+        tmp = _tf.mkdtemp(prefix="rg_batchfix_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        fn = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+        dst = os.path.join(src_dir, f"batch-{i}.parquet")
+        _sh.copy(os.path.join(tmp, fn), dst)
+        os.utime(dst, (t0 + 100 * i, t0 + 100 * i))
+        _sh.rmtree(tmp)
+
+
 def test_session_merges_across_micro_batches(spark, tmp_path):
     src = tmp_path / "events_stream"
     src.mkdir()
@@ -311,17 +331,14 @@ def test_exactly_once_engine_level_replay_after_lost_ack(spark, tmp_path):
     src = str(tmp_path / "src")
     target = str(tmp_path / "table")
     chk = str(tmp_path / "chk")
-    os.makedirs(src)
-    # three single-file batches, mtime-ordered
-    for i in range(3):
-        tmpdir = str(tmp_path / f"__s{i}")
-        spark.range(10 * i, 10 * i + 10).select(
-            F.col("id").alias("event_id")
-        ).coalesce(1).write.parquet(tmpdir)
-        fn = [x for x in os.listdir(tmpdir) if x.endswith(".parquet")][0]
-        dst = os.path.join(src, f"s{i}.parquet")
-        shutil.copy(os.path.join(tmpdir, fn), dst)
-        os.utime(dst, (1_600_000_000 + 100 * i,) * 2)
+    _write_mtime_ordered_batches(
+        spark,
+        src,
+        [
+            spark.range(10 * i, 10 * i + 10).select(F.col("id").alias("event_id"))
+            for i in range(3)
+        ],
+    )
 
     outcomes = []
     schema = spark.read.parquet(src).schema
@@ -387,7 +404,13 @@ def test_left_outer_stream_join_holds_back_watermark_tail(spark):
     )
     emitted_views = {r["view_event_id"] for r in out.collect()}
 
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from reports_generator_spark.sources import load_table
+
+    # the production events loader applies the SAME ts normalization
+    # as the streaming source — a raw parquet read would surface nanos
+    # as long on a TIMESTAMP(NANOS) fixture and break the timedelta
+    # arithmetic below
+    ev = load_table(spark, SF_DIR, "events")
     all_views = {
         r["event_id"] for r in ev.filter(F.col("event_type") == "view")
         .select("event_id").collect()
