@@ -2409,3 +2409,137 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("p90_delay_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative ML with driver-scalar state: logistic regression via IRLS
+# --------------------------------------------------------------------------
+_IRLS_B0 = f"""
+    SELECT n, n_pos,
+           (swz * swxx - swx * swxz) / (sw * swxx - swx * swx) AS b0,
+           (sw * swxz - swx * swz) / (sw * swxx - swx * swx) AS b1
+"""
+
+
+@query(
+    "train_logistic_irls",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(value AS DOUBLE) / 100 AS x,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+      FROM events
+    ),
+    s0 AS (
+      SELECT 0.25 * count(*) AS sw, 0.25 * sum(x) AS swx,
+             0.25 * sum(x * x) AS swxx,
+             sum(y - 0.5) AS swz, sum(x * (y - 0.5)) AS swxz,
+             count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+      FROM pts
+    ),
+    beta1 AS ({_IRLS_B0} FROM s0),
+    it1 AS (
+      SELECT p.x, p.y, b.b0 + b.b1 * p.x AS eta,
+             1 / (1 + exp(-(b.b0 + b.b1 * p.x))) AS prob
+      FROM pts p CROSS JOIN beta1 b
+    ),
+    s1 AS (
+      SELECT sum(prob * (1 - prob)) AS sw,
+             sum(prob * (1 - prob) * x) AS swx,
+             sum(prob * (1 - prob) * x * x) AS swxx,
+             sum(prob * (1 - prob) * eta + y - prob) AS swz,
+             sum(x * (prob * (1 - prob) * eta + y - prob)) AS swxz,
+             max(0) AS n, max(0) AS n_pos
+      FROM it1
+    ),
+    beta2 AS ({_IRLS_B0} FROM s1),
+    scored AS (
+      SELECT p.y, 1 / (1 + exp(-(b.b0 + b.b1 * p.x))) AS prob
+      FROM pts p CROSS JOIN beta2 b
+    )
+    SELECT (SELECT n FROM beta1) AS n,
+           (SELECT n_pos FROM beta1) AS n_pos,
+           (SELECT {sql_dround('b0', 6)} FROM beta1) AS beta0_it1,
+           (SELECT {sql_dround('b1', 6)} FROM beta1) AS beta1_it1,
+           (SELECT {sql_dround('b0', 6)} FROM beta2) AS beta0_it2,
+           (SELECT {sql_dround('b1', 6)} FROM beta2) AS beta1_it2,
+           {sql_dround('-avg(y * ln(prob) + (1 - y) * ln(1 - prob))', 6)}
+             AS log_loss
+    FROM scored
+    """,
+)
+def train_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression (purchase ~ event value) by
+    IRLS — the iterative-ML shape on Spark done right: each iteration
+    is ONE partial-aggregable job producing five moment sums (the
+    2×2 weighted normal equations), the d×d solve happens on the
+    driver with SCALAR state only (the kmeans/pagerank discipline —
+    no collect of rows, no Python in the hot path), and the new β
+    re-enters the plan as literals. Two fixed iterations from β=0
+    keep the whole fit deterministic, and the oracle unrolls the SAME
+    two iterations in SQL — moment sums, closed-form solves, exp()
+    re-scoring and final log-loss are all cross-engine value-checked
+    at 6 dp (β=0 makes iteration 1's weights exactly 0.25, so its
+    sums are exact rationals; iteration 2's reassociation noise is
+    ~1e-12 against the 1e-6 band). The weighted working response is
+    folded as w·z = w·η + (y − p), avoiding the (y−p)/w division and
+    its p→{{0,1}} blowup in BOTH engines. At 100 TB each iteration
+    shuffles 5 doubles per partition — cost is the scan, β transfer
+    is O(d²); 60 iterations of this IS how MLlib fits GLMs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("value").cast("double") / 100).alias("x"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+    ).localCheckpoint()  # 3 passes over a tiny projection
+
+    def solve(sw, swx, swxx, swz, swxz):
+        det = sw * swxx - swx * swx
+        return (swz * swxx - swx * swxz) / det, (sw * swxz - swx * swz) / det
+
+    # iteration 1: β = 0 → p = 1/2, w = 1/4, w·z = y − 1/2 (exact)
+    r = ev.agg(
+        (0.25 * F.count(F.lit(1))).alias("sw"),
+        (0.25 * F.sum("x")).alias("swx"),
+        (0.25 * F.sum(F.col("x") * F.col("x"))).alias("swxx"),
+        F.sum(F.col("y") - 0.5).alias("swz"),
+        F.sum(F.col("x") * (F.col("y") - 0.5)).alias("swxz"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    ).first()
+    n, n_pos = r["n"], r["n_pos"]
+    b0_1, b1_1 = solve(r["sw"], r["swx"], r["swxx"], r["swz"], r["swxz"])
+
+    # iteration 2: reweight at β₁, same five sums
+    eta = F.lit(b0_1) + F.lit(b1_1) * F.col("x")
+    prob = 1 / (1 + F.exp(-eta))
+    w = prob * (1 - prob)
+    wz = w * eta + F.col("y") - prob
+    r2 = ev.agg(
+        F.sum(w).alias("sw"),
+        F.sum(w * F.col("x")).alias("swx"),
+        F.sum(w * F.col("x") * F.col("x")).alias("swxx"),
+        F.sum(wz).alias("swz"),
+        F.sum(F.col("x") * wz).alias("swxz"),
+    ).first()
+    b0_2, b1_2 = solve(r2["sw"], r2["swx"], r2["swxx"], r2["swz"], r2["swxz"])
+
+    # final model quality: mean negative log-likelihood at β₂
+    eta2 = F.lit(b0_2) + F.lit(b1_2) * F.col("x")
+    prob2 = 1 / (1 + F.exp(-eta2))
+    return ev.agg(
+        F.lit(n).cast("bigint").alias("n"),
+        F.lit(n_pos).cast("bigint").alias("n_pos"),
+        F.lit(b0_1).cast("double").alias("_b01"),
+        F.lit(b1_1).cast("double").alias("_b11"),
+        F.lit(b0_2).cast("double").alias("_b02"),
+        F.lit(b1_2).cast("double").alias("_b12"),
+        dround(
+            -F.avg(F.col("y") * F.log(prob2) + (1 - F.col("y")) * F.log(1 - prob2)),
+            6,
+        ).alias("log_loss"),
+    ).select(
+        "n", "n_pos",
+        dround(F.col("_b01"), 6).alias("beta0_it1"),
+        dround(F.col("_b11"), 6).alias("beta1_it1"),
+        dround(F.col("_b02"), 6).alias("beta0_it2"),
+        dround(F.col("_b12"), 6).alias("beta1_it2"),
+        "log_loss",
+    )

@@ -943,3 +943,255 @@ def scan_time_travel_as_of_timestamp(spark: SparkSession, sf_dir: str) -> DataFr
     # two 1-row aggregate frames folded into the audit row (documented
     # crossJoin-of-scalars class)
     return mid.crossJoin(boundary)
+
+
+# --------------------------------------------------------------------------
+# RESTORE TABLE ... TO VERSION AS OF — rollback as a FORWARD commit
+# --------------------------------------------------------------------------
+def restore_to_version(base: str, target_v: int) -> tuple[int, int]:
+    """Publish a NEW commit whose file set equals ``target_v``'s —
+    Delta ``RESTORE`` / Iceberg ``rollback`` semantics done the
+    auditable way: history is never rewritten, the rollback is itself
+    a version (so it is time-travelable, CDC-diffable, and subject to
+    the same OCC conflict detection as any writer). Metadata-only:
+    zero data files are moved or rewritten, at 100 TB the cost is one
+    manifest write regardless of table size."""
+    latest = _log_versions(base)[-1]
+    current = set(_log_read(base, latest))
+    target = set(_log_read(base, target_v))
+    return commit_with_conflict_detection(
+        base,
+        latest,
+        add=sorted(target - current),
+        remove=sorted(current - target),
+        # the restore's correctness depends on every file it keeps OR
+        # removes staying put between read and publish
+        read_set=current | target,
+    )
+
+
+@query(
+    "table_rollback_restore",
+    oracle="""
+    SELECT count(*) FILTER (WHERE o_orderkey % 3 IN (0, 1)) AS n_rows_restored,
+           CAST(sum(o_orderkey) FILTER (WHERE o_orderkey % 3 IN (0, 1))
+                AS BIGINT) AS checksum_restored,
+           count(*) AS n_rows_bad_version,
+           CAST(sum(o_orderkey) AS BIGINT) AS checksum_bad_version,
+           count(*) FILTER (WHERE o_orderkey % 3 = 2) AS n_rows_rolled_back,
+           CAST(4 AS BIGINT) AS restore_version,
+           CAST(1 AS BIGINT) AS history_preserved,
+           CAST(1 AS BIGINT) AS restore_matches_target
+    FROM orders
+    """,
+)
+def table_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE to a prior version as a forward commit. A 3-version
+    history (v1: o_orderkey%3==0, v2: +%3==1, v3: +%3==2 — the "bad
+    batch") is rolled back to v2 through ``restore_to_version``, and
+    the audit proves the three RESTORE guarantees:
+
+    - the post-restore head (v4) is value-identical to the target (v2)
+      — count+checksum recomputed by the oracle from the %3∈{0,1}
+      slices, plus an in-code v4≡v2 equality flag;
+    - history is PRESERVED, not rewritten: time travel to v3 still
+      reads the bad batch whole (full-orders count+checksum), and the
+      restore landed as version 4 on top of 3, never as an edit;
+    - the CDC diff v3→v4 is exactly the bad batch
+      (``n_rows_rolled_back`` = count of %3==2, recomputed by the
+      oracle) — a rollback is an auditable data change like any other.
+
+    restore_version / history_preserved / restore_matches_target are
+    protocol facts; the five count columns are the real cross-engine
+    relation."""
+    base = fixture_base(spark, sf_dir, "restore")
+    shutil.rmtree(base, ignore_errors=True)
+    data = os.path.join(base, "data")
+    os.makedirs(data)
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    for name, residue in (("b0", 0), ("b1", 1), ("b2", 2)):
+        o.filter(k % 3 == residue).write.parquet(os.path.join(data, name))
+
+    with open(os.path.join(base, "manifest-v1.txt"), "w") as f:
+        f.write("b0")
+    commit_with_conflict_detection(base, 1, add=["b1"], remove=[], read_set=set())
+    commit_with_conflict_detection(base, 2, add=["b2"], remove=[], read_set=set())
+
+    restore_v, _ = restore_to_version(base, target_v=2)
+
+    def snap(v: int) -> DataFrame:
+        return spark.read.parquet(
+            *[os.path.join(data, b) for b in _log_read(base, v)]
+        )
+
+    restored = snap(restore_v).agg(
+        F.count(F.lit(1)).alias("n_rows_restored"),
+        F.sum("o_orderkey").cast("bigint").alias("checksum_restored"),
+    )
+    matches_target = int(set(_log_read(base, restore_v)) == set(_log_read(base, 2)))
+    history_ok = int(_log_versions(base) == [1, 2, 3, 4])
+    # rollback's CDC: rows present in v3 but not in the restore head
+    rolled_back = (
+        snap(3).select("o_orderkey")
+        .exceptAll(snap(restore_v).select("o_orderkey"))
+        .count()
+    )
+    bad = snap(3).agg(
+        F.count(F.lit(1)).alias("n_rows_bad_version"),
+        F.sum("o_orderkey").cast("bigint").alias("checksum_bad_version"),
+        F.lit(rolled_back).cast("bigint").alias("n_rows_rolled_back"),
+        F.lit(restore_v).cast("bigint").alias("restore_version"),
+        F.lit(history_ok).cast("bigint").alias("history_preserved"),
+        F.lit(matches_target).cast("bigint").alias("restore_matches_target"),
+    )
+    # two 1-row aggregate frames folded into the audit row (documented
+    # crossJoin-of-scalars class)
+    return restored.crossJoin(bad)
+
+
+# --------------------------------------------------------------------------
+# Named refs on the commit log: immutable TAGS + fast-forward BRANCHES
+# --------------------------------------------------------------------------
+def _ref_path(base: str, kind: str, name: str) -> str:
+    d = os.path.join(base, "refs", kind)
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"{name}.txt")
+
+
+def create_tag(base: str, name: str, version: int) -> None:
+    """Immutable named pointer (Iceberg TAG): creating over an existing
+    tag raises — a tag that can move is just a branch."""
+    path = _ref_path(base, "tags", name)
+    if os.path.exists(path):
+        raise ValueError(f"tag {name!r} already exists (tags are immutable)")
+    _write_atomic(path, str(version))
+
+
+def set_branch_head(base: str, name: str, version: int) -> None:
+    """Create or FAST-FORWARD a branch head. In this linear commit log
+    every older version is an ancestor of every newer one, so the
+    fast-forward check is a monotonicity check; moving a head backward
+    is rejected (that is what RESTORE-as-forward-commit is for)."""
+    path = _ref_path(base, "heads", name)
+    if os.path.exists(path):
+        with open(path) as f:
+            cur = int(f.read().strip())
+        if version < cur:
+            raise ValueError(
+                f"branch {name!r} at v{cur}: moving back to v{version} "
+                "is not a fast-forward"
+            )
+    _write_atomic(path, str(version))
+
+
+def resolve_ref(base: str, name: str) -> int:
+    """Tags shadow nothing — the two namespaces are disjoint; a ref is
+    looked up as a tag first, then a branch head."""
+    for kind in ("tags", "heads"):
+        p = os.path.join(base, "refs", kind, f"{name}.txt")
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(f.read().strip())
+    raise FileNotFoundError(f"unknown ref {name!r}")
+
+
+@query(
+    "scan_branch_tag_refs",
+    oracle="""
+    SELECT count(*) FILTER (WHERE o_orderkey % 4 IN (0, 1)) AS n_rows_main_before,
+           CAST(sum(o_orderkey) FILTER (WHERE o_orderkey % 4 IN (0, 1))
+                AS BIGINT) AS checksum_main_before,
+           count(*) AS n_rows_dev_head,
+           CAST(sum(o_orderkey) AS BIGINT) AS checksum_dev_head,
+           count(*) FILTER (WHERE o_orderkey % 4 IN (0, 1)) AS n_rows_tag_after_ff,
+           CAST(sum(o_orderkey) FILTER (WHERE o_orderkey % 4 IN (0, 1))
+                AS BIGINT) AS checksum_tag_after_ff,
+           CAST(1 AS BIGINT) AS main_equals_dev_after_ff,
+           CAST(1 AS BIGINT) AS tag_immutable_enforced,
+           CAST(1 AS BIGINT) AS ff_backward_rejected
+    FROM orders
+    """,
+)
+def scan_branch_tag_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs over the OCC commit log — Iceberg-style TAGS
+    (immutable audit pins) and BRANCHES (mutable heads, fast-forward
+    publish): the write-audit-publish pattern's missing naming layer,
+    and the mechanism that lets a 100 TB table serve `main` to prod
+    while an ingest pipeline commits to `dev` against the SAME data
+    files (refs are one tiny atomic file each — zero data copies).
+
+    Scenario attested: main history v1(b0: %4==0) → v2(+b1); tag
+    `q1-audit` pinned at v2; branch `dev` forked at v2 then advanced
+    by two commits (+b2 → v3, +b3 → v4) while `main` stays at v2
+    (``n_rows_main_before`` proves reader isolation); publishing =
+    fast-forwarding main to dev's head, after which main ≡ dev
+    (in-code flag) — and the TAG still reads the v2 slice
+    (``n_rows_tag_after_ff``: a tag pins a snapshot, not a branch).
+    Re-tagging raises (immutability) and a backward head move is
+    rejected (fast-forward-only) — both protocol flags. The six
+    count/checksum columns are the real cross-engine relation."""
+    base = fixture_base(spark, sf_dir, "refs")
+    shutil.rmtree(base, ignore_errors=True)
+    data = os.path.join(base, "data")
+    os.makedirs(data)
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    for name, residue in (("b0", 0), ("b1", 1), ("b2", 2), ("b3", 3)):
+        o.filter(k % 4 == residue).write.parquet(os.path.join(data, name))
+
+    with open(os.path.join(base, "manifest-v1.txt"), "w") as f:
+        f.write("b0")
+    commit_with_conflict_detection(base, 1, add=["b1"], remove=[], read_set=set())
+    set_branch_head(base, "main", 2)
+    create_tag(base, "q1-audit", 2)
+    set_branch_head(base, "dev", 2)  # fork
+
+    # two commits land on dev; main's head is untouched
+    commit_with_conflict_detection(base, 2, add=["b2"], remove=[], read_set=set())
+    set_branch_head(base, "dev", 3)
+    commit_with_conflict_detection(base, 3, add=["b3"], remove=[], read_set=set())
+    set_branch_head(base, "dev", 4)
+
+    def read_ref(name: str) -> DataFrame:
+        v = resolve_ref(base, name)
+        return spark.read.parquet(
+            *[os.path.join(data, b) for b in _log_read(base, v)]
+        )
+
+    main_before = read_ref("main").agg(
+        F.count(F.lit(1)).alias("n_rows_main_before"),
+        F.sum("o_orderkey").cast("bigint").alias("checksum_main_before"),
+    )
+
+    try:
+        create_tag(base, "q1-audit", 4)
+        tag_immutable = 0
+    except ValueError:
+        tag_immutable = 1
+
+    # publish: fast-forward main to dev's head
+    set_branch_head(base, "main", resolve_ref(base, "dev"))
+    try:
+        set_branch_head(base, "dev", 2)
+        ff_rejected = 0
+    except ValueError:
+        ff_rejected = 1
+
+    main_eq_dev = int(resolve_ref(base, "main") == resolve_ref(base, "dev"))
+    dev = read_ref("dev").agg(
+        F.count(F.lit(1)).alias("n_rows_dev_head"),
+        F.sum("o_orderkey").cast("bigint").alias("checksum_dev_head"),
+    )
+    tag = read_ref("q1-audit").agg(
+        F.count(F.lit(1)).alias("n_rows_tag_after_ff"),
+        F.sum("o_orderkey").cast("bigint").alias("checksum_tag_after_ff"),
+        F.lit(main_eq_dev).cast("bigint").alias("main_equals_dev_after_ff"),
+        F.lit(tag_immutable).cast("bigint").alias("tag_immutable_enforced"),
+        F.lit(ff_rejected).cast("bigint").alias("ff_backward_rejected"),
+    )
+    # three 1-row aggregate frames folded into the audit row (documented
+    # crossJoin-of-scalars class)
+    return main_before.crossJoin(dev).crossJoin(tag)

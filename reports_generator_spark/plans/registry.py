@@ -260,6 +260,12 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # round-10 fourth batch: tokenizer-training aggregation + the
         # outer stream-stream join's watermark null-emission boundary
         "tokenizer_bpe_merges", "stream_stream_join_left_outer_watermark",
+        # round-10 fifth batch: full-outer completes the stream-stream
+        # matrix (both orphan classes), named refs + rollback on the OCC
+        # log, iterative ML with driver-scalar state, KN-smoothed LM
+        "stream_stream_join_full_outer_watermark",
+        "table_rollback_restore", "scan_branch_tag_refs",
+        "train_logistic_irls", "text_bigram_lm_kneser_ney",
     }
 )
 

@@ -238,6 +238,76 @@ def stream_stream_left_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join_full_outer_watermark",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+                    - INTERVAL 1 HOUR AS w),
+    m AS (
+      SELECT v.user_id, v.event_id AS view_event_id,
+             p.event_id AS purchase_event_id,
+             CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us,
+             CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us
+      FROM v JOIN p
+        ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    ),
+    un_v AS (
+      SELECT v.user_id, v.event_id AS view_event_id,
+             CAST(NULL AS BIGINT) AS purchase_event_id,
+             CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us,
+             CAST(NULL AS BIGINT) AS purchase_ts_us
+      FROM v
+      WHERE v.event_id NOT IN (SELECT view_event_id FROM m)
+        AND v.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+    ),
+    un_p AS (
+      SELECT p.user_id, CAST(NULL AS BIGINT) AS view_event_id,
+             p.event_id AS purchase_event_id,
+             CAST(NULL AS BIGINT) AS view_ts_us,
+             CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us
+      FROM p
+      WHERE p.event_id NOT IN (SELECT purchase_event_id FROM m)
+        AND p.ts < (SELECT w FROM wm)
+    )
+    SELECT * FROM m
+    UNION ALL SELECT * FROM un_v
+    UNION ALL SELECT * FROM un_p
+    """,
+)
+def stream_stream_full_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER interval join — completes
+    the outer matrix (inner r6, left_outer r10) through the SAME
+    builder spec. Each side has its own null-emission boundary, and
+    the oracle recomputes all FIVE row classes from raw events:
+    matched pairs; unmatched views null-emitted once
+    ``view_ts + 30min < W`` (their join window is past); unmatched
+    purchases null-emitted once ``purchase_ts < W`` (no un-dropped
+    view can be old enough to match, since the condition requires
+    view_ts <= purchase_ts); and the withheld tails on BOTH sides
+    (inside the horizon — present in neither branch). W is the global
+    watermark min(max view_ts, max purchase_ts) − 1h. A wrong eviction
+    bound on either side, or an eager null row, fails the value hash.
+    This is the reconciliation shape (orders vs payments, impressions
+    vs clicks) where BOTH orphan classes are the business signal."""
+    from ..streaming.windowed import stream_stream_full_outer_join
+
+    out = stream_stream_full_outer_join(spark, sf_dir)
+    return out.select(
+        "user_id",
+        "view_event_id",
+        "purchase_event_id",
+        F.unix_micros(F.col("view_ts").cast("timestamp")).alias("view_ts_us"),
+        F.unix_micros(F.col("purchase_ts").cast("timestamp")).alias(
+            "purchase_ts_us"
+        ),
+    )
+
+
+@query(
     "stream_incremental_hll",
     oracle="""
     SELECT event_type,

@@ -1770,3 +1770,89 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney-smoothed bigram language model (absolute discounting)
+# --------------------------------------------------------------------------
+@query(
+    "text_bigram_lm_kneser_ney",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+      WHERE len(t) >= 2
+    ),
+    bc AS (
+      SELECT split_part(bigram, ' ', 1) AS w1,
+             split_part(bigram, ' ', 2) AS w2,
+             count(*) AS c
+      FROM bg GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT w1, sum(c) AS c1, count(*) AS n1f FROM bc GROUP BY w1
+    ),
+    cont AS (
+      SELECT w2, count(*) AS n1b FROM bc GROUP BY w2
+    ),
+    total AS (SELECT count(*) AS t_types FROM bc)
+    SELECT bc.w1, bc.w2, bc.c,
+           floor((greatest(bc.c - 0.75, 0) / ctx.c1
+                  + 0.75 * ctx.n1f / ctx.c1 * (cont.n1b * 1.0 / total.t_types))
+                 * 1000000 + 0.5) / 1000000 AS p_kn
+    FROM bc
+    JOIN ctx USING (w1)
+    JOIN cont USING (w2)
+    CROSS JOIN total
+    WHERE bc.c >= 5
+    """,
+)
+def text_bigram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM estimation (absolute discount
+    d = 0.75) — the classic n-gram smoothing used by corpus-quality
+    perplexity filters one step up from `text_unigram_lm_perplexity`'s
+    add-1 model: P(w2|w1) = max(c−d,0)/c(w1·) + d·N₁₊(w1·)/c(w1·) ·
+    N₁₊(·w2)/|bigram types| — probability mass freed by discounting
+    observed bigrams is given to CONTINUATION-frequent words (how many
+    contexts a word follows), not raw-frequent ones.
+
+    Dataflow: codegen'd lead() shingling (the dedup family's spelling)
+    → ONE bigram-count aggregation, from which all three model tables
+    derive (prefix totals + distinct-successor counts by w1,
+    distinct-predecessor counts by w2, type total) — re-aggregations
+    of the counts table, never rescans of text. The probability
+    arithmetic is exact-rational (d = 0.75 is binary-exact, every
+    count an integer), so cross-engine equality is structural;
+    reported at 6 dp over the c ≥ 5 head. At 100 TB: count tables are
+    vocab²-bounded and shrink with Zipf — the standard KN-training
+    shape (SRILM/KenLM's count-of-counts pass is this same
+    aggregation)."""
+    d = load_table(spark, sf_dir, "documents")
+    bi = exploded_shingles(
+        d.select("doc_id", "text"), "doc_id", "text", 2, "bigram"
+    ).select(
+        F.split("bigram", " ").getItem(0).alias("w1"),
+        F.split("bigram", " ").getItem(1).alias("w2"),
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    t_types = bc.count()  # driver scalar: |distinct bigram types|
+
+    p_kn = (
+        F.greatest(F.col("c") - 0.75, F.lit(0)) / F.col("c1")
+        + 0.75 * F.col("n1f") / F.col("c1")
+        * (F.col("n1b") * 1.0 / F.lit(float(t_types)))
+    )
+    return (
+        bc.filter(F.col("c") >= 5)
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .select("w1", "w2", "c", dround(p_kn, 6).alias("p_kn"))
+    )

@@ -180,7 +180,16 @@ def _stream_stream_interval_join(
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
         how,
-    ).select("user_id", "view_event_id", "purchase_event_id", "view_ts", "purchase_ts")
+    ).select(
+        # full_outer null-extends the VIEW side for unmatched purchases,
+        # so the join key must be read from whichever side is present
+        # (identical to the bare view-side column for inner/left_outer)
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        "view_event_id",
+        "purchase_event_id",
+        "view_ts",
+        "purchase_ts",
+    )
     return _run_to_memory(joined, "append")
 
 
@@ -203,6 +212,19 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     exactly that boundary, which makes this key a correctness pin
     rather than a smoke test."""
     return _stream_stream_interval_join(spark, sf_dir, "left_outer")
+
+
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER variant — BOTH unmatched sides null-emit, each on its
+    own watermark boundary (same shared spec, ``how`` is the only
+    difference): an unmatched view emits once W passes its join-window
+    end (view_ts + horizon < W, as in left_outer); an unmatched
+    purchase emits once W passes its own event time (purchase_ts < W —
+    the join condition bounds matching views to view_ts <= purchase_ts,
+    so once no un-dropped view can be that old the purchase is provably
+    orphaned). Rows on either side inside the watermark horizon are
+    withheld."""
+    return _stream_stream_interval_join(spark, sf_dir, "full_outer")
 
 
 def stream_sliding_window_agg(

