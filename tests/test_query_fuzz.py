@@ -1206,3 +1206,172 @@ def test_generated_format_parse_roundtrip_matches_duckdb(spark, duck, fi, mod):
         FROM events WHERE event_id % {mod} = 0
     """
     assert_matches_oracle(sdf, duck, sql)
+
+
+# --- integer division / modulo / cast-boundary fuzzing (round-10
+# fifth family) ----------------------------------------------------------
+# Mixed-sign integer pipelines: (key - offset) pushed through div / % /
+# pmod chains must agree exactly — truncating division and
+# dividend-sign modulo are shared semantics (probed, not assumed), and
+# pmod's portable DuckDB spelling is ((a % k) + k) % k. The DIVERGENT
+# boundaries (fractional-string try_cast, odd-half double→bigint cast,
+# shift amounts ≥ 64, double division by zero) are pinned below as
+# documented traps with their portable spellings.
+
+_INTDIV_OPS = [
+    # (spark_expr_fmt, duck_expr_fmt, k_must_be_positive) over {a} {k}
+    ("({a}) div {k}", "({a}) // {k}", False),
+    ("({a}) % {k}", "({a}) % {k}", False),
+    # pmod's ((r+k)%k if r<0 else r) only equals the plain re-mod
+    # spelling for positive divisors (negative-k asymmetry pinned below)
+    ("pmod({a}, {k})", "((({a}) % {k}) + {k}) % {k}", True),
+]
+
+
+@st.composite
+def _intdiv_specs(draw):
+    col = draw(st.sampled_from(["o_orderkey", "o_custkey"]))
+    offset = draw(st.integers(-5000, 5000))
+    op1 = draw(st.integers(0, len(_INTDIV_OPS) - 1))
+    k1 = draw(st.integers(-9, 9).filter(lambda x: x != 0))
+    # optionally chain a second stage onto the first's result
+    chain = draw(st.booleans())
+    op2 = draw(st.integers(0, len(_INTDIV_OPS) - 1))
+    k2 = draw(st.integers(-9, 9).filter(lambda x: x != 0))
+    group = draw(st.sampled_from([None, "o_orderstatus"]))
+    return col, offset, op1, k1, chain, op2, k2, group
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(_intdiv_specs())
+def test_generated_intdiv_pipeline_matches_duckdb(spark, duck, spec):
+    """Truncating div / sign-of-dividend mod / non-negative pmod over
+    mixed-sign integers, optionally chained, aggregated as exact
+    bigints — any drift in rounding direction or sign convention
+    between the engines fails the hash."""
+    col, offset, op1, k1, chain, op2, k2, group = spec
+    s_fmt1, d_fmt1, pos1 = _INTDIV_OPS[op1]
+    if pos1:
+        k1 = abs(k1)
+    a = f"{col} - {offset}" if offset >= 0 else f"{col} + {-offset}"
+    s_expr = s_fmt1.format(a=a, k=k1)
+    d_expr = d_fmt1.format(a=a, k=k1)
+    if chain:
+        s_fmt2, d_fmt2, pos2 = _INTDIV_OPS[op2]
+        if pos2:
+            k2 = abs(k2)
+        s_expr = s_fmt2.format(a=s_expr, k=k2)
+        d_expr = d_fmt2.format(a=d_expr, k=k2)
+
+    o = spark.read.parquet(
+        "%s/orders.parquet" % __import__("conftest").SF_DIR
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr(s_expr)).cast("bigint").alias("s"),
+        F.min(F.expr(s_expr)).cast("bigint").alias("mn"),
+        F.max(F.expr(s_expr)).cast("bigint").alias("mx"),
+    ]
+    agg_sql = (
+        "CAST(count(*) AS BIGINT) AS n,"
+        f" CAST(sum({d_expr}) AS BIGINT) AS s,"
+        f" CAST(min({d_expr}) AS BIGINT) AS mn,"
+        f" CAST(max({d_expr}) AS BIGINT) AS mx"
+    )
+    if group is None:
+        sdf = o.agg(*aggs)
+        sql = f"SELECT {agg_sql} FROM orders"
+    else:
+        sdf = o.groupBy(group).agg(*aggs)
+        sql = f"SELECT {group}, {agg_sql} FROM orders GROUP BY {group}"
+    assert_matches_oracle(sdf, duck, sql)
+
+
+def test_fractional_string_try_cast_diverges_and_double_hop_heals(spark, duck):
+    """Pin: try_cast('12.7' AS INT) is NULL in Spark (strict integer
+    grammar) but 13 in DuckDB (parse-as-numeric then round). Portable
+    spelling: hop through DOUBLE and take floor explicitly."""
+    sv = spark.sql("SELECT try_cast('12.7' AS INT) AS v").first()["v"]
+    dv = duck.execute("SELECT TRY_CAST('12.7' AS INT) AS v").fetchone()[0]
+    assert sv is None and dv == 13  # the trap, pinned
+    heal = "SELECT CAST(floor(try_cast('12.7' AS DOUBLE)) AS INT) AS v"
+    heal_d = "SELECT CAST(floor(TRY_CAST('12.7' AS DOUBLE)) AS INT) AS v"
+    assert (
+        spark.sql(heal).first()["v"]
+        == duck.execute(heal_d).fetchone()[0]
+        == 12
+    )
+
+
+def test_odd_half_double_to_bigint_cast_diverges_and_floor_heals(spark, duck):
+    """Pin: CAST(3.5E0 AS BIGINT) truncates to 3 in Spark but
+    round-half-EVENs to 4 in DuckDB (2.5 agrees on 2 by accident —
+    even — which is why the decimal pin alone wasn't enough). The
+    floor(x + 0.5) spelling agrees everywhere."""
+    sv = spark.sql("SELECT CAST(3.5E0 AS BIGINT) AS v").first()["v"]
+    dv = duck.execute("SELECT CAST(3.5E0 AS BIGINT) AS v").fetchone()[0]
+    assert sv == 3 and dv == 4  # the trap, pinned
+    s = spark.sql("SELECT CAST(floor(3.5E0 + 0.5) AS BIGINT) AS v").first()["v"]
+    d = duck.execute("SELECT CAST(floor(3.5E0 + 0.5) AS BIGINT) AS v").fetchone()[0]
+    assert s == d == 4
+
+
+def test_shift_amount_64_plus_diverges_and_mod_heals(spark, duck):
+    """Pin: Java (hence Spark) masks bigint shift amounts mod 64, so
+    1 << 65 == 2; DuckDB range-errors. Portable spelling: reduce the
+    shift amount mod 64 explicitly before shifting."""
+    sv = spark.sql("SELECT shiftleft(CAST(1 AS BIGINT), 65) AS v").first()["v"]
+    assert sv == 2  # Java mask semantics, pinned
+    import duckdb as _dd
+
+    try:
+        duck.execute("SELECT CAST(1 AS BIGINT) << 65").fetchone()
+        raised = False
+    except _dd.Error:
+        raised = True
+    assert raised  # DuckDB refuses, pinned
+    s = spark.sql(
+        "SELECT shiftleft(CAST(1 AS BIGINT), 65 % 64) AS v"
+    ).first()["v"]
+    d = duck.execute("SELECT CAST(1 AS BIGINT) << (65 % 64) AS v").fetchone()[0]
+    assert s == d == 2
+
+
+def test_double_division_by_zero_diverges_and_try_divide_heals(spark, duck):
+    """Pin: 1.0/0.0 raises in Spark (ANSI) but is NULL in DuckDB
+    (which never produces inf from division). Portable spelling:
+    Spark try_divide ≡ DuckDB's native NULL-on-zero division."""
+    from pyspark.errors import AnalysisException, ArithmeticException
+
+    try:
+        spark.sql("SELECT 1.0E0 / 0.0E0 AS v").first()
+        raised = False
+    except (ArithmeticException, AnalysisException, Exception):
+        raised = True
+    assert raised  # ANSI division-by-zero, pinned
+    assert duck.execute("SELECT 1.0E0 / 0.0E0 AS v").fetchone()[0] is None
+    s = spark.sql("SELECT try_divide(1.0E0, 0.0E0) AS v").first()["v"]
+    assert s is None  # try_divide matches DuckDB's NULL
+
+
+def test_pmod_negative_divisor_asymmetry_pinned(spark, duck):
+    """Pin: Spark pmod(a, k) applies the +k re-mod ONLY when a % k is
+    negative, so with a NEGATIVE divisor it is not 'always
+    non-negative' — pmod(7, -3) = 1 but pmod(-7, -3) = -1 — and the
+    plain ((a%k)+k)%k spelling diverges for positive dividends. The
+    faithful portable spelling is the conditional itself."""
+    assert spark.sql("SELECT pmod(7, -3) AS v").first()["v"] == 1
+    assert spark.sql("SELECT pmod(-7, -3) AS v").first()["v"] == -1
+    for a in (-8, -7, -1, 0, 1, 6, 7):
+        for k in (-4, -3, 3, 4):
+            s = spark.sql(f"SELECT pmod({a}, {k}) AS v").first()["v"]
+            d = duck.execute(
+                f"SELECT CASE WHEN ({a} % {k}) < 0"
+                f" THEN (({a} % {k}) + {k}) % {k}"
+                f" ELSE {a} % {k} END AS v"
+            ).fetchone()[0]
+            assert s == d, (a, k, s, d)
