@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from .registry import query
 from .scale_joins import (
+    CommitConflict,
     _log_read,
     _log_versions,
     cdc_row_diff,
@@ -1206,3 +1207,381 @@ def scan_branch_tag_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three 1-row aggregate frames folded into the audit row (documented
     # crossJoin-of-scalars class)
     return main_before.crossJoin(dev).crossJoin(tag)
+
+
+# --------------------------------------------------------------------------
+# Multi-table atomic transaction: one ROOT pointer spanning two tables
+# --------------------------------------------------------------------------
+def _atomic_claim(path: str, content: str) -> bool:
+    """Claim ``path`` with ``content`` atomically (mkstemp + os.link —
+    the same create-WITH-content discipline as the OCC commit); False
+    if another writer already owns the name."""
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        prefix=os.path.basename(path) + ".", suffix=".tmp",
+        dir=os.path.dirname(path),
+    )
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(content)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            return False
+        return True
+    finally:
+        os.remove(tmp)
+
+
+def _root_versions(base: str) -> list[int]:
+    return sorted(
+        int(f.split("-v")[1].split(".")[0])
+        for f in os.listdir(base)
+        if f.startswith("root-v") and f.endswith(".txt")
+    )
+
+
+def read_root(base: str) -> dict[str, int]:
+    """Resolve the transaction root: {table_name: manifest_version}.
+    Readers enter ONLY here — per-table manifests that the root does
+    not reference yet are invisible, which is what makes a two-table
+    commit all-or-nothing."""
+    v = _root_versions(base)[-1]
+    out: dict[str, int] = {}
+    with open(os.path.join(base, f"root-v{v}.txt")) as f:
+        for line in f.read().splitlines():
+            t, tv = line.split()
+            out[t] = int(tv)
+    return out
+
+
+def publish_root(
+    base: str, versions: dict[str, int], parent_v: int | None = None
+) -> int:
+    """Publish a new consistent (table → version) vector as the next
+    root after ``parent_v`` (default: the latest root at call time).
+    Single atomic claim — the cross-table analog of the per-table
+    manifest publish. A lost claim means ANOTHER TRANSACTION committed
+    since this one read its snapshot; unlike a per-table append there
+    is no safe blind rebase (the winner may have advanced the same
+    tables), so the loser gets CommitConflict and must revalidate its
+    per-table commits against the new root before retrying."""
+    if parent_v is None:
+        parent_v = _root_versions(base)[-1]
+    v = parent_v + 1
+    body = "\n".join(f"{t} {tv}" for t, tv in sorted(versions.items()))
+    if not _atomic_claim(os.path.join(base, f"root-v{v}.txt"), body):
+        raise CommitConflict(
+            f"root v{v} claimed by a concurrent transaction — revalidate "
+            "table commits against the new root and retry"
+        )
+    return v
+
+
+@query(
+    "manifest_multi_table_transaction",
+    oracle="""
+    SELECT count(*) FILTER (WHERE o_orderkey % 3 IN (0, 1)) AS n_fact_rows,
+           CAST(sum(o_orderkey) FILTER (WHERE o_orderkey % 3 IN (0, 1))
+                AS BIGINT) AS fact_checksum,
+           count(*) FILTER (WHERE o_orderkey % 3 IN (0, 1)) AS summary_total_n,
+           CAST((SELECT count(DISTINCT o_orderstatus) FROM orders
+                 WHERE o_orderkey % 3 = 0)
+              + (SELECT count(DISTINCT o_orderstatus) FROM orders
+                 WHERE o_orderkey % 3 = 1) AS BIGINT) AS n_summary_rows,
+           count(*) FILTER (WHERE o_orderkey % 3 = 0) AS mid_txn_fact_rows,
+           count(*) FILTER (WHERE o_orderkey % 3 = 0) AS mid_txn_summary_total,
+           CAST(1 AS BIGINT) AS mid_txn_pair_consistent,
+           CAST(1 AS BIGINT) AS final_pair_consistent
+    FROM orders
+    """,
+)
+def manifest_multi_table_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE transaction spanning TWO tables — fact slices plus their
+    per-slice summary aggregates (the fact + materialized-view pair) —
+    made atomic by a ROOT pointer: each table keeps its own OCC
+    manifest log, but readers resolve table versions ONLY through the
+    latest root, and a transaction (a) commits to both per-table logs,
+    then (b) publishes the new (fact_v, summary_v) vector as one
+    atomic root claim. Between (a) and (b) — the window where BOTH
+    table logs already carry the new data — a reader still resolves
+    the OLD consistent pair: the audit takes a real mid-transaction
+    read there and checks BOTH its content (``mid_txn_fact_rows``,
+    oracle-recomputed: slice-0 only) and its cross-table INVARIANT
+    (sum of summary counts == fact row count — the equation a torn
+    read breaks). Delta/Iceberg cannot do this across tables (one log
+    per table is their atomicity boundary); engines add exactly this
+    root-pointer design (Iceberg catalog-level transactions) to fix
+    it. Cost at 100 TB: the root is O(tables) bytes — planning
+    overhead of one extra tiny read per query.
+
+    The final state (both transactions applied) is the real
+    cross-engine relation: fact = %3∈{0,1}, summary = per-status
+    counts of each committed slice, and the invariant
+    ``summary_total_n == n_fact_rows`` is recomputed independently by
+    the oracle rather than asserted as a protocol fact."""
+    base = fixture_base(spark, sf_dir, "mtx")
+    shutil.rmtree(base, ignore_errors=True)
+    fact_log = os.path.join(base, "tables", "fact")
+    sum_log = os.path.join(base, "tables", "summary")
+    fact_data = os.path.join(base, "data", "fact")
+    sum_data = os.path.join(base, "data", "summary")
+    for p in (fact_log, sum_log, fact_data, sum_data):
+        os.makedirs(p)
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    # slice data + its summary aggregate, one partitioned write each
+    o.filter(k % 3 < 2).withColumn("s", (k % 3).cast("int")).repartition(
+        "s"
+    ).write.partitionBy("s").parquet(os.path.join(fact_data, "slices"))
+    (
+        o.filter(k % 3 < 2)
+        .groupBy((k % 3).cast("int").alias("s"), "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .repartition("s")
+        .write.partitionBy("s")
+        .parquet(os.path.join(sum_data, "slices"))
+    )
+
+    # empty genesis: root v1 points both tables at their empty v1
+    with open(os.path.join(fact_log, "manifest-v1.txt"), "w") as f:
+        f.write("")
+    with open(os.path.join(sum_log, "manifest-v1.txt"), "w") as f:
+        f.write("")
+    _atomic_claim(os.path.join(base, "root-v1.txt"), "fact 1\nsummary 1")
+
+    def read_pair() -> tuple[DataFrame, DataFrame]:
+        root = read_root(base)
+        def tbl(log: str, data: str, tv: int, schema: str) -> DataFrame:
+            files = _log_read(log, tv)
+            if not files:
+                return spark.createDataFrame([], schema)
+            return spark.read.parquet(*[os.path.join(data, b) for b in files])
+        return (
+            tbl(fact_log, fact_data, root["fact"],
+                "o_orderkey long, o_orderstatus string"),
+            tbl(sum_log, sum_data, root["summary"],
+                "o_orderstatus string, n long"),
+        )
+
+    def txn(slice_id: int) -> None:
+        fv, _ = commit_with_conflict_detection(
+            fact_log, _log_versions(fact_log)[-1],
+            add=[f"slices/s={slice_id}"], remove=[], read_set=set(),
+        )
+        sv, _ = commit_with_conflict_detection(
+            sum_log, _log_versions(sum_log)[-1],
+            add=[f"slices/s={slice_id}"], remove=[], read_set=set(),
+        )
+        publish_root(base, {"fact": fv, "summary": sv})
+
+    txn(0)
+
+    # transaction 2, paused in the torn window: both table logs have
+    # advanced, the root has not — a reader must still see txn 1 only
+    fv, _ = commit_with_conflict_detection(
+        fact_log, _log_versions(fact_log)[-1],
+        add=["slices/s=1"], remove=[], read_set=set(),
+    )
+    sv, _ = commit_with_conflict_detection(
+        sum_log, _log_versions(sum_log)[-1],
+        add=["slices/s=1"], remove=[], read_set=set(),
+    )
+    mid_fact, mid_sum = read_pair()
+    mid_fact_n = mid_fact.count()
+    mid_sum_total = (mid_sum.agg(F.sum("n")).first()[0] or 0)
+    mid_consistent = int(mid_fact_n == mid_sum_total)
+    publish_root(base, {"fact": fv, "summary": sv})  # txn 2 completes
+
+    fact, summ = read_pair()
+    sum_total = summ.agg(F.sum("n")).first()[0]
+    sum_rows = summ.count()
+    final_consistent = int(fact.count() == sum_total)
+    return fact.agg(
+        F.count(F.lit(1)).alias("n_fact_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("fact_checksum"),
+        F.lit(sum_total).cast("bigint").alias("summary_total_n"),
+        F.lit(sum_rows).cast("bigint").alias("n_summary_rows"),
+        F.lit(mid_fact_n).cast("bigint").alias("mid_txn_fact_rows"),
+        F.lit(mid_sum_total).cast("bigint").alias("mid_txn_summary_total"),
+        F.lit(mid_consistent).cast("bigint").alias("mid_txn_pair_consistent"),
+        F.lit(final_consistent).cast("bigint").alias("final_pair_consistent"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Manifest-level min/max file stats: planner prunes files before Spark
+# --------------------------------------------------------------------------
+@query(
+    "manifest_stats_file_pruning",
+    oracle="""
+    WITH w AS (SELECT CAST(1 + max(o_orderkey) // 8 AS BIGINT) AS w FROM orders)
+    SELECT count(*) AS n_rows_pruned,
+           CAST(sum(o_orderkey) AS BIGINT) AS checksum_pruned,
+           CAST(8 AS BIGINT) AS n_files_total,
+           CAST(2 AS BIGINT) AS n_files_scanned,
+           CAST(1 AS BIGINT) AS pruned_equals_full,
+           CAST(1 AS BIGINT) AS scan_reads_only_selected
+    FROM orders, w
+    WHERE o_orderkey >= w.w AND o_orderkey < 3 * w.w
+    """,
+)
+def manifest_stats_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-carried min/max column stats drive PLANNER-side file
+    pruning — the Iceberg manifest-stats / Delta data-skipping design,
+    one level ABOVE parquet row-group zonemaps
+    (`scan_file_zonemap_skipping_audit`): the planner reads O(files)
+    stats from table metadata and hands Spark only the files whose
+    [min,max] intersect the predicate, so the scan's task count — not
+    just its row count — shrinks with selectivity. At 100 TB the
+    difference is listing/opening 2 files instead of scheduling tasks
+    over 100k and letting footer zonemaps discard them one task at a
+    time.
+
+    Fixture: orders range-layout into 8 bucket files (one partitioned
+    write), a stats sidecar (bucket → min/max o_orderkey) built from
+    ONE aggregation — never per-file scans. The probe predicate
+    [W, 3W) covers exactly buckets 1-2; the audit proves (a) the
+    pruned relation equals the ORACLE's recomputation from raw orders
+    AND an in-code unpruned read (``pruned_equals_full``), (b) Spark's
+    ``inputFiles()`` for the pruned plan touch only the 2 selected
+    bucket dirs (``scan_reads_only_selected``), (c) exactly 2 of 8
+    files survive pruning (protocol facts)."""
+    base = fixture_base(spark, sf_dir, "fstats")
+    shutil.rmtree(base, ignore_errors=True)
+    data = os.path.join(base, "data")
+    os.makedirs(data)
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    max_key = o.agg(F.max("o_orderkey")).first()[0]
+    w = 1 + max_key // 8
+    bucket = (F.col("o_orderkey") / F.lit(w)).cast("bigint")
+    o.withColumn("bk", bucket).repartition("bk").write.partitionBy("bk").parquet(
+        os.path.join(data, "buckets")
+    )
+    # table-level stats from ONE partial-agg pass (what a writer
+    # records at commit time), persisted as the manifest stats sidecar
+    stats = {
+        r["bk"]: (r["mn"], r["mx"])
+        for r in o.groupBy(bucket.alias("bk"))
+        .agg(F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx"))
+        .collect()  # bounded by bucket count, never by rows
+    }
+    _write_atomic(
+        os.path.join(base, "stats-v1.txt"),
+        "\n".join(f"{b} {mn} {mx}" for b, (mn, mx) in sorted(stats.items())),
+    )
+
+    lo, hi = w, 3 * w  # [lo, hi): exactly buckets 1 and 2
+    with open(os.path.join(base, "stats-v1.txt")) as f:
+        recorded = [ln.split() for ln in f.read().splitlines()]
+    selected = [
+        b for b, mn, mx in recorded if not (int(mx) < lo or int(mn) >= hi)
+    ]
+    pruned = spark.read.parquet(
+        *[os.path.join(data, f"buckets/bk={b}") for b in selected]
+    ).filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+
+    sel_dirs = {f"bk={b}" for b in selected}
+    reads_only_selected = int(
+        all(any(d in p for d in sel_dirs) for p in pruned.inputFiles())
+    )
+    full = (
+        spark.read.parquet(os.path.join(data, "buckets"))
+        .filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+        .agg(F.count(F.lit(1)), F.sum("o_orderkey"))
+        .first()
+    )
+    agg = pruned.agg(
+        F.count(F.lit(1)).alias("n_rows_pruned"),
+        F.sum("o_orderkey").cast("bigint").alias("checksum_pruned"),
+    ).first()
+    pruned_equals_full = int((agg[0], agg[1]) == (full[0], full[1]))
+    return spark.range(1).select(
+        F.lit(agg[0]).cast("bigint").alias("n_rows_pruned"),
+        F.lit(agg[1]).cast("bigint").alias("checksum_pruned"),
+        F.lit(len(recorded)).cast("bigint").alias("n_files_total"),
+        F.lit(len(selected)).cast("bigint").alias("n_files_scanned"),
+        F.lit(pruned_equals_full).cast("bigint").alias("pruned_equals_full"),
+        F.lit(reads_only_selected).cast("bigint").alias("scan_reads_only_selected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot isolation: a pinned reader repeats identically under writes
+# --------------------------------------------------------------------------
+@query(
+    "scan_snapshot_isolation_repeatable_read",
+    oracle="""
+    SELECT count(*) FILTER (WHERE o_orderkey % 2 = 0) AS n_rows_first,
+           CAST(sum(o_orderkey) FILTER (WHERE o_orderkey % 2 = 0)
+                AS BIGINT) AS checksum_first,
+           count(*) FILTER (WHERE o_orderkey % 2 = 0) AS n_rows_repeat,
+           CAST(sum(o_orderkey) FILTER (WHERE o_orderkey % 2 = 0)
+                AS BIGINT) AS checksum_repeat,
+           count(*) AS n_rows_new_reader,
+           CAST(sum(o_orderkey) AS BIGINT) AS checksum_new_reader,
+           CAST(1 AS BIGINT) AS repeatable_read_held
+    FROM orders
+    """,
+)
+def scan_snapshot_isolation_repeatable_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snapshot isolation — the ACID 'I' the versioned log gives
+    readers for free, stated as its own contract: a reader resolves
+    its manifest ONCE (the snapshot pin) and every subsequent read in
+    that query/session sees the SAME file set, no matter what commits
+    land meanwhile; only a NEW reader resolving the latest root sees
+    them. The audit pins v1 (%2==0 slice), lands a concurrent append
+    (v2, +%2==1), re-reads through the PIN (count+checksum must equal
+    the first read — both oracle-recomputed), then opens a fresh
+    reader that must see the whole table. This is why long-running
+    100 TB jobs don't tear: the pin is a list of immutable files, and
+    expiry (`expire_snapshots_retention`) is the only thing allowed to
+    break it — by contract, after the retention horizon."""
+    base = fixture_base(spark, sf_dir, "si")
+    shutil.rmtree(base, ignore_errors=True)
+    data = os.path.join(base, "data")
+    os.makedirs(data)
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    o.withColumn("p", (k % 2).cast("int")).repartition("p").write.partitionBy(
+        "p"
+    ).parquet(os.path.join(data, "slices"))
+
+    with open(os.path.join(base, "manifest-v1.txt"), "w") as f:
+        f.write("slices/p=0")
+
+    pinned = _log_read(base, 1)  # the snapshot pin: resolved ONCE
+
+    def read_files(files: list[str]) -> DataFrame:
+        return spark.read.parquet(*[os.path.join(data, b) for b in files])
+
+    first = read_files(pinned).agg(
+        F.count(F.lit(1)), F.sum("o_orderkey").cast("bigint")
+    ).first()
+
+    # concurrent writer lands an append between the two reads
+    commit_with_conflict_detection(
+        base, 1, add=["slices/p=1"], remove=[], read_set=set()
+    )
+
+    repeat = read_files(pinned).agg(
+        F.count(F.lit(1)), F.sum("o_orderkey").cast("bigint")
+    ).first()
+    held = int(tuple(first) == tuple(repeat))
+
+    new_reader = read_files(_log_read(base, _log_versions(base)[-1]))
+    return new_reader.agg(
+        F.lit(first[0]).cast("bigint").alias("n_rows_first"),
+        F.lit(first[1]).cast("bigint").alias("checksum_first"),
+        F.lit(repeat[0]).cast("bigint").alias("n_rows_repeat"),
+        F.lit(repeat[1]).cast("bigint").alias("checksum_repeat"),
+        F.count(F.lit(1)).alias("n_rows_new_reader"),
+        F.sum("o_orderkey").cast("bigint").alias("checksum_new_reader"),
+        F.lit(held).cast("bigint").alias("repeatable_read_held"),
+    )

@@ -266,6 +266,12 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "stream_stream_join_full_outer_watermark",
         "table_rollback_restore", "scan_branch_tag_refs",
         "train_logistic_irls", "text_bigram_lm_kneser_ney",
+        # round-10 sixth batch: cross-table atomicity (root pointer),
+        # manifest min/max file skipping, snapshot-isolation contract;
+        # manifest_checkpoint_compaction re-windowed for its fixture
+        # plan change (26 writes -> 2 partitioned writes)
+        "manifest_multi_table_transaction", "manifest_stats_file_pruning",
+        "scan_snapshot_isolation_repeatable_read",
     }
 )
 

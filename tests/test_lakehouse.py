@@ -749,3 +749,27 @@ def test_restore_is_a_forward_commit_and_conflicts_like_any_writer(log):
     # re-added deliberately — the guarantee is the head equals the
     # target exactly, regardless of intervening rewrites
     assert sorted(_read(log, v2)) == sorted(_read(log, 1))
+
+
+def test_root_claim_is_atomic_and_loser_conflicts(log):
+    from reports_generator_spark.plans.lakehouse_meta import (
+        _atomic_claim,
+        publish_root,
+        read_root,
+    )
+    from reports_generator_spark.plans.scale_joins import CommitConflict
+
+    assert _atomic_claim(os.path.join(log, "root-v1.txt"), "fact 1\nsummary 1")
+    # a second writer claiming the same root name loses, with content intact
+    assert not _atomic_claim(os.path.join(log, "root-v1.txt"), "fact 9\nsummary 9")
+    assert read_root(log) == {"fact": 1, "summary": 1}
+
+    publish_root(log, {"fact": 2, "summary": 2})
+    assert read_root(log) == {"fact": 2, "summary": 2}
+    # a concurrent transaction wins v3 after ours read its snapshot at
+    # v2 — our publish against that stale parent must conflict, never
+    # silently stack a vector computed from the old snapshot
+    _atomic_claim(os.path.join(log, "root-v3.txt"), "fact 3\nsummary 3")
+    with pytest.raises(CommitConflict):
+        publish_root(log, {"fact": 4, "summary": 4}, parent_v=2)
+    assert read_root(log) == {"fact": 3, "summary": 3}

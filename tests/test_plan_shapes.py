@@ -247,6 +247,10 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # the audit row; the AS-OF key folds its mid-resolution and
         # boundary-resolution 1-row frames the same way
         "merge_mor_transactional", "scan_time_travel_as_of_timestamp",
+        # round-10 fifth batch, same 1-row-stats class: RESTORE folds
+        # its restored-head frame with the bad-version frame; the refs
+        # key folds main-before × dev-head × tag-after-ff scalar frames
+        "table_rollback_restore", "scan_branch_tag_refs",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
