@@ -44,6 +44,7 @@ from .scale_joins import (
     CommitConflict,
     _log_read,
     _log_versions,
+    atomic_claim,
     cdc_row_diff,
     commit_with_conflict_detection,
     fixture_base,
@@ -979,6 +980,13 @@ def restore_to_version(base: str, target_v: int) -> tuple[int, int]:
         # the restore's correctness depends on every file it keeps OR
         # removes staying put between read and publish
         read_set=current | target,
+        # and on NOTHING landing in between: a concurrent APPEND passes
+        # read-set validation (it removes nothing), but rebasing the
+        # restore over it would publish target ∪ {new file} — a head
+        # that is not the target. Any intervening commit must abort
+        # (Delta RESTORE conflict-detects the same way); the caller
+        # re-reads and decides whether to restore over the new history.
+        max_retries=0,
     )
 
 
@@ -1073,39 +1081,72 @@ def _ref_path(base: str, kind: str, name: str) -> str:
 
 
 def create_tag(base: str, name: str, version: int) -> None:
-    """Immutable named pointer (Iceberg TAG): creating over an existing
-    tag raises — a tag that can move is just a branch."""
-    path = _ref_path(base, "tags", name)
-    if os.path.exists(path):
+    """Immutable named pointer (Iceberg TAG), claimed atomically
+    (atomic_claim, not check-then-write — two concurrent create_tag
+    calls can never both succeed, and a reader never sees an empty
+    tag file): re-creating raises — a tag that can move is just a
+    branch. Tag and branch names share one namespace (collision
+    rejected at creation), so resolve_ref is never ambiguous."""
+    if os.path.exists(os.path.join(base, "refs", "heads", f"{name}-v1.txt")):
+        raise ValueError(f"{name!r} already names a branch")
+    if not atomic_claim(_ref_path(base, "tags", name), str(version)):
         raise ValueError(f"tag {name!r} already exists (tags are immutable)")
-    _write_atomic(path, str(version))
+
+
+def _branch_versions(base: str, name: str) -> list[int]:
+    d = os.path.join(base, "refs", "heads")
+    if not os.path.isdir(d):
+        return []
+    pre = f"{name}-v"
+    return sorted(
+        int(f[len(pre):].split(".")[0])
+        for f in os.listdir(d)
+        if f.startswith(pre) and f.endswith(".txt")
+    )
 
 
 def set_branch_head(base: str, name: str, version: int) -> None:
-    """Create or FAST-FORWARD a branch head. In this linear commit log
-    every older version is an ancestor of every newer one, so the
+    """Create or FAST-FORWARD a branch head. The head is a claim CHAIN
+    (``<name>-v1.txt``, ``-v2`` … — resolve reads the highest), so a
+    move is itself an atomic claim: two concurrent fast-forwards race
+    for the same chain slot and exactly one wins; the loser re-reads
+    and re-checks — the monotonicity invariant holds under concurrency,
+    not just in the single-writer test. In this linear commit log every
+    older version is an ancestor of every newer one, so the
     fast-forward check is a monotonicity check; moving a head backward
     is rejected (that is what RESTORE-as-forward-commit is for)."""
-    path = _ref_path(base, "heads", name)
-    if os.path.exists(path):
-        with open(path) as f:
-            cur = int(f.read().strip())
-        if version < cur:
-            raise ValueError(
-                f"branch {name!r} at v{cur}: moving back to v{version} "
-                "is not a fast-forward"
-            )
-    _write_atomic(path, str(version))
+    if os.path.exists(os.path.join(base, "refs", "tags", f"{name}.txt")):
+        raise ValueError(f"{name!r} already names a tag")
+    while True:
+        chain = _branch_versions(base, name)
+        if chain:
+            with open(_ref_path(base, "heads", f"{name}-v{chain[-1]}")) as f:
+                cur = int(f.read().strip())
+            if version < cur:
+                raise ValueError(
+                    f"branch {name!r} at v{cur}: moving back to v{version} "
+                    "is not a fast-forward"
+                )
+        slot = (chain[-1] if chain else 0) + 1
+        if atomic_claim(
+            _ref_path(base, "heads", f"{name}-v{slot}"), str(version)
+        ):
+            return
+        # lost the slot to a concurrent move: re-read and re-validate
 
 
 def resolve_ref(base: str, name: str) -> int:
-    """Tags shadow nothing — the two namespaces are disjoint; a ref is
-    looked up as a tag first, then a branch head."""
-    for kind in ("tags", "heads"):
-        p = os.path.join(base, "refs", kind, f"{name}.txt")
-        if os.path.exists(p):
-            with open(p) as f:
-                return int(f.read().strip())
+    """Resolve a name to a manifest version. Tags and branches share
+    one namespace (enforced at creation), so lookup order carries no
+    shadowing risk: tag file, else highest branch-chain entry."""
+    p = os.path.join(base, "refs", "tags", f"{name}.txt")
+    if os.path.exists(p):
+        with open(p) as f:
+            return int(f.read().strip())
+    chain = _branch_versions(base, name)
+    if chain:
+        with open(_ref_path(base, "heads", f"{name}-v{chain[-1]}")) as f:
+            return int(f.read().strip())
     raise FileNotFoundError(f"unknown ref {name!r}")
 
 
@@ -1212,28 +1253,6 @@ def scan_branch_tag_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Multi-table atomic transaction: one ROOT pointer spanning two tables
 # --------------------------------------------------------------------------
-def _atomic_claim(path: str, content: str) -> bool:
-    """Claim ``path`` with ``content`` atomically (mkstemp + os.link —
-    the same create-WITH-content discipline as the OCC commit); False
-    if another writer already owns the name."""
-    import tempfile
-
-    fd, tmp = tempfile.mkstemp(
-        prefix=os.path.basename(path) + ".", suffix=".tmp",
-        dir=os.path.dirname(path),
-    )
-    try:
-        with os.fdopen(fd, "w") as f:
-            f.write(content)
-        try:
-            os.link(tmp, path)
-        except FileExistsError:
-            return False
-        return True
-    finally:
-        os.remove(tmp)
-
-
 def _root_versions(base: str) -> list[int]:
     return sorted(
         int(f.split("-v")[1].split(".")[0])
@@ -1271,7 +1290,7 @@ def publish_root(
         parent_v = _root_versions(base)[-1]
     v = parent_v + 1
     body = "\n".join(f"{t} {tv}" for t, tv in sorted(versions.items()))
-    if not _atomic_claim(os.path.join(base, f"root-v{v}.txt"), body):
+    if not atomic_claim(os.path.join(base, f"root-v{v}.txt"), body):
         raise CommitConflict(
             f"root v{v} claimed by a concurrent transaction — revalidate "
             "table commits against the new root and retry"
@@ -1350,7 +1369,7 @@ def manifest_multi_table_transaction(spark: SparkSession, sf_dir: str) -> DataFr
         f.write("")
     with open(os.path.join(sum_log, "manifest-v1.txt"), "w") as f:
         f.write("")
-    _atomic_claim(os.path.join(base, "root-v1.txt"), "fact 1\nsummary 1")
+    atomic_claim(os.path.join(base, "root-v1.txt"), "fact 1\nsummary 1")
 
     def read_pair() -> tuple[DataFrame, DataFrame]:
         root = read_root(base)

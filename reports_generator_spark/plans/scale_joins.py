@@ -1453,6 +1453,36 @@ def _log_read(base: str, v: int) -> list[str]:
         return f.read().split()
 
 
+def atomic_claim(path: str, content: str) -> bool:
+    """Claim ``path`` with ``content`` atomically: fully write a unique
+    temp file (mkstemp — safe across processes AND threads; the .tmp
+    suffix keeps it invisible to the *.txt log scans), then hard-LINK
+    it to the target name — atomic create-WITH-content (the
+    object-store analog is an if-none-match PUT of the whole body).
+    Exactly one concurrent writer can win a name, and no reader ever
+    observes a claimed-but-empty file (an O_CREAT|O_EXCL-then-write
+    scheme would expose exactly that window). Returns False if the
+    name was already claimed. ONE definition for every claim site —
+    manifest commits, named refs, transaction roots — so a fix (e.g.
+    an fsync policy) reaches all of them."""
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        prefix=os.path.basename(path) + ".", suffix=".tmp",
+        dir=os.path.dirname(path),
+    )
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(content)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            return False
+        return True
+    finally:
+        os.remove(tmp)  # win, lose, or crash: never leak the temp
+
+
 def commit_with_conflict_detection(
     base: str,
     parent_v: int,
@@ -1485,8 +1515,6 @@ def commit_with_conflict_detection(
     reason.
 
     Returns (committed_version, n_retries)."""
-    import tempfile
-
     rm = set(remove)
     v = parent_v
 
@@ -1507,37 +1535,25 @@ def commit_with_conflict_detection(
     for attempt in range(max_retries + 1):
         files = [b for b in log_read(base, v) if b not in rm] + add
         target = os.path.join(base, f"manifest-v{v + 1}.txt")
-        # unique temp name (mkstemp: safe across processes AND threads);
-        # the .tmp suffix keeps it invisible to _log_versions' *.txt scan
-        fd, tmp = tempfile.mkstemp(
-            prefix=f"manifest-v{v + 1}.", suffix=".tmp", dir=base
-        )
-        try:
-            with os.fdopen(fd, "w") as f:
-                f.write("\n".join(files))
-            try:
-                os.link(tmp, target)  # the atomic claim-with-content
-            except FileExistsError:
-                latest = _log_versions(base)[-1]
-                # validate read_set against EACH intervening commit:
-                # removal at any step aborts, even if a same-named file
-                # exists again in a later version (ABA)
-                prev = set(log_read(base, validated_thru))
-                for w in range(validated_thru + 1, latest + 1):
-                    cur = set(log_read(base, w))
-                    clobbered = read_set & (prev - cur)
-                    if clobbered:
-                        raise CommitConflict(
-                            f"files {sorted(clobbered)} were removed by "
-                            f"concurrent commit v{w}"
-                        ) from None
-                    prev = cur
-                validated_thru = latest
-                v = latest  # independent change: rebase and retry
-                continue
-            return v + 1, attempt
-        finally:
-            os.remove(tmp)  # win, rebase, abort, or crash: never leak tmp
+        if not atomic_claim(target, "\n".join(files)):
+            latest = _log_versions(base)[-1]
+            # validate read_set against EACH intervening commit:
+            # removal at any step aborts, even if a same-named file
+            # exists again in a later version (ABA)
+            prev = set(log_read(base, validated_thru))
+            for w in range(validated_thru + 1, latest + 1):
+                cur = set(log_read(base, w))
+                clobbered = read_set & (prev - cur)
+                if clobbered:
+                    raise CommitConflict(
+                        f"files {sorted(clobbered)} were removed by "
+                        f"concurrent commit v{w}"
+                    )
+                prev = cur
+            validated_thru = latest
+            v = latest  # independent change: rebase and retry
+            continue
+        return v + 1, attempt
     raise CommitConflict(f"gave up after {max_retries} rebases")
 
 

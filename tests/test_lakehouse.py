@@ -753,15 +753,17 @@ def test_restore_is_a_forward_commit_and_conflicts_like_any_writer(log):
 
 def test_root_claim_is_atomic_and_loser_conflicts(log):
     from reports_generator_spark.plans.lakehouse_meta import (
-        _atomic_claim,
         publish_root,
         read_root,
     )
-    from reports_generator_spark.plans.scale_joins import CommitConflict
+    from reports_generator_spark.plans.scale_joins import (
+        CommitConflict,
+        atomic_claim,
+    )
 
-    assert _atomic_claim(os.path.join(log, "root-v1.txt"), "fact 1\nsummary 1")
+    assert atomic_claim(os.path.join(log, "root-v1.txt"), "fact 1\nsummary 1")
     # a second writer claiming the same root name loses, with content intact
-    assert not _atomic_claim(os.path.join(log, "root-v1.txt"), "fact 9\nsummary 9")
+    assert not atomic_claim(os.path.join(log, "root-v1.txt"), "fact 9\nsummary 9")
     assert read_root(log) == {"fact": 1, "summary": 1}
 
     publish_root(log, {"fact": 2, "summary": 2})
@@ -769,7 +771,7 @@ def test_root_claim_is_atomic_and_loser_conflicts(log):
     # a concurrent transaction wins v3 after ours read its snapshot at
     # v2 — our publish against that stale parent must conflict, never
     # silently stack a vector computed from the old snapshot
-    _atomic_claim(os.path.join(log, "root-v3.txt"), "fact 3\nsummary 3")
+    atomic_claim(os.path.join(log, "root-v3.txt"), "fact 3\nsummary 3")
     with pytest.raises(CommitConflict):
         publish_root(log, {"fact": 4, "summary": 4}, parent_v=2)
     assert read_root(log) == {"fact": 3, "summary": 3}

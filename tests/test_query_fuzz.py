@@ -8,6 +8,7 @@ exact, never tolerance-based)."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -1345,14 +1346,13 @@ def test_double_division_by_zero_diverges_and_try_divide_heals(spark, duck):
     """Pin: 1.0/0.0 raises in Spark (ANSI) but is NULL in DuckDB
     (which never produces inf from division). Portable spelling:
     Spark try_divide ≡ DuckDB's native NULL-on-zero division."""
-    from pyspark.errors import AnalysisException, ArithmeticException
+    from pyspark.errors import ArithmeticException
 
-    try:
+    # catch ONLY the divide-by-zero class: a broad except would also
+    # swallow unrelated failures and mask the regression this pin
+    # exists to catch (Spark 4.1 ANSI raises ArithmeticException here)
+    with pytest.raises(ArithmeticException):
         spark.sql("SELECT 1.0E0 / 0.0E0 AS v").first()
-        raised = False
-    except (ArithmeticException, AnalysisException, Exception):
-        raised = True
-    assert raised  # ANSI division-by-zero, pinned
     assert duck.execute("SELECT 1.0E0 / 0.0E0 AS v").fetchone()[0] is None
     s = spark.sql("SELECT try_divide(1.0E0, 0.0E0) AS v").first()["v"]
     assert s is None  # try_divide matches DuckDB's NULL
