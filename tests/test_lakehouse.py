@@ -775,3 +775,49 @@ def test_root_claim_is_atomic_and_loser_conflicts(log):
     with pytest.raises(CommitConflict):
         publish_root(log, {"fact": 4, "summary": 4}, parent_v=2)
     assert read_root(log) == {"fact": 3, "summary": 3}
+
+
+def test_branch_head_monotonic_under_real_concurrency(tmp_path):
+    """8 movers racing fast-forwards to interleaved targets on real
+    threads: the claim-chain protocol must leave the head at the
+    global max, every chain entry monotonically non-decreasing, no
+    backward move ever observable, no tmp debris — the invariant the
+    old check-then-write code could silently break."""
+    import threading
+
+    from reports_generator_spark.plans.lakehouse_meta import (
+        _branch_versions,
+        resolve_ref,
+        set_branch_head,
+    )
+
+    base = str(tmp_path)
+    set_branch_head(base, "main", 0)
+    errors: list[Exception] = []
+
+    def mover(wid: int) -> None:
+        try:
+            for target in range(wid, 200, 8):
+                try:
+                    set_branch_head(base, "main", target)
+                except ValueError:
+                    pass  # a racer already moved past target: legal
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=mover, args=(w,)) for w in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    assert resolve_ref(base, "main") == 199  # the global max won
+    # the winning chain never moved backward at any claimed slot
+    heads_dir = os.path.join(base, "refs", "heads")
+    chain = []
+    for v in _branch_versions(base, "main"):
+        with open(os.path.join(heads_dir, f"main-v{v}.txt")) as f:
+            chain.append(int(f.read().strip()))
+    assert chain == sorted(chain), chain
+    assert not [f for f in os.listdir(heads_dir) if f.endswith(".tmp")]
