@@ -272,6 +272,10 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # plan change (26 writes -> 2 partitioned writes)
         "manifest_multi_table_transaction", "manifest_stats_file_pruning",
         "scan_snapshot_isolation_repeatable_read",
+        # round-10 seventh batch: schema-drift rescue completes the
+        # dirty-input contract (rows -> PERMISSIVE, values -> try_cast,
+        # schema -> _rescued_data)
+        "scan_json_schema_drift_rescue",
     }
 )
 
