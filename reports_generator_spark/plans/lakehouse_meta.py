@@ -1094,14 +1094,16 @@ def create_tag(base: str, name: str, version: int) -> None:
 
 
 def _branch_versions(base: str, name: str) -> list[int]:
+    import re
+
     d = os.path.join(base, "refs", "heads")
     if not os.path.isdir(d):
         return []
-    pre = f"{name}-v"
+    # fullmatch, not startswith: branch 'feat' must not swallow the
+    # chain files of a sibling named 'feat-v2'
+    pat = re.compile(rf"{re.escape(name)}-v(\d+)\.txt")
     return sorted(
-        int(f[len(pre):].split(".")[0])
-        for f in os.listdir(d)
-        if f.startswith(pre) and f.endswith(".txt")
+        int(mt.group(1)) for f in os.listdir(d) if (mt := pat.fullmatch(f))
     )
 
 
