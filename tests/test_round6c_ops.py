@@ -143,3 +143,22 @@ def test_migration_matrix_conserves_customers(spark):
         .count()
     )
     assert total == active
+
+
+def test_logistic_irls_improves_on_null_model(spark):
+    """Each IRLS iteration must reduce the deviance: the final log-loss
+    has to beat the NULL model's (the best constant predictor scores
+    -(p ln p + (1-p) ln(1-p)) at the base rate p), or the 'training'
+    did nothing and the key is just arithmetic theater."""
+    import math
+
+    from reports_generator_spark.plans import registry
+
+    registry.load_all()
+    r = registry.QUERIES["train_logistic_irls"](spark, SF_DIR).first()
+    p = r["n_pos"] / r["n"]
+    null_loss = -(p * math.log(p) + (1 - p) * math.log(1 - p))
+    assert 0 < r["log_loss"] <= null_loss + 1e-9
+    # two iterations from beta=0 must have moved the coefficients
+    assert (r["beta0_it1"], r["beta1_it1"]) != (0.0, 0.0)
+    assert (r["beta0_it2"], r["beta1_it2"]) != (r["beta0_it1"], r["beta1_it1"])
