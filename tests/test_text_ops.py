@@ -96,3 +96,30 @@ def test_bpe_merges_are_deterministic_across_runs(spark):
     a = registry.QUERIES["tokenizer_bpe_merges"](spark, SF_DIR).collect()
     b = registry.QUERIES["tokenizer_bpe_merges"](spark, SF_DIR).collect()
     assert a == b
+
+
+def test_kneser_ney_probabilities_are_a_proper_submeasure(spark):
+    """KN smoothing must leave headroom for unseen continuations: every
+    P(w2|w1) lies in (0,1), and within each context w1 the mass over
+    the OBSERVED bigrams sums to < 1 (= 1 would mean no discount was
+    reserved and the model degenerates to MLE; > 1 is just wrong).
+    Checked on the c >= 5 head the key emits — a subset of the
+    observed mass, so the strict bound must hold a fortiori."""
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    from reports_generator_spark.plans import registry
+
+    registry.load_all()
+    out = registry.QUERIES["text_bigram_lm_kneser_ney"](spark, SF_DIR)
+    bad_range = out.filter(
+        (F.col("p_kn") <= 0) | (F.col("p_kn") >= 1)
+    ).count()
+    assert bad_range == 0
+    over = (
+        out.groupBy("w1")
+        .agg(F.sum("p_kn").alias("mass"))
+        .filter(F.col("mass") >= 1.0)
+        .count()
+    )
+    assert over == 0
