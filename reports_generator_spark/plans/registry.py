@@ -274,8 +274,10 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "scan_snapshot_isolation_repeatable_read",
         # round-10 seventh batch: schema-drift rescue completes the
         # dirty-input contract (rows -> PERMISSIVE, values -> try_cast,
-        # schema -> _rescued_data)
+        # schema -> _rescued_data); right-outer completes the
+        # stream-stream outer matrix (purchase-side boundary isolated)
         "scan_json_schema_drift_rescue",
+        "stream_stream_join_right_outer_watermark",
     }
 )
 

@@ -308,6 +308,60 @@ def stream_stream_full_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join_right_outer_watermark",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+                    - INTERVAL 1 HOUR AS w),
+    m AS (
+      SELECT v.user_id, v.event_id AS view_event_id,
+             p.event_id AS purchase_event_id,
+             CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us,
+             CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us
+      FROM v JOIN p
+        ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    ),
+    un_p AS (
+      SELECT p.user_id, CAST(NULL AS BIGINT) AS view_event_id,
+             p.event_id AS purchase_event_id,
+             CAST(NULL AS BIGINT) AS view_ts_us,
+             CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us
+      FROM p
+      WHERE p.event_id NOT IN (SELECT purchase_event_id FROM m)
+        AND p.ts < (SELECT w FROM wm)
+    )
+    SELECT * FROM m UNION ALL SELECT * FROM un_p
+    """,
+)
+def stream_stream_right_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream RIGHT OUTER interval join — the
+    fourth cell of the outer matrix (inner r6, left/full r10), through
+    the SAME builder spec: only the purchase side null-emits, and only
+    once ``purchase_ts < W`` (the condition bounds matching views to
+    view_ts <= purchase_ts, so past the global watermark the purchase
+    is provably orphaned); unmatched views never emit, and the
+    purchase tail inside the horizon is withheld. The oracle
+    recomputes matched / null-emitted / withheld from raw events —
+    the orphaned-payments reconciliation shape."""
+    from ..streaming.windowed import stream_stream_right_outer_join
+
+    out = stream_stream_right_outer_join(spark, sf_dir)
+    return out.select(
+        "user_id",
+        "view_event_id",
+        "purchase_event_id",
+        F.unix_micros(F.col("view_ts").cast("timestamp")).alias("view_ts_us"),
+        F.unix_micros(F.col("purchase_ts").cast("timestamp")).alias(
+            "purchase_ts_us"
+        ),
+    )
+
+
+@query(
     "stream_incremental_hll",
     oracle="""
     SELECT event_type,

@@ -227,6 +227,16 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return _stream_stream_interval_join(spark, sf_dir, "full_outer")
 
 
+def stream_stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER variant — the purchase side's null-emission boundary
+    in isolation (the mirror of left_outer, fourth cell of the outer
+    matrix, same shared spec): an unmatched purchase emits its
+    null-extended row once W passes its event time (purchase_ts < W;
+    matching views need view_ts <= purchase_ts, so past W none can
+    still arrive); the view side never null-emits."""
+    return _stream_stream_interval_join(spark, sf_dir, "right_outer")
+
+
 def stream_sliding_window_agg(
     spark: SparkSession,
     sf_dir: str,
