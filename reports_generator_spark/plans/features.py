@@ -759,3 +759,68 @@ def feature_crossfit_target_encode(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("n_cf").alias("n_infold"),
         oof.alias("oof_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weight-of-evidence / information value (credit-scoring feature audit)
+# --------------------------------------------------------------------------
+@query(
+    "feature_woe_information_value",
+    oracle="""
+    WITH b AS (
+      SELECT CAST((CAST(l_quantity AS INT) - 1) // 10 AS INT) AS bin,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT bin, count(*) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+      FROM b GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM agg),
+    woe AS (
+      SELECT bin, n, n_pos, n_neg,
+             ln((n_pos * 1.0 / tp) / (n_neg * 1.0 / tn)) AS w,
+             (n_pos * 1.0 / tp - n_neg * 1.0 / tn)
+               * ln((n_pos * 1.0 / tp) / (n_neg * 1.0 / tn)) AS contrib
+      FROM agg CROSS JOIN tot
+    )
+    SELECT bin, n, n_pos, n_neg,
+           floor(w * 1000000 + 0.5) / 1000000 AS woe,
+           floor(sum(contrib) OVER () * 1000000 + 0.5) / 1000000 AS iv_total
+    FROM woe
+    """,
+)
+def feature_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning + information value — the
+    credit-scoring feature audit (how predictive is quantity of a
+    return?): WOE_bin = ln((pos_bin/pos_tot)/(neg_bin/neg_tot)), IV =
+    Σ (pos% − neg%)·WOE. Complements `feature_target_encode` (which
+    produces a per-category MEAN for the model) by producing the
+    log-odds SCALE plus the single scalar that ranks features for
+    selection. One partial-agg pass builds the bin table; totals
+    attach as a 1-row broadcast; all inputs exact integer counts so
+    ln() sees identical rationals cross-engine (6 dp band). At 100 TB:
+    state is |bins|, cost is the scan — the same shape as every
+    histogram audit here."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        ((F.col("l_quantity").cast("int") - 1) / 10)
+        .cast("int")
+        .alias("bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    agg = li.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("n_neg"),
+    )
+    w = Window.partitionBy()
+    tp, tn = F.sum("n_pos").over(w), F.sum("n_neg").over(w)
+    woe = F.log((F.col("n_pos") * 1.0 / tp) / (F.col("n_neg") * 1.0 / tn))
+    contrib = (F.col("n_pos") * 1.0 / tp - F.col("n_neg") * 1.0 / tn) * woe
+    return agg.select(
+        "bin", "n", "n_pos", "n_neg",
+        dround(woe, 6).alias("woe"),
+        dround(F.sum(contrib).over(w), 6).alias("iv_total"),
+    )

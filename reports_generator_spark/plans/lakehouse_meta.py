@@ -1606,3 +1606,62 @@ def scan_snapshot_isolation_repeatable_read(
         F.sum("o_orderkey").cast("bigint").alias("checksum_new_reader"),
         F.lit(held).cast("bigint").alias("repeatable_read_held"),
     )
+
+
+# --------------------------------------------------------------------------
+# DESCRIBE HISTORY as a relation: the commit log queryable like a table
+# --------------------------------------------------------------------------
+@query(
+    "table_history_metadata_relation",
+    oracle="""
+    SELECT 1 AS version, 1 AS n_files, 1 AS n_files_added, 0 AS n_files_removed,
+           count(*) FILTER (WHERE o_orderkey % 3 = 1) AS n_rows,
+           CAST(sum(o_orderkey) FILTER (WHERE o_orderkey % 3 = 1) AS BIGINT)
+             AS checksum
+    FROM orders
+    UNION ALL
+    SELECT 2, 2, 1, 0,
+           count(*) FILTER (WHERE o_orderkey % 3 IN (1, 2)),
+           CAST(sum(o_orderkey) FILTER (WHERE o_orderkey % 3 IN (1, 2)) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 3, 3, 1, 0,
+           count(*),
+           CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders
+    """,
+)
+def table_history_metadata_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit log exposed AS A RELATION — Delta ``DESCRIBE
+    HISTORY`` / Iceberg's ``.snapshots``/``.files`` metadata tables:
+    one row per version carrying the log-derived facts (file count,
+    files added/removed vs the parent) joined with the DATA-verified
+    facts (row count + checksum of that snapshot, each oracle-
+    recomputed from the cumulative residue slices) — so the metadata
+    relation is attested against what the versions actually contain,
+    not just against the log's own bookkeeping. Auditors and
+    retention/debugging jobs query exactly this shape (which commit
+    doubled the row count? which version added the bad file?). The
+    log-derived columns cost O(versions) tiny file reads — no data
+    scan; the verification columns cost one scan per version and are
+    the audit's choice, not the operator's requirement."""
+    from .scale_joins import _ensure_versioned_table, _read_version
+
+    base = _ensure_versioned_table(spark, sf_dir, "history")
+    versions = _log_versions(base)
+
+    out = None
+    prev: set[str] = set()
+    for v in versions:
+        files = set(_log_read(base, v))
+        row = _read_version(spark, base, v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.lit(len(files)).cast("int").alias("n_files"),
+            F.lit(len(files - prev)).cast("int").alias("n_files_added"),
+            F.lit(len(prev - files)).cast("int").alias("n_files_removed"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("checksum"),
+        )
+        out = row if out is None else out.unionByName(row)
+        prev = files
+    return out

@@ -278,6 +278,11 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # stream-stream outer matrix (purchase-side boundary isolated)
         "scan_json_schema_drift_rescue",
         "stream_stream_join_right_outer_watermark",
+        # round-10 eighth batch: the commit log as a queryable relation,
+        # WOE/IV feature audit, fully value-checked PQ+ADC (the ANN
+        # family's serving path)
+        "table_history_metadata_relation", "feature_woe_information_value",
+        "embedding_pq_adc_topk",
     }
 )
 

@@ -1130,3 +1130,154 @@ def embedding_bitpack_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rk") <= _HAM_TOPK)
         .select("probe_id", "neighbor_id", "hamming", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation (ADC)
+# --------------------------------------------------------------------------
+_PQ_M, _PQ_DSUB, _PQ_K, _PQ_TOPK = 8, 8, 16, 10
+_PQ_ORD = "((vec_id % 2147483648) * 2654435761) % 1000003"
+
+
+@query(
+    "embedding_pq_adc_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    ord AS (
+      SELECT vec_id, v,
+             row_number() OVER (ORDER BY {_PQ_ORD}, vec_id) AS rn
+      FROM v
+    ),
+    cb AS (
+      SELECT rn - 1 AS code, m,
+             v[m * {_PQ_DSUB} + 1 : m * {_PQ_DSUB} + {_PQ_DSUB}] AS c
+      FROM ord, range({_PQ_M}) t(m) WHERE rn <= {_PQ_K}
+    ),
+    sub AS (
+      SELECT vec_id, m,
+             v[m * {_PQ_DSUB} + 1 : m * {_PQ_DSUB} + {_PQ_DSUB}] AS sv
+      FROM v, range({_PQ_M}) t(m)
+    ),
+    d AS (
+      SELECT s.vec_id, s.m, c.code,
+             CAST(floor(list_reduce(
+               list_transform(range(1, {_PQ_DSUB} + 1),
+                              i -> (s.sv[i] - c.c[i]) ^ 2),
+               (a, b) -> a + b) * 10000 + 0.5) AS BIGINT) AS d2i
+      FROM sub s JOIN cb c USING (m)
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d2i, code) AS r FROM d
+      ) WHERE r = 1
+    ),
+    lut AS (
+      SELECT s.vec_id AS query_id, d.m, d.code, d.d2i
+      FROM (SELECT DISTINCT vec_id FROM v WHERE vec_id IN (0, 1, 2, 3, 4)) s
+      JOIN d ON d.vec_id = s.vec_id
+    ),
+    adc AS (
+      SELECT l.query_id, k.vec_id AS neighbor_id,
+             CAST(sum(l.d2i) AS BIGINT) AS adc_micro
+      FROM codes k JOIN lut l ON l.m = k.m AND l.code = k.code
+      WHERE k.vec_id != l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_micro, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_micro, neighbor_id) AS BIGINT) AS rank
+      FROM adc
+    ) WHERE rank <= {_PQ_TOPK}
+    """,
+)
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric distance computation — the
+    IVF-PQ serving path that completes the ANN family (exact /
+    sign-LSH / IVF / bit-packed Hamming / int8 / PQ): vectors compress
+    64 floats → 8 byte-codes (32×) against per-subspace codebooks, and
+    queries score candidates by summing 8 LUT entries instead of a
+    64-dim dot product.
+
+    Determinism design — this key is FULLY value-checked cross-engine,
+    not attestation-checked, because every stochastic choice is pinned:
+    (a) codebooks are the SEEDED-quantizer pattern (the K=16 vectors
+    first in Knuth-hash order, the IVF/SemDeDup discipline) rather
+    than Lloyd-trained; (b) every subspace distance is computed
+    dimension-BY-dimension in ascending order on BOTH engines (numpy
+    accumulation loop ≡ DuckDB list_reduce left fold — identical IEEE
+    op sequence, bit-identical doubles), then (c) snapped to an
+    integer micro-grid (floor(d2·1e4+0.5)) so code assignment
+    (min by (d2i, code)), ADC sums, and the final ranking are EXACT
+    integer arithmetic — immune to aggregation reassociation on either
+    engine. Encode is one Arrow-batched pass (numpy, no shuffle);
+    scoring explodes codes once and joins a 640-row broadcast LUT —
+    at 100 TB the scan carries 8 bytes/vector and the shuffle carries
+    top-k heaps only. Lloyd-trained codebooks drop in by replacing the
+    seed step (cluster_kmeans_lloyd is the engine's trained variant);
+    recall-vs-exact for the trained path is the attestation pattern
+    the LSH/IVF keys already carry."""
+    import numpy as np
+    import pandas as pd
+
+    M, DSUB, K, TOPK_PQ = _PQ_M, _PQ_DSUB, _PQ_K, _PQ_TOPK
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    ordk = F.expr(_PQ_ORD)
+    seeds = e.orderBy(ordk.asc(), F.col("vec_id").asc()).limit(K).collect()
+    C = np.array([list(s["v"]) for s in seeds], dtype=np.float64)  # K × 64
+
+    def d2_int(X: "np.ndarray", m: int) -> "np.ndarray":
+        # dimension-by-dimension accumulation == the oracle's left fold
+        D = np.zeros((len(X), K), dtype=np.float64)
+        for i in range(DSUB):
+            D += (X[:, m * DSUB + i, None] - C[None, :, m * DSUB + i]) ** 2
+        return np.floor(D * 10000 + 0.5).astype(np.int64)
+
+    def encode(batches):
+        for pdf in batches:
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            codes = np.empty((len(X), M), dtype=np.int32)
+            for m in range(M):
+                codes[:, m] = np.argmin(d2_int(X, m), axis=1)  # ties → low code
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(map(list, codes))}
+            )
+
+    codes = e.mapInPandas(encode, "vec_id long, codes array<int>")
+
+    # query LUT: 5 × M × K integer distances, built driver-side from the
+    # same collected seeds (both sides bounded: queries and codebook)
+    qrows = e.filter(F.col("vec_id").isin(QUERY_IDS)).collect()
+    lut_rows = []
+    for q in qrows:
+        qv = np.array([list(q["v"])], dtype=np.float64)
+        for m in range(M):
+            row = d2_int(qv, m)[0]
+            lut_rows.extend(
+                (q["vec_id"], m, code, int(row[code])) for code in range(K)
+            )
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, m int, code int, d2i long"
+    )
+
+    exploded = codes.select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
+    )
+    adc = (
+        exploded.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2i").cast("bigint").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOPK_PQ)
+        .select("query_id", "neighbor_id", "adc_micro", "rank")
+    )
