@@ -1665,3 +1665,133 @@ def table_history_metadata_relation(spark: SparkSession, sf_dir: str) -> DataFra
         out = row if out is None else out.unionByName(row)
         prev = files
     return out
+
+
+# --------------------------------------------------------------------------
+# WAP on a BRANCH: write-audit-publish via refs (Iceberg spark.wap.branch)
+# --------------------------------------------------------------------------
+@query(
+    "sink_wap_branch_publish",
+    oracle="""
+    SELECT count(*) FILTER (WHERE o_orderkey % 4 IN (0, 1)) AS n_rows_during_audit,
+           CAST(sum(o_orderkey) FILTER (WHERE o_orderkey % 4 IN (0, 1))
+                AS BIGINT) AS checksum_during_audit,
+           count(*) FILTER (WHERE o_orderkey % 4 IN (0, 1, 2)) AS n_rows_main_final,
+           CAST(sum(o_orderkey) FILTER (WHERE o_orderkey % 4 IN (0, 1, 2))
+                AS BIGINT) AS checksum_main_final,
+           count(*) FILTER (WHERE o_orderkey % 4 = 3) AS n_rows_red_batch,
+           CAST(1 AS BIGINT) AS green_published_via_ff,
+           CAST(1 AS BIGINT) AS red_never_reaches_main,
+           CAST(1 AS BIGINT) AS red_branch_abandoned
+    FROM orders
+    """,
+)
+def sink_wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish ON A BRANCH — the composition the refs
+    machinery exists for, and how Iceberg ships WAP in production
+    (``spark.wap.branch``): the ingest session commits its staged
+    batch to an AUDIT BRANCH (a real commit — time-travelable,
+    CDC-diffable, vacuumable), the audit queries the branch snapshot,
+    and publish is a metadata-only FAST-FORWARD of main. Compared to
+    `sink_write_audit_publish` (orphan-staging WAP), the branch
+    variant gives the audit a first-class table to query and makes
+    multi-batch staging composable.
+
+    Attested on one green and one red batch: DURING the green audit a
+    main reader still sees the pre-batch snapshot (count+checksum
+    oracle-recomputed — reader isolation); after the green
+    fast-forward main carries the batch (final relation
+    oracle-recomputed); the RED batch (violates the residue
+    expectation) commits to ITS branch, fails the audit, its branch is
+    abandoned — main's final file set provably excludes it
+    (``red_never_reaches_main``) while the dead branch still resolves
+    (``red_branch_abandoned``: auditable, vacuumable later, exactly
+    like Iceberg's stale branches). The red-batch row count is real
+    cross-engine data, not a protocol constant."""
+    base = fixture_base(spark, sf_dir, "wapbr")
+    shutil.rmtree(base, ignore_errors=True)
+    data = os.path.join(base, "data")
+    os.makedirs(data)
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    o.withColumn("b", (k % 4).cast("int")).repartition("b").write.partitionBy(
+        "b"
+    ).parquet(os.path.join(data, "slices"))
+
+    with open(os.path.join(base, "manifest-v1.txt"), "w") as f:
+        f.write("slices/b=0")
+    commit_with_conflict_detection(
+        base, 1, add=["slices/b=1"], remove=[], read_set=set()
+    )
+    set_branch_head(base, "main", 2)
+
+    def read_ref(name: str) -> DataFrame:
+        return spark.read.parquet(
+            *[
+                os.path.join(data, b)
+                for b in _log_read(base, resolve_ref(base, name))
+            ]
+        )
+
+    def wap(batch: str, branch: str, expectation) -> bool:
+        """Commit ``batch`` onto a fresh audit branch forked from main,
+        audit the BRANCH snapshot, fast-forward main only on green."""
+        parent = resolve_ref(base, "main")
+        v, _ = commit_with_conflict_detection(
+            base, _log_versions(base)[-1], add=[batch], remove=[],
+            read_set=set(),
+        )
+        set_branch_head(base, branch, v)
+        ok = expectation(read_ref(branch))
+        if ok:
+            set_branch_head(base, "main", v)
+        # red: the branch stays where it is — abandoned, not rewritten
+        assert resolve_ref(base, "main") == (v if ok else parent)
+        return ok
+
+    # green batch: slice 2 — but first capture the reader-isolation
+    # relation mid-audit (expectation runs between commit and publish)
+    during = {}
+
+    def green_expect(branch_df: DataFrame) -> bool:
+        r = read_ref("main").agg(
+            F.count(F.lit(1)), F.sum("o_orderkey").cast("bigint")
+        ).first()
+        during["n"], during["sum"] = r[0], r[1]
+        return branch_df.filter(k % 4 == 3).count() == 0
+
+    green_ok = wap("slices/b=2", "audit-g", green_expect)
+
+    red_ok = wap(
+        "slices/b=3", "audit-r",
+        lambda df: df.filter(k % 4 == 3).count() == 0,
+    )
+
+    main_files = set(_log_read(base, resolve_ref(base, "main")))
+    red_isolated = int("slices/b=3" not in main_files)
+    red_branch_lives = int(
+        "slices/b=3" in set(_log_read(base, resolve_ref(base, "audit-r")))
+    )
+    red_rows = read_ref("audit-r").filter(k % 4 == 3)
+
+    final = read_ref("main").agg(
+        F.lit(during["n"]).cast("bigint").alias("n_rows_during_audit"),
+        F.lit(during["sum"]).cast("bigint").alias("checksum_during_audit"),
+        F.count(F.lit(1)).alias("n_rows_main_final"),
+        F.sum("o_orderkey").cast("bigint").alias("checksum_main_final"),
+        F.lit(int(green_ok and not red_ok)).cast("bigint").alias(
+            "green_published_via_ff"
+        ),
+        F.lit(red_isolated).cast("bigint").alias("red_never_reaches_main"),
+        F.lit(red_branch_lives).cast("bigint").alias("red_branch_abandoned"),
+    )
+    red_n = red_rows.agg(F.count(F.lit(1)).alias("n_rows_red_batch"))
+    # two 1-row aggregate frames folded into the audit row (documented
+    # crossJoin-of-scalars class)
+    return final.crossJoin(red_n).select(
+        "n_rows_during_audit", "checksum_during_audit",
+        "n_rows_main_final", "checksum_main_final",
+        "n_rows_red_batch", "green_published_via_ff",
+        "red_never_reaches_main", "red_branch_abandoned",
+    )

@@ -283,6 +283,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # family's serving path)
         "table_history_metadata_relation", "feature_woe_information_value",
         "embedding_pq_adc_topk",
+        # round-10 ninth batch: WAP composed onto the refs machinery
+        # (the Iceberg spark.wap.branch production pattern)
+        "sink_wap_branch_publish",
     }
 )
 

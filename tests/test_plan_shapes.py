@@ -251,6 +251,9 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # its restored-head frame with the bad-version frame; the refs
         # key folds main-before × dev-head × tag-after-ff scalar frames
         "table_rollback_restore", "scan_branch_tag_refs",
+        # round-10 ninth batch, same class: branch-WAP folds the final
+        # main frame with the red-batch count frame
+        "sink_wap_branch_publish",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
