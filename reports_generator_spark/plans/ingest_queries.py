@@ -200,3 +200,31 @@ def scan_json_schema_drift_rescue(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("n_rescued_type_drift"),
         F.lit(no_drop_and_classes_align).cast("bigint").alias("no_row_dropped"),
     )
+
+
+@query("report_ingest_python_datasource", oracle=REPORT_INGEST_ORACLE)
+def report_ingest_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 through the CUSTOM PYTHON DATA SOURCE
+    (``spark.read.format("reports")``, Spark 4's pyspark.sql.datasource
+    extension point): the connector parses each report file inside its
+    own InputPartition (sources/report_datasource.py) and is attested
+    against the SAME golden CSV as the DataFrame pipeline — two
+    independent implementations of the contract under one oracle, and
+    the modern API a user would wrap any proprietary format in.
+    Parallelism = file count (partition per file), rows stream out
+    Arrow-batched; no pushdown (documented — the DataFrame path is the
+    pruning scan; this is the format escape hatch)."""
+    from ..sources.report_datasource import build_report_datasource
+
+    ensure_goldens()
+    try:
+        spark.dataSource.register(build_report_datasource())
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("reports")
+        .option("path", _fixture_dir())
+        .option("generation_date", _FIXED_GEN_DATE)
+        .load()
+    )
+    return basename_ruta(df)

@@ -286,6 +286,10 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # round-10 ninth batch: WAP composed onto the refs machinery
         # (the Iceberg spark.wap.branch production pattern)
         "sink_wap_branch_publish",
+        # round-10 tenth batch: E1 as a custom Python Data Source —
+        # the connector extension point, attested against the same
+        # golden as the DataFrame pipeline
+        "report_ingest_python_datasource",
     }
 )
 

@@ -1,0 +1,149 @@
+"""E1 report ingest as a CUSTOM PYTHON DATA SOURCE (Spark 4's
+``pyspark.sql.datasource`` API): ``spark.read.format("reports")``.
+
+The DataFrame pipeline (ingest/reports.py) is the engine's primary E1
+path — declarative, codegen'd, quarantine-routed. This module is the
+CONNECTOR form of the same contract: the parse runs inside the source,
+one InputPartition per report file, rows stream out Arrow-batched.
+It exists for two reasons:
+
+- it exercises the modern extension point a user would reach for to
+  wrap a proprietary format the DataFrame API can't scan natively
+  (the reference's whole program is exactly such a format, so it is
+  the honest demo case — cf. Proof.scala:50-153);
+- it proves the contract twice-independently: the connector's pure-
+  Python parser and the DataFrame pipeline are attested against the
+  SAME golden CSV (ingest/golden.py), so a drift in either fails the
+  differential gate.
+
+The class is built by a FACTORY so cloudpickle serializes it (and the
+parser closure) BY VALUE: executors never need this package on their
+import path — the registration survives any driver cwd/PYTHONPATH,
+which module-level classes (pickled by reference) would not.
+
+Scale posture: partition = file, so parallelism equals file count
+(the same unit the DataFrame path gets from input_file_name
+partitioning); per-partition state is one file's lines. Filter/column
+pruning are not implemented (pushFilters default = no pushdown) —
+the DataFrame path remains the scan of choice when pruning matters;
+this is the escape hatch for format logic, not a replacement.
+"""
+
+from __future__ import annotations
+
+from ..config import ERP_HEADERS
+from ..ingest.reports import _FILE_DATE_RE, BLOCK_LEN, BLOCK_POSITIONS, ERP_FIELD_ORDER
+
+
+def build_report_datasource():
+    """Return the ReportDataSource class, with every contract constant
+    captured by value in closures (see module docstring)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    field_order = tuple(ERP_FIELD_ORDER)
+    positions = dict(BLOCK_POSITIONS)
+    block_len = int(BLOCK_LEN)
+    file_date_re = str(_FILE_DATE_RE)
+    headers = tuple(ERP_HEADERS)
+    limit_block_key, boolean_key = "status", "equalsHeaders"
+    type_match, type_message = "parquet", "Generación de Parquet"
+
+    def scan_files(input_dir: str, ext: str) -> list[str]:
+        """S1: recursive scan + extension filter (Proof.scala:70)."""
+        import os
+
+        out = []
+        for root, _dirs, files in os.walk(input_dir):
+            out.extend(os.path.join(root, f) for f in files if f.endswith(ext))
+        return sorted(out)
+
+    def parse_report_file(path: str, generation_date: str):
+        """P1-P8 in pure Python over ONE report file — the
+        per-partition body. Semantics mirror ingest/reports.py
+        stage-for-stage: first-':' split + trim, SI/NO localization on
+        the boolean key, status-terminated blocks, completeness filter
+        (terminator present AND >= BLOCK_LEN values), positional
+        projection skipping 9/10, enrichment (module, parquet-match
+        report type, path, filename date, swapped-count differences
+        with per-record try semantics)."""
+        import re
+
+        with open(path, encoding="utf-8") as fh:
+            raw_lines = fh.read().splitlines()
+
+        blocks = [[]]
+        for ln in raw_lines:
+            if ":" not in ln:
+                continue
+            k, _, v = ln.partition(":")
+            k, v = k.strip(), v.strip()
+            if re.search(rf"\b({boolean_key})\b", k):
+                v = "SI" if v == "true" else "NO"
+            blocks[-1].append((k, v))
+            if re.search(rf"\b({limit_block_key})\b", k):
+                blocks.append([])  # terminator closes the block
+
+        date_m = re.search(file_date_re, path)
+        file_date = date_m.group(1) if date_m else ""
+
+        for blk in blocks:
+            has_term = any(
+                re.search(rf"\b({limit_block_key})\b", k) for k, _ in blk
+            )
+            vals = [v for _, v in blk]
+            if not has_term or len(vals) < block_len:
+                continue  # P7/P12: incomplete blocks are not emitted here
+            fields = {name: vals[pos - 1] for pos, name in positions.items()}
+            any_parquet = any(
+                re.search(rf"\b({type_match})\b", v) for v in vals
+            )
+            fields["module"] = "ERP"
+            fields["reportType"] = type_message if any_parquet else ""
+            fields["reportPath"] = path
+            fields["fileGeneratedDate"] = file_date
+
+            def diff(prep: str, oficial: str) -> str:
+                try:
+                    return str(int(fields[prep]) - int(fields[oficial]))
+                except ValueError:
+                    return ""  # the try_cast tolerance of the DF path
+
+            fields["difCountCol"] = diff(
+                "fileAntColForCountColumns", "fileColForCountColumns"
+            )
+            fields["difCountRow"] = diff(
+                "fileAntColForCountRows", "fileColForCountRows"
+            )
+            fields["generationDate"] = generation_date
+            yield tuple(fields[logical] for logical in field_order)
+
+    class ReportReader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            self._dir = options["path"]
+            self._ext = options.get("ext", ".TXT")
+            self._gen_date = options["generation_date"]
+
+        def partitions(self):
+            return [InputPartition(p) for p in scan_files(self._dir, self._ext)]
+
+        def read(self, partition):
+            return parse_report_file(partition.value, self._gen_date)
+
+    class ReportDataSource(DataSource):
+        """``spark.read.format("reports")`` — options: ``path`` (input
+        dir, scanned recursively), ``ext`` (default .TXT),
+        ``generation_date`` (the deterministic FECHA_GENERACION)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "reports"
+
+        def schema(self) -> str:
+            return ", ".join(f"`{h}` string" for h in headers)
+
+        def reader(self, schema):  # noqa: ANN001
+            return ReportReader(self.options)
+
+    # test hook: the parser, reachable without registering the source
+    ReportDataSource.parse_report_file = staticmethod(parse_report_file)
+    return ReportDataSource

@@ -299,3 +299,22 @@ def test_ingest_latin1_charset(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 1
     assert rows[0]["NOMBRE_DE_DIRECTORIO"] == "/landing/generación"
+
+
+def test_python_datasource_equals_dataframe_pipeline(spark):
+    """The connector (pyspark.sql.datasource) and the DataFrame
+    pipeline are two independent implementations of the E1 contract —
+    their outputs must be row-identical on the shared fixture corpus
+    (both are separately attested against the golden CSV; this pins
+    them against each other directly, including column order)."""
+    from reports_generator_spark.plans import registry
+
+    registry.load_all()
+    from conftest import SF_DIR
+
+    ds = registry.QUERIES["report_ingest_python_datasource"](spark, SF_DIR)
+    pipe = registry.QUERIES["report_ingest"](spark, SF_DIR)
+    assert ds.columns == pipe.columns
+    assert ds.exceptAll(pipe).count() == 0
+    assert pipe.exceptAll(ds).count() == 0
+    assert ds.count() == pipe.count() > 0
