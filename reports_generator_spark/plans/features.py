@@ -781,9 +781,10 @@ def feature_crossfit_target_encode(spark: SparkSession, sf_dir: str) -> DataFram
     tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM agg),
     woe AS (
       SELECT bin, n, n_pos, n_neg,
-             ln((n_pos * 1.0 / tp) / (n_neg * 1.0 / tn)) AS w,
+             ln(((n_pos + 0.5) * 1.0 / tp) / ((n_neg + 0.5) * 1.0 / tn)) AS w,
              (n_pos * 1.0 / tp - n_neg * 1.0 / tn)
-               * ln((n_pos * 1.0 / tp) / (n_neg * 1.0 / tn)) AS contrib
+               * ln(((n_pos + 0.5) * 1.0 / tp) / ((n_neg + 0.5) * 1.0 / tn))
+               AS contrib
       FROM agg CROSS JOIN tot
     )
     SELECT bin, n, n_pos, n_neg,
@@ -817,7 +818,12 @@ def feature_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     w = Window.partitionBy()
     tp, tn = F.sum("n_pos").over(w), F.sum("n_neg").over(w)
-    woe = F.log((F.col("n_pos") * 1.0 / tp) / (F.col("n_neg") * 1.0 / tn))
+    # +0.5 adjustment (the standard WOE zero-cell guard, binary-exact):
+    # an all-positive or all-negative bin would otherwise be ln(0)/ln(∞)
+    # — and DuckDB's ln(0) RAISES where Spark returns NULL
+    woe = F.log(
+        ((F.col("n_pos") + 0.5) * 1.0 / tp) / ((F.col("n_neg") + 0.5) * 1.0 / tn)
+    )
     contrib = (F.col("n_pos") * 1.0 / tp - F.col("n_neg") * 1.0 / tn) * woe
     return agg.select(
         "bin", "n", "n_pos", "n_neg",

@@ -137,11 +137,14 @@ def scan_json_schema_drift_rescue(spark: SparkSession, sf_dir: str) -> DataFrame
     in-code flag pins rescued maps non-empty exactly on classes 1-2.
     At 100 TB this is scan-speed: the rescue path adds one map column,
     not a reprocessing job when a producer ships a new field."""
-    import hashlib
     import shutil
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"rg_drift_{tag}")
+    from .scale_joins import fixture_base
+
+    # appId-scoped (fixture_base): concurrent sessions on the same
+    # sf_dir must not rmtree a fixture another session's lazy plan
+    # still reads
+    base = fixture_base(spark, sf_dir, "drift")
     shutil.rmtree(base, ignore_errors=True)
     src = os.path.join(base, "jsonl")
 
@@ -176,16 +179,12 @@ def scan_json_schema_drift_rescue(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
     ).drop("m")
 
-    flags = parsed.agg(
-        F.sum(
-            (
-                (F.size("_rescued_data") > 0)
-                != ((F.col("id") % 3 == 1) | (F.col("id") % 3 == 2))
-            ).cast("int")
-        ).alias("bad")
-    ).first()
-    no_drop_and_classes_align = int(flags["bad"] == 0)
-
+    # the classes-align flag folds into the SAME aggregate (one scan,
+    # one parse — a separate .first() job would re-read the fixture)
+    misaligned = (
+        (F.size("_rescued_data") > 0)
+        != ((F.col("id") % 3 == 1) | (F.col("id") % 3 == 2))
+    ).cast("int")
     return parsed.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("v").alias("n_v_parsed"),
@@ -198,7 +197,7 @@ def scan_json_schema_drift_rescue(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.array_contains(F.map_keys("_rescued_data"), "v")
              & F.col("v").isNull()).cast("bigint")
         ).alias("n_rescued_type_drift"),
-        F.lit(no_drop_and_classes_align).cast("bigint").alias("no_row_dropped"),
+        (F.sum(misaligned) == 0).cast("bigint").alias("no_row_dropped"),
     )
 
 
@@ -217,10 +216,9 @@ def report_ingest_python_datasource(spark: SparkSession, sf_dir: str) -> DataFra
     from ..sources.report_datasource import build_report_datasource
 
     ensure_goldens()
-    try:
-        spark.dataSource.register(build_report_datasource())
-    except Exception:
-        pass  # already registered in this session
+    # re-registering replaces silently in Spark 4 — no guard needed,
+    # and a guard would only ever hide REAL registration failures
+    spark.dataSource.register(build_report_datasource())
     df = (
         spark.read.format("reports")
         .option("path", _fixture_dir())

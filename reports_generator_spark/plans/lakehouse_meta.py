@@ -1735,13 +1735,25 @@ def sink_wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def wap(batch: str, branch: str, expectation) -> bool:
-        """Commit ``batch`` onto a fresh audit branch forked from main,
-        audit the BRANCH snapshot, fast-forward main only on green."""
+        """Commit ``batch`` onto a fresh audit branch forked from MAIN,
+        audit the BRANCH snapshot, fast-forward main only on green.
+
+        The branch manifest's content derives from main's snapshot —
+        NOT from the log tip (commit_with_conflict_detection builds on
+        the tip and would fold an abandoned red branch's files into
+        every later audit): in a shared-version log each manifest is a
+        full standalone file list, so a branch commit claims the next
+        free version number with content = parent-branch files + batch.
+        """
         parent = resolve_ref(base, "main")
-        v, _ = commit_with_conflict_detection(
-            base, _log_versions(base)[-1], add=[batch], remove=[],
-            read_set=set(),
-        )
+        content = "\n".join(_log_read(base, parent) + [batch])
+        while True:
+            v = _log_versions(base)[-1] + 1
+            if atomic_claim(
+                os.path.join(base, f"manifest-v{v}.txt"), content
+            ):
+                break  # lost slots just mean another writer took a
+                # version number; branch content never rebases
         set_branch_head(base, branch, v)
         ok = expectation(read_ref(branch))
         if ok:
@@ -1750,8 +1762,16 @@ def sink_wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert resolve_ref(base, "main") == (v if ok else parent)
         return ok
 
-    # green batch: slice 2 — but first capture the reader-isolation
-    # relation mid-audit (expectation runs between commit and publish)
+    # RED batch first — the adversarial order: its abandoned branch
+    # must not leak into the later green audit (a tip-derived fork
+    # would fold slices/b=3 into audit-g; fork-from-main cannot)
+    red_ok = wap(
+        "slices/b=3", "audit-r",
+        lambda df: df.filter(k % 4 == 3).count() == 0,
+    )
+
+    # green batch: slice 2 — capture the reader-isolation relation
+    # mid-audit (expectation runs between commit and publish)
     during = {}
 
     def green_expect(branch_df: DataFrame) -> bool:
@@ -1762,11 +1782,9 @@ def sink_wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         return branch_df.filter(k % 4 == 3).count() == 0
 
     green_ok = wap("slices/b=2", "audit-g", green_expect)
-
-    red_ok = wap(
-        "slices/b=3", "audit-r",
-        lambda df: df.filter(k % 4 == 3).count() == 0,
-    )
+    assert "slices/b=3" not in set(
+        _log_read(base, resolve_ref(base, "audit-g"))
+    ), "abandoned red branch leaked into the green audit branch"
 
     main_files = set(_log_read(base, resolve_ref(base, "main")))
     red_isolated = int("slices/b=3" not in main_files)

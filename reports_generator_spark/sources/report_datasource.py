@@ -32,7 +32,13 @@ this is the escape hatch for format logic, not a replacement.
 from __future__ import annotations
 
 from ..config import ERP_HEADERS
-from ..ingest.reports import _FILE_DATE_RE, BLOCK_LEN, BLOCK_POSITIONS, ERP_FIELD_ORDER
+from ..ingest.reports import (
+    _FILE_DATE_RE,
+    BLOCK_LEN,
+    BLOCK_POSITIONS,
+    ERP_FIELD_ORDER,
+    ZIP_KEYS,
+)
 
 
 def build_report_datasource():
@@ -45,6 +51,7 @@ def build_report_datasource():
     block_len = int(BLOCK_LEN)
     file_date_re = str(_FILE_DATE_RE)
     headers = tuple(ERP_HEADERS)
+    zip_keys = frozenset(ZIP_KEYS)
     limit_block_key, boolean_key = "status", "equalsHeaders"
     type_match, type_message = "parquet", "Generación de Parquet"
 
@@ -90,7 +97,10 @@ def build_report_datasource():
             has_term = any(
                 re.search(rf"\b({limit_block_key})\b", k) for k, _ in blk
             )
-            vals = [v for _, v in blk]
+            # ZIP_KEYS lines are keyed (ISU extension), never positional
+            # — exclude them exactly as the DataFrame path's ~is_zip
+            # filter does, so ERP positions cannot shift
+            vals = [v for k, v in blk if k not in zip_keys]
             if not has_term or len(vals) < block_len:
                 continue  # P7/P12: incomplete blocks are not emitted here
             fields = {name: vals[pos - 1] for pos, name in positions.items()}
@@ -102,11 +112,21 @@ def build_report_datasource():
             fields["reportPath"] = path
             fields["fileGeneratedDate"] = file_date
 
+            def as_bigint(s: str):
+                # mirror try_cast(BIGINT)'s grammar exactly — Python
+                # int() is more permissive ('1_0', unicode digits,
+                # arbitrary precision) and would diverge the two
+                # attested implementations on dirty counts
+                if not re.fullmatch(r"[+-]?[0-9]+", s, re.ASCII):
+                    return None
+                n = int(s)
+                return n if -(2**63) <= n <= 2**63 - 1 else None
+
             def diff(prep: str, oficial: str) -> str:
-                try:
-                    return str(int(fields[prep]) - int(fields[oficial]))
-                except ValueError:
+                a, b = as_bigint(fields[prep]), as_bigint(fields[oficial])
+                if a is None or b is None:
                     return ""  # the try_cast tolerance of the DF path
+                return str(a - b)
 
             fields["difCountCol"] = diff(
                 "fileAntColForCountColumns", "fileColForCountColumns"

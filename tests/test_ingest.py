@@ -318,3 +318,40 @@ def test_python_datasource_equals_dataframe_pipeline(spark):
     assert ds.exceptAll(pipe).count() == 0
     assert pipe.exceptAll(ds).count() == 0
     assert ds.count() == pipe.count() > 0
+
+
+def test_datasource_parser_zip_lines_and_dirty_counts(tmp_path):
+    """The connector parser must mirror the DataFrame path on the two
+    divergence classes a pure-ERP fixture never exercises: ISU-style
+    keyed zip lines are excluded from the positional array (positions
+    must not shift), and count fields follow try_cast's strict bigint
+    grammar ('1_0' and unicode digits yield '' like try_cast NULL,
+    not Python int()'s permissive parse)."""
+    from reports_generator_spark.ingest.fixtures import INPUT_KEYS, block_values
+    from reports_generator_spark.sources.report_datasource import (
+        build_report_datasource,
+    )
+
+    vals = block_values(0, 0)
+    vals["fileAntColForCountColumns"] = "1_0"  # int('1_0') == 10; try_cast -> NULL
+    lines = []
+    for i, k in enumerate(INPUT_KEYS):
+        if i == 3:
+            lines.append("zipName: should_not_shift_positions")  # ISU keyed line
+        lines.append(f"{k}: {vals[k]}")
+    p = tmp_path / "[ERP]_REPORT_PARQUET_DATE_OF_PROCESSS[01-01-2019T13_00_30].TXT"
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+
+    from reports_generator_spark.ingest.reports import ERP_FIELD_ORDER
+
+    ds = build_report_datasource()
+    rows = list(ds.parse_report_file(str(p), "2026-01-01 00:00:00"))
+    assert len(rows) == 1
+    row = dict(zip(ERP_FIELD_ORDER, rows[0], strict=True))
+    # positions unshifted despite the injected zip line
+    assert row["file"] == vals["file"]
+    assert row["status"] == vals["status"]
+    assert row["fileColForCountRows"] == vals["fileColForCountRows"]
+    # dirty count -> '' (try_cast grammar), not int()'s permissive '0'
+    assert row["difCountCol"] == ""
+    assert row["fileAntColForCountColumns"] == "1_0"  # raw value kept
