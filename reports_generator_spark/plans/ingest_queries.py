@@ -226,3 +226,50 @@ def report_ingest_python_datasource(spark: SparkSession, sf_dir: str) -> DataFra
         .load()
     )
     return basename_ruta(df)
+
+
+@query("stream_report_ingest_python_datasource", oracle=STREAM_REPORT_INGEST_ORACLE)
+def stream_report_ingest_python_datasource(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E1 as a STREAMING custom Python data source
+    (``spark.readStream.format("reports")``): the same factory-built
+    connector, SimpleDataSourceStreamReader side — offset = files
+    consumed over the sorted listing, deterministic offset-range
+    replay for recovery. Attested against the SAME stream golden CSV
+    as the file-source streaming pipeline (stream_report_ingest), so
+    the engine now proves the contract through FOUR independent
+    paths: DataFrame batch, connector batch, file-source stream,
+    connector stream."""
+    import hashlib
+    import shutil
+    import uuid
+
+    from ..sources.report_datasource import build_report_datasource
+
+    ensure_goldens()
+    spark.dataSource.register(build_report_datasource())
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"rg_ds_stream_{tag}")
+    reports, ckpt = os.path.join(base, "reports"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(reports)
+    write_report_files(reports, n_files=3, blocks_per_file=4)
+
+    name = f"rg_ds_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        spark.readStream.format("reports")
+        .option("path", reports)
+        .option("generation_date", _FIXED_GEN_DATE)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return basename_ruta(spark.table(name))

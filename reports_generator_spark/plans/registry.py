@@ -288,8 +288,10 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "sink_wap_branch_publish",
         # round-10 tenth batch: E1 as a custom Python Data Source —
         # the connector extension point, attested against the same
-        # golden as the DataFrame pipeline
+        # golden as the DataFrame pipeline — in BOTH batch and
+        # streaming (SimpleDataSourceStreamReader) forms
         "report_ingest_python_datasource",
+        "stream_report_ingest_python_datasource",
     }
 )
 

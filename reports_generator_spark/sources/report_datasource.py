@@ -43,8 +43,17 @@ from ..ingest.reports import (
 
 def build_report_datasource():
     """Return the ReportDataSource class, with every contract constant
-    captured by value in closures (see module docstring)."""
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    captured by value in closures (see module docstring). The one
+    class serves BOTH ``spark.read`` and ``spark.readStream`` — the
+    batch reader partitions per file; the streaming reader tracks a
+    files-consumed offset (new files = new micro-batch rows) with
+    deterministic offset-range replay for recovery."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     field_order = tuple(ERP_FIELD_ORDER)
     positions = dict(BLOCK_POSITIONS)
@@ -149,10 +158,49 @@ def build_report_datasource():
         def read(self, partition):
             return parse_report_file(partition.value, self._gen_date)
 
+    class ReportStreamReader(SimpleDataSourceStreamReader):
+        """Offset = count of files consumed over the SORTED recursive
+        listing (report dirs are append-only by contract — the
+        reference's poll loop assumed the same, Proof.scala:68-89):
+        each micro-batch carries every file past the last offset, and
+        ``readBetweenOffsets`` replays any committed range
+        deterministically after a restart. Reads run on the driver
+        (the Simple reader contract) — right for report-sized files;
+        a high-throughput source would graduate to
+        DataSourceStreamReader's partitioned API."""
+
+        def __init__(self, options: dict) -> None:
+            self._dir = options["path"]
+            self._ext = options.get("ext", ".TXT")
+            self._gen_date = options["generation_date"]
+
+        def initialOffset(self) -> dict:
+            return {"files_done": 0}
+
+        def read(self, start: dict):
+            files = scan_files(self._dir, self._ext)
+            # a LIST, not a generator: the engine's prefetching wrapper
+            # pickles the (rows, offset) pair when planning partitions
+            rows = [
+                r
+                for p in files[start["files_done"]:]
+                for r in parse_report_file(p, self._gen_date)
+            ]
+            return rows, {"files_done": len(files)}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            files = scan_files(self._dir, self._ext)
+            return [
+                r
+                for p in files[start["files_done"]:end["files_done"]]
+                for r in parse_report_file(p, self._gen_date)
+            ]
+
     class ReportDataSource(DataSource):
-        """``spark.read.format("reports")`` — options: ``path`` (input
-        dir, scanned recursively), ``ext`` (default .TXT),
-        ``generation_date`` (the deterministic FECHA_GENERACION)."""
+        """``spark.read.format("reports")`` / ``spark.readStream.
+        format("reports")`` — options: ``path`` (input dir, scanned
+        recursively), ``ext`` (default .TXT), ``generation_date`` (the
+        deterministic FECHA_GENERACION)."""
 
         @classmethod
         def name(cls) -> str:
@@ -163,6 +211,9 @@ def build_report_datasource():
 
         def reader(self, schema):  # noqa: ANN001
             return ReportReader(self.options)
+
+        def simpleStreamReader(self, schema):  # noqa: ANN001
+            return ReportStreamReader(self.options)
 
     # test hook: the parser, reachable without registering the source
     ReportDataSource.parse_report_file = staticmethod(parse_report_file)
