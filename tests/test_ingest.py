@@ -355,3 +355,35 @@ def test_datasource_parser_zip_lines_and_dirty_counts(tmp_path):
     # dirty count -> '' (try_cast grammar), not int()'s permissive '0'
     assert row["difCountCol"] == ""
     assert row["fileAntColForCountColumns"] == "1_0"  # raw value kept
+
+
+def test_datasource_stream_reader_offsets_and_replay(tmp_path):
+    """The Simple stream reader's recovery contract, engine-free:
+    read(initial) consumes every file and advances the offset;
+    readBetweenOffsets over the committed range replays EXACTLY the
+    same rows (what a restarted query does); a file arriving after
+    the first batch is picked up by the next read from the stored
+    offset, without re-emitting batch one."""
+    from reports_generator_spark.ingest.fixtures import write_report_files
+    from reports_generator_spark.sources.report_datasource import (
+        build_report_datasource,
+    )
+
+    d = str(tmp_path)
+    write_report_files(d, n_files=2, blocks_per_file=3)
+    ds = build_report_datasource()
+    reader = ds(
+        options={"path": d, "generation_date": "2026-01-01 00:00:00"}
+    ).simpleStreamReader(None)
+
+    start = reader.initialOffset()
+    rows1, off1 = reader.read(start)
+    assert len(rows1) == 6 and off1 == {"files_done": 2}
+    assert reader.readBetweenOffsets(start, off1) == rows1  # exact replay
+
+    # late-arriving file: only ITS rows appear in the next batch
+    write_report_files(d, n_files=3, blocks_per_file=3)  # adds file 2
+    rows2, off2 = reader.read(off1)
+    assert off2 == {"files_done": 3}
+    assert len(rows2) == 3
+    assert not set(map(tuple, rows2)) & set(map(tuple, rows1))
