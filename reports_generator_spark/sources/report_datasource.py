@@ -159,40 +159,55 @@ def build_report_datasource():
             return parse_report_file(partition.value, self._gen_date)
 
     class ReportStreamReader(SimpleDataSourceStreamReader):
-        """Offset = count of files consumed over the SORTED recursive
-        listing (report dirs are append-only by contract — the
-        reference's poll loop assumed the same, Proof.scala:68-89):
-        each micro-batch carries every file past the last offset, and
-        ``readBetweenOffsets`` replays any committed range
-        deterministically after a restart. Reads run on the driver
-        (the Simple reader contract) — right for report-sized files;
-        a high-throughput source would graduate to
-        DataSourceStreamReader's partitioned API."""
+        """Offset = the SEEN-FILE SET (sorted relative paths) — the
+        same design as Spark's own FileStreamSource, because the
+        obvious alternative (a consumed-count or lexicographic
+        watermark over the sorted listing) silently re-reads or MISSES
+        a late file that sorts before the consumed point (nested
+        report subdirs do exactly that; pinned in
+        tests/test_ingest.py::test_datasource_stream_reader_offsets_and_replay).
+        Each micro-batch carries exactly the files not in the start
+        offset's seen set; ``readBetweenOffsets`` replays end.seen −
+        start.seen deterministically after a restart. Reads run on the
+        driver (the Simple reader contract) — right for report-sized
+        files; a high-throughput source would graduate to
+        DataSourceStreamReader's partitioned API, and a 100 TB-scale
+        dir would add seen-set retention exactly as FileStreamSource
+        does."""
 
         def __init__(self, options: dict) -> None:
             self._dir = options["path"]
             self._ext = options.get("ext", ".TXT")
             self._gen_date = options["generation_date"]
 
+        def _rel(self, p: str) -> str:
+            import os
+
+            return os.path.relpath(p, self._dir)
+
         def initialOffset(self) -> dict:
-            return {"files_done": 0}
+            return {"seen": []}
 
         def read(self, start: dict):
             files = scan_files(self._dir, self._ext)
+            seen = set(start["seen"])
             # a LIST, not a generator: the engine's prefetching wrapper
             # pickles the (rows, offset) pair when planning partitions
             rows = [
                 r
-                for p in files[start["files_done"]:]
+                for p in files
+                if self._rel(p) not in seen
                 for r in parse_report_file(p, self._gen_date)
             ]
-            return rows, {"files_done": len(files)}
+            return rows, {"seen": sorted(self._rel(p) for p in files)}
 
         def readBetweenOffsets(self, start: dict, end: dict):
+            new = set(end["seen"]) - set(start["seen"])
             files = scan_files(self._dir, self._ext)
             return [
                 r
-                for p in files[start["files_done"]:end["files_done"]]
+                for p in files
+                if self._rel(p) in new
                 for r in parse_report_file(p, self._gen_date)
             ]
 

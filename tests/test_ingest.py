@@ -378,12 +378,17 @@ def test_datasource_stream_reader_offsets_and_replay(tmp_path):
 
     start = reader.initialOffset()
     rows1, off1 = reader.read(start)
-    assert len(rows1) == 6 and off1 == {"files_done": 2}
-    assert reader.readBetweenOffsets(start, off1) == rows1  # exact replay
+    assert len(rows1) == 6 and len(off1["seen"]) == 2
+    assert sorted(reader.readBetweenOffsets(start, off1)) == sorted(rows1)
 
-    # late-arriving file: only ITS rows appear in the next batch
+    # late-arriving file — and it SORTS BEFORE already-consumed files
+    # (write_report_files nests odd-indexed files in a subdir, so the
+    # new root-level file lands mid-listing): a consumed-count or
+    # watermark offset would re-read or miss here; the seen-set must
+    # emit exactly the new file's rows
     write_report_files(d, n_files=3, blocks_per_file=3)  # adds file 2
     rows2, off2 = reader.read(off1)
-    assert off2 == {"files_done": 3}
+    assert len(off2["seen"]) == 3
     assert len(rows2) == 3
     assert not set(map(tuple, rows2)) & set(map(tuple, rows1))
+    assert sorted(reader.readBetweenOffsets(off1, off2)) == sorted(rows2)
