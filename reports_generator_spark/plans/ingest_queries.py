@@ -273,3 +273,53 @@ def stream_report_ingest_python_datasource(
     )
     q.awaitTermination()
     return basename_ruta(spark.table(name))
+
+
+@query("sink_report_python_datasource_roundtrip", oracle=REPORT_INGEST_ORACLE)
+def sink_report_python_datasource_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The connector's WRITE path closes the loop: the E1 relation is
+    written BACK into the report-file grammar via the custom data
+    source's two-phase-commit writer (tasks stage .tmp files per
+    report, the driver's commit renames atomically — a reader of the
+    corpus never sees a torn file), then RE-INGESTED through the
+    DataFrame pipeline, and the round-tripped relation must still
+    equal the golden CSV. Proves the inverse projection is faithful
+    for every contract column (the only lossy slots are the
+    ignored-by-design positions 9/10), and gives the engine a real
+    report-format SINK — the reference could only read this grammar,
+    never produce it. Partitioned by report name before the write so
+    each output file is owned by exactly one task."""
+    import hashlib
+    import shutil
+
+    from ..sources.report_datasource import build_report_datasource
+
+    ensure_goldens()
+    spark.dataSource.register(build_report_datasource())
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"rg_ds_wr_{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    cfg = ReportConfig(
+        input_dir=_fixture_dir(), output_parquet="", output_csv="",
+        module="ERP", generation_date=_FIXED_GEN_DATE,
+    )
+    original = basename_ruta(ingest_reports(spark, cfg))
+    (
+        original.repartition(F.col("RUTA_DE_REPORTE"))
+        .write.format("reports")
+        .option("path", out_dir)
+        .mode("append")
+        .save()
+    )
+
+    cfg2 = ReportConfig(
+        input_dir=out_dir, output_parquet="", output_csv="",
+        module="ERP", generation_date=_FIXED_GEN_DATE,
+    )
+    return basename_ruta(ingest_reports(spark, cfg2))

@@ -292,6 +292,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # streaming (SimpleDataSourceStreamReader) forms
         "report_ingest_python_datasource",
         "stream_report_ingest_python_datasource",
+        # the connector's WRITE path: two-phase-commit report-format
+        # sink, round-tripped through the DataFrame pipeline
+        "sink_report_python_datasource_roundtrip",
     }
 )
 

@@ -48,11 +48,15 @@ def build_report_datasource():
     batch reader partitions per file; the streaming reader tracks a
     files-consumed offset (new files = new micro-batch rows) with
     deterministic offset-range replay for recovery."""
+    from dataclasses import dataclass
+
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
         InputPartition,
         SimpleDataSourceStreamReader,
+        WriterCommitMessage,
     )
 
     field_order = tuple(ERP_FIELD_ORDER)
@@ -211,11 +215,106 @@ def build_report_datasource():
                 for r in parse_report_file(p, self._gen_date)
             ]
 
+    @dataclass
+    class _Staged(WriterCommitMessage):
+        pairs: list  # [(tmp_path, final_path), ...] this task staged
+
+    class ReportWriter(DataSourceWriter):
+        """The WRITE path: ERP rows back into the report-file grammar —
+        two-phase commit so a reader never sees a torn corpus: each
+        task STAGES one ``.tmp-{uuid}`` file per distinct report name
+        in its partition (the caller repartitions by RUTA_DE_REPORTE,
+        so a name is owned by exactly one task) and returns the
+        (tmp, final) pairs as its commit message; the driver's
+        ``commit`` renames all of them (os.replace — readers see the
+        old file, the new file, never a partial), and ``abort``
+        removes the staged temps. The inverse projection drops the
+        enrichment columns (they re-derive on ingest), localizes
+        SI/NO back to the raw boolean, and emits placeholders at the
+        contract's ignored positions 9/10 (their values are dropped by
+        every reader by design — the one lossy slot in the grammar)."""
+
+        def __init__(self, options: dict) -> None:
+            self._dir = options["path"]
+
+        def write(self, rows) -> "_Staged":
+            import os
+            import uuid
+
+            by_file: dict = {}
+            for r in rows:
+                by_file.setdefault(r["RUTA_DE_REPORTE"], []).append(r)
+            os.makedirs(self._dir, exist_ok=True)
+            pairs = []
+            for fname, rws in sorted(by_file.items()):
+                lines = []
+                for r in rws:
+                    vals = dict(zip(field_order, r))
+                    raw = {
+                        name: vals[name] for name in positions.values()
+                    }
+                    raw["equalsHeaders"] = (
+                        "true" if vals["equalsHeaders"] == "SI" else "false"
+                    )
+                    block = [
+                        ("file", raw["file"]),
+                        ("tableNameFromFile", raw["tableNameFromFile"]),
+                        ("tableNameFromJson", raw["tableNameFromJson"]),
+                        ("headersFromJson", raw["headersFromJson"]),
+                        ("countHeadersFromJson", raw["countHeadersFromJson"]),
+                        ("countHeadersFromFile", raw["countHeadersFromFile"]),
+                        ("headersFromFile", raw["headersFromFile"]),
+                        ("equalsHeaders", raw["equalsHeaders"]),
+                        ("ignoredChecksumA", "rewritten"),  # dropped slot
+                        ("ignoredChecksumB", "rewritten"),  # dropped slot
+                        ("fileDirectory", raw["fileDirectory"]),
+                        ("filePath", raw["filePath"]),
+                        ("fileSize", raw["fileSize"]),
+                        ("fileValidSha", raw["fileValidSha"]),
+                        ("fileColForSchema", raw["fileColForSchema"]),
+                        ("fileTableName", raw["fileTableName"]),
+                        ("fileColForPathTable", raw["fileColForPathTable"]),
+                        ("fileAntColForCountColumns",
+                         raw["fileAntColForCountColumns"]),
+                        ("fileAntColForCountRows",
+                         raw["fileAntColForCountRows"]),
+                        ("fileColForCountColumns",
+                         raw["fileColForCountColumns"]),
+                        ("fileColForCountRows", raw["fileColForCountRows"]),
+                        ("status", raw["status"]),
+                    ]
+                    lines.extend(f"{k}: {v}" for k, v in block)
+                tmp = os.path.join(
+                    self._dir, f".tmp-{uuid.uuid4().hex[:12]}"
+                )
+                with open(tmp, "w", encoding="utf-8") as fh:
+                    fh.write("\n".join(lines) + "\n")
+                pairs.append((tmp, os.path.join(self._dir, fname)))
+            return _Staged(pairs=pairs)
+
+        def commit(self, messages) -> None:
+            import os
+
+            for m in messages:
+                for tmp, final in m.pairs if m else []:
+                    os.replace(tmp, final)
+
+        def abort(self, messages) -> None:
+            import os
+
+            for m in messages:
+                for tmp, _final in (m.pairs if m else []):
+                    try:
+                        os.remove(tmp)
+                    except FileNotFoundError:
+                        pass
+
     class ReportDataSource(DataSource):
         """``spark.read.format("reports")`` / ``spark.readStream.
-        format("reports")`` — options: ``path`` (input dir, scanned
-        recursively), ``ext`` (default .TXT), ``generation_date`` (the
-        deterministic FECHA_GENERACION)."""
+        format("reports")`` / ``df.write.format("reports")`` —
+        options: ``path`` (input dir, scanned recursively), ``ext``
+        (default .TXT), ``generation_date`` (the deterministic
+        FECHA_GENERACION; read side only)."""
 
         @classmethod
         def name(cls) -> str:
@@ -229,6 +328,9 @@ def build_report_datasource():
 
         def simpleStreamReader(self, schema):  # noqa: ANN001
             return ReportStreamReader(self.options)
+
+        def writer(self, schema, overwrite):  # noqa: ANN001
+            return ReportWriter(self.options)
 
     # test hook: the parser, reachable without registering the source
     ReportDataSource.parse_report_file = staticmethod(parse_report_file)
