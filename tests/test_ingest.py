@@ -392,3 +392,51 @@ def test_datasource_stream_reader_offsets_and_replay(tmp_path):
     assert len(rows2) == 3
     assert not set(map(tuple, rows2)) & set(map(tuple, rows1))
     assert sorted(reader.readBetweenOffsets(off1, off2)) == sorted(rows2)
+
+
+def test_datasource_writer_two_phase_commit_protocol(tmp_path):
+    """Engine-free pin of the writer's publish protocol: write() only
+    STAGES (hidden .tmp names, no report visible), commit() renames
+    everything atomically, abort() removes the staged temps and leaves
+    the directory clean — the torn-corpus window the two-phase design
+    exists to close."""
+    from reports_generator_spark.ingest.reports import ERP_FIELD_ORDER
+    from reports_generator_spark.sources.report_datasource import (
+        build_report_datasource,
+    )
+
+    d = str(tmp_path)
+    ds = build_report_datasource()
+    writer = ds(options={"path": d}).writer(None, False)
+
+    # one minimal row in public order (values unimportant except the
+    # localized boolean and the report name)
+    vals = {name: f"v_{name}" for name in ERP_FIELD_ORDER}
+    vals["equalsHeaders"] = "SI"
+    vals["reportPath"] = "r1.TXT"
+    row = tuple(vals[n] for n in ERP_FIELD_ORDER)
+
+    class R(tuple):  # Row-alike: __getitem__ by public column name
+        def __getitem__(self, k):
+            if isinstance(k, str):
+                return row[
+                    ERP_FIELD_ORDER.index(
+                        {"RUTA_DE_REPORTE": "reportPath"}.get(k, k)
+                    )
+                ]
+            return tuple.__getitem__(self, k)
+
+    msg = writer.write(iter([R(row)]))
+    staged = [t for t, _f in msg.pairs]
+    assert staged and all(os.path.exists(t) for t in staged)
+    assert not os.path.exists(os.path.join(d, "r1.TXT"))  # not yet visible
+
+    writer.abort([msg])
+    assert not any(os.path.exists(t) for t in staged)
+
+    msg2 = writer.write(iter([R(row)]))
+    writer.commit([msg2])
+    assert os.path.exists(os.path.join(d, "r1.TXT"))
+    body = open(os.path.join(d, "r1.TXT")).read()
+    assert "equalsHeaders: true" in body  # SI localized back to raw
+    assert not [f for f in os.listdir(d) if f.startswith(".tmp-")]
