@@ -1375,3 +1375,135 @@ def test_pmod_negative_divisor_asymmetry_pinned(spark, duck):
                 f" ELSE {a} % {k} END AS v"
             ).fetchone()[0]
             assert s == d, (a, k, s, d)
+
+
+# --- string-function edge fuzzing (round-10 sixth family) ---------------
+# Positional string ops over o_clerk/o_comment: negative substr starts,
+# over-length takes, lpad truncation, instr, left/right with
+# non-negative counts all agree exactly (probed, not assumed) and are
+# fuzzed as chains below. The DIVERGENT boundaries — substr at start 0
+# (clamp-to-1 vs consume-length-from-0), rpad with an empty pad
+# (truncate vs error), left/right with NEGATIVE counts (empty vs
+# drop-from-other-end), and upper('ß') (Java full case mapping 'SS' vs
+# simple mapping 'ẞ') — are pinned with their portable spellings.
+
+_STRFN_OPS = [
+    # (spark_fmt, duck_fmt) over {a} (string expr) and {p} {q} (ints >= 1)
+    ("substr({a}, {p}, {q})", "substr({a}, {p}, {q})"),
+    ("substr({a}, -{p})", "substr({a}, -{p})"),
+    ("lpad({a}, {p}, 'x')", "lpad({a}, {p}, 'x')"),
+    ("rpad({a}, {p}, 'yz')", "rpad({a}, {p}, 'yz')"),
+    ("left({a}, {p})", "left({a}, {p})"),
+    ("right({a}, {p})", "right({a}, {p})"),
+    ("reverse({a})", "reverse({a})"),
+]
+
+
+@st.composite
+def _strfn_specs(draw):
+    col = draw(st.sampled_from(["o_orderpriority", "o_orderstatus"]))
+    op1 = draw(st.integers(0, len(_STRFN_OPS) - 1))
+    p1 = draw(st.integers(1, 12))
+    q1 = draw(st.integers(1, 12))
+    chain = draw(st.booleans())
+    op2 = draw(st.integers(0, len(_STRFN_OPS) - 1))
+    p2 = draw(st.integers(1, 12))
+    q2 = draw(st.integers(1, 12))
+    return col, op1, p1, q1, chain, op2, p2, q2
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(_strfn_specs())
+def test_generated_string_pipeline_matches_duckdb(spark, duck, spec):
+    """Chained positional string ops aggregated as exact integers
+    (length sums, distinct counts, instr positions) — any drift in
+    1-based indexing, negative-start anchoring, padding, or take
+    semantics fails the hash."""
+    col, op1, p1, q1, chain, op2, p2, q2 = spec
+    s_fmt1, d_fmt1 = _STRFN_OPS[op1]
+    s_expr = s_fmt1.format(a=col, p=p1, q=q1)
+    d_expr = d_fmt1.format(a=col, p=p1, q=q1)
+    if chain:
+        s_fmt2, d_fmt2 = _STRFN_OPS[op2]
+        s_expr = s_fmt2.format(a=f"({s_expr})", p=p2, q=q2)
+        d_expr = d_fmt2.format(a=f"({d_expr})", p=p2, q=q2)
+
+    o = spark.read.parquet(
+        "%s/orders.parquet" % __import__("conftest").SF_DIR
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.length(F.expr(s_expr))).cast("bigint").alias("len_sum"),
+        F.countDistinct(F.expr(s_expr)).cast("bigint").alias("n_distinct"),
+        F.sum(F.expr(f"instr({s_expr}, 'a')")).cast("bigint").alias("pos_sum"),
+    ]
+    agg_sql = (
+        "CAST(count(*) AS BIGINT) AS n,"
+        f" CAST(sum(length({d_expr})) AS BIGINT) AS len_sum,"
+        f" CAST(count(DISTINCT {d_expr}) AS BIGINT) AS n_distinct,"
+        f" CAST(sum(instr({d_expr}, 'a')) AS BIGINT) AS pos_sum"
+    )
+    sdf = o.agg(*aggs)
+    sql = f"SELECT {agg_sql} FROM orders"
+    assert_matches_oracle(sdf, duck, sql)
+
+
+def test_substr_start_zero_diverges_and_clamp_heals(spark, duck):
+    """Pin: substr(s, 0, n) clamps start to 1 in Spark but consumes a
+    length unit at position 0 in DuckDB ('abcdef',0,3 -> 'abc' vs
+    'ab'). Portable spelling: greatest(start, 1)."""
+    sv = spark.sql("SELECT substr('abcdef', 0, 3) AS v").first()["v"]
+    dv = duck.execute("SELECT substr('abcdef', 0, 3) AS v").fetchone()[0]
+    assert sv == "abc" and dv == "ab"  # the trap, pinned
+    heal = "SELECT substr('abcdef', greatest(0, 1), 3) AS v"
+    assert (
+        spark.sql(heal).first()["v"]
+        == duck.execute(heal).fetchone()[0]
+        == "abc"
+    )
+
+
+def test_left_right_negative_count_diverges_and_clamp_heals(spark, duck):
+    """Pin: left/right with a negative count is '' in Spark but
+    drop-from-the-other-end in DuckDB (Python-slice semantics:
+    left('abcdef', -2) = 'abcd'). Portable spelling:
+    greatest(n, 0)."""
+    assert spark.sql("SELECT left('abcdef', -2) AS v").first()["v"] == ""
+    assert duck.execute("SELECT left('abcdef', -2) AS v").fetchone()[0] == "abcd"
+    assert spark.sql("SELECT right('abcdef', -2) AS v").first()["v"] == ""
+    assert duck.execute("SELECT right('abcdef', -2) AS v").fetchone()[0] == "cdef"
+    heal = "SELECT left('abcdef', greatest(-2, 0)) AS v"
+    assert (
+        spark.sql(heal).first()["v"]
+        == duck.execute(heal).fetchone()[0]
+        == ""
+    )
+
+
+def test_rpad_empty_pad_diverges(spark, duck):
+    """Pin: rpad(s, n, '') truncates-or-returns s in Spark but ERRORS
+    in DuckDB. Portable contract: never pass an empty pad (guard or
+    coalesce the pad string to a space)."""
+    import duckdb as _dd
+
+    assert spark.sql("SELECT rpad('ab', 5, '') AS v").first()["v"] == "ab"
+    try:
+        duck.execute("SELECT rpad('ab', 5, '') AS v").fetchone()
+        raised = False
+    except _dd.Error:
+        raised = True
+    assert raised
+
+
+def test_upper_eszett_case_mapping_diverges(spark, duck):
+    """Pin: Java (Spark) applies the FULL Unicode case mapping
+    (upper('ß') = 'SS'); DuckDB applies the simple mapping ('ẞ').
+    ASCII-only text is safe; localized corpora must normalize before
+    cross-engine comparison (the PII/langid keys already operate on
+    codepoints, not case-folded text)."""
+    assert spark.sql("SELECT upper('straße') AS v").first()["v"] == "STRASSE"
+    assert duck.execute("SELECT upper('straße') AS v").fetchone()[0] == "STRAẞE"
