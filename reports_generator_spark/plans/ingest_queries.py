@@ -241,19 +241,16 @@ def stream_report_ingest_python_datasource(
     the engine now proves the contract through FOUR independent
     paths: DataFrame batch, connector batch, file-source stream,
     connector stream."""
-    import hashlib
     import shutil
     import uuid
 
     from ..sources.report_datasource import build_report_datasource
+    from .scale_joins import fixture_base
 
     ensure_goldens()
     spark.dataSource.register(build_report_datasource())
 
-    tag = hashlib.md5(
-        (os.path.abspath(sf_dir) + spark.sparkContext.applicationId).encode()
-    ).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"rg_ds_stream_{tag}")
+    base = fixture_base(spark, sf_dir, "ds_stream")
     reports, ckpt = os.path.join(base, "reports"), os.path.join(base, "ckpt")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(reports)
@@ -291,18 +288,15 @@ def sink_report_python_datasource_roundtrip(
     report-format SINK — the reference could only read this grammar,
     never produce it. Partitioned by report name before the write so
     each output file is owned by exactly one task."""
-    import hashlib
     import shutil
 
     from ..sources.report_datasource import build_report_datasource
+    from .scale_joins import fixture_base
 
     ensure_goldens()
     spark.dataSource.register(build_report_datasource())
 
-    tag = hashlib.md5(
-        (os.path.abspath(sf_dir) + spark.sparkContext.applicationId).encode()
-    ).hexdigest()[:10]
-    out_dir = os.path.join(tempfile.gettempdir(), f"rg_ds_wr_{tag}")
+    out_dir = fixture_base(spark, sf_dir, "ds_wr")
     shutil.rmtree(out_dir, ignore_errors=True)
 
     cfg = ReportConfig(

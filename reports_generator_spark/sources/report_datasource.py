@@ -220,22 +220,43 @@ def build_report_datasource():
         pairs: list  # [(tmp_path, final_path), ...] this task staged
 
     class ReportWriter(DataSourceWriter):
-        """The WRITE path: ERP rows back into the report-file grammar —
-        two-phase commit so a reader never sees a torn corpus: each
-        task STAGES one ``.tmp-{uuid}`` file per distinct report name
-        in its partition (the caller repartitions by RUTA_DE_REPORTE,
-        so a name is owned by exactly one task) and returns the
-        (tmp, final) pairs as its commit message; the driver's
-        ``commit`` renames all of them (os.replace — readers see the
-        old file, the new file, never a partial), and ``abort``
-        removes the staged temps. The inverse projection drops the
+        """The WRITE path: ERP rows back into the report-file grammar.
+        Atomicity contract, stated precisely: staging is all-or-nothing
+        (no file becomes visible unless EVERY task succeeds) and each
+        individual file publish is atomic (os.replace — a reader sees
+        the old file, the new file, never a partial). Corpus-LEVEL
+        atomicity is NOT claimed: commit renames file-by-file, so a
+        concurrent directory scan can observe a mix of old and new
+        files mid-commit — closing that window is what the engine's
+        manifest-log family (scale_joins/lakehouse_meta) exists for,
+        and a production deployment would publish the corpus through
+        one of those commits. Driver and executors must share the
+        output filesystem (local mode / NFS / fuse mount): tasks stage
+        the temps, the DRIVER renames them — on a shared-nothing
+        cluster this writer would stage to the object store and
+        commit through a manifest instead.
+
+        Each task stages one ``.tmp-{uuid}`` per distinct report name
+        in its partition and returns the (tmp, final) pairs as its
+        commit message. A report name must be owned by exactly ONE
+        task (the caller repartitions by RUTA_DE_REPORTE) — commit
+        REFUSES duplicate final names across messages rather than
+        letting last-wins os.replace silently drop the other task's
+        rows. ``mode("overwrite")`` removes the pre-existing report
+        files not re-written by this job AFTER the renames (documented
+        brief union window, same scoping as above). Values containing
+        newlines are REJECTED at write (the grammar is line-oriented;
+        an embedded 'status:' line would silently terminate a block
+        early on re-ingest). The inverse projection drops the
         enrichment columns (they re-derive on ingest), localizes
         SI/NO back to the raw boolean, and emits placeholders at the
         contract's ignored positions 9/10 (their values are dropped by
         every reader by design — the one lossy slot in the grammar)."""
 
-        def __init__(self, options: dict) -> None:
+        def __init__(self, options: dict, overwrite: bool) -> None:
             self._dir = options["path"]
+            self._ext = options.get("ext", ".TXT")
+            self._overwrite = overwrite
 
         def write(self, rows) -> "_Staged":
             import os
@@ -256,34 +277,21 @@ def build_report_datasource():
                     raw["equalsHeaders"] = (
                         "true" if vals["equalsHeaders"] == "SI" else "false"
                     )
-                    block = [
-                        ("file", raw["file"]),
-                        ("tableNameFromFile", raw["tableNameFromFile"]),
-                        ("tableNameFromJson", raw["tableNameFromJson"]),
-                        ("headersFromJson", raw["headersFromJson"]),
-                        ("countHeadersFromJson", raw["countHeadersFromJson"]),
-                        ("countHeadersFromFile", raw["countHeadersFromFile"]),
-                        ("headersFromFile", raw["headersFromFile"]),
-                        ("equalsHeaders", raw["equalsHeaders"]),
-                        ("ignoredChecksumA", "rewritten"),  # dropped slot
-                        ("ignoredChecksumB", "rewritten"),  # dropped slot
-                        ("fileDirectory", raw["fileDirectory"]),
-                        ("filePath", raw["filePath"]),
-                        ("fileSize", raw["fileSize"]),
-                        ("fileValidSha", raw["fileValidSha"]),
-                        ("fileColForSchema", raw["fileColForSchema"]),
-                        ("fileTableName", raw["fileTableName"]),
-                        ("fileColForPathTable", raw["fileColForPathTable"]),
-                        ("fileAntColForCountColumns",
-                         raw["fileAntColForCountColumns"]),
-                        ("fileAntColForCountRows",
-                         raw["fileAntColForCountRows"]),
-                        ("fileColForCountColumns",
-                         raw["fileColForCountColumns"]),
-                        ("fileColForCountRows", raw["fileColForCountRows"]),
-                        ("status", raw["status"]),
-                    ]
-                    lines.extend(f"{k}: {v}" for k, v in block)
+                    # ONE source of truth for the block layout: walk the
+                    # contract positions, placeholder at the ignored slots
+                    for pos in range(1, block_len + 1):
+                        if pos in positions:
+                            k, v = positions[pos], raw[positions[pos]]
+                        else:  # 9/10: present in the grammar, dropped
+                            k = "ignoredChecksumA" if pos == 9 else "ignoredChecksumB"
+                            v = "rewritten"
+                        if "\n" in str(v) or "\r" in str(v):
+                            raise ValueError(
+                                f"field {k!r} contains a newline — the "
+                                "report grammar is line-oriented and an "
+                                "embedded line would corrupt the block"
+                            )
+                        lines.append(f"{k}: {v}")
                 tmp = os.path.join(
                     self._dir, f".tmp-{uuid.uuid4().hex[:12]}"
                 )
@@ -295,9 +303,30 @@ def build_report_datasource():
         def commit(self, messages) -> None:
             import os
 
-            for m in messages:
-                for tmp, final in m.pairs if m else []:
-                    os.replace(tmp, final)
+            all_pairs = [
+                pair for m in messages if m for pair in m.pairs
+            ]
+            finals = [f for _t, f in all_pairs]
+            dups = {f for f in finals if finals.count(f) > 1}
+            if dups:
+                # last-wins os.replace would silently drop the other
+                # task's rows — refuse instead (the caller must
+                # repartition by report name)
+                self.abort(messages)
+                raise ValueError(
+                    f"report names written by multiple tasks: "
+                    f"{sorted(os.path.basename(d) for d in dups)} — "
+                    "repartition by RUTA_DE_REPORTE before writing"
+                )
+            for tmp, final in all_pairs:
+                os.replace(tmp, final)
+            if self._overwrite:
+                keep = set(finals)
+                for root, _dirs, files in os.walk(self._dir):
+                    for f in files:
+                        full = os.path.join(root, f)
+                        if f.endswith(self._ext) and full not in keep:
+                            os.remove(full)
 
         def abort(self, messages) -> None:
             import os
@@ -330,7 +359,7 @@ def build_report_datasource():
             return ReportStreamReader(self.options)
 
         def writer(self, schema, overwrite):  # noqa: ANN001
-            return ReportWriter(self.options)
+            return ReportWriter(self.options, overwrite)
 
     # test hook: the parser, reachable without registering the source
     ReportDataSource.parse_report_file = staticmethod(parse_report_file)

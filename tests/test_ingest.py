@@ -440,3 +440,84 @@ def test_datasource_writer_two_phase_commit_protocol(tmp_path):
     body = open(os.path.join(d, "r1.TXT")).read()
     assert "equalsHeaders: true" in body  # SI localized back to raw
     assert not [f for f in os.listdir(d) if f.startswith(".tmp-")]
+
+
+def test_datasource_writer_refuses_split_reports_and_honors_overwrite(tmp_path):
+    """Two review-driven guards, engine-free: (a) commit REFUSES when
+    two tasks staged the same report name (last-wins os.replace would
+    silently drop one task's rows) and cleans its temps; (b)
+    mode('overwrite') removes pre-existing report files the job did
+    not re-write, while append leaves them."""
+    from reports_generator_spark.ingest.reports import ERP_FIELD_ORDER
+    from reports_generator_spark.sources.report_datasource import (
+        build_report_datasource,
+    )
+
+    d = str(tmp_path)
+    ds = build_report_datasource()
+
+    vals = {name: f"v_{name}" for name in ERP_FIELD_ORDER}
+    vals["equalsHeaders"] = "SI"
+    vals["reportPath"] = "r1.TXT"
+    row = tuple(vals[n] for n in ERP_FIELD_ORDER)
+
+    class R(tuple):
+        def __getitem__(self, k):
+            if isinstance(k, str):
+                return row[
+                    ERP_FIELD_ORDER.index(
+                        {"RUTA_DE_REPORTE": "reportPath"}.get(k, k)
+                    )
+                ]
+            return tuple.__getitem__(self, k)
+
+    w = ds(options={"path": d}).writer(None, False)
+    m1, m2 = w.write(iter([R(row)])), w.write(iter([R(row)]))  # same name
+    with pytest.raises(ValueError, match="repartition by RUTA_DE_REPORTE"):
+        w.commit([m1, m2])
+    assert not [f for f in os.listdir(d) if f.startswith(".tmp-")]
+    assert not os.path.exists(os.path.join(d, "r1.TXT"))
+
+    # overwrite: a stale report not re-written by this job is removed
+    with open(os.path.join(d, "stale.TXT"), "w") as fh:
+        fh.write("status: OLD\n")
+    ow = ds(options={"path": d}).writer(None, True)
+    ow.commit([ow.write(iter([R(row)]))])
+    assert os.path.exists(os.path.join(d, "r1.TXT"))
+    assert not os.path.exists(os.path.join(d, "stale.TXT"))
+
+    # append: the existing corpus survives
+    vals2 = dict(vals, reportPath="r2.TXT")
+    row2 = tuple(vals2[n] for n in ERP_FIELD_ORDER)
+
+    class R2(R):
+        def __getitem__(self, k):
+            if isinstance(k, str):
+                return row2[
+                    ERP_FIELD_ORDER.index(
+                        {"RUTA_DE_REPORTE": "reportPath"}.get(k, k)
+                    )
+                ]
+            return tuple.__getitem__(self, k)
+
+    aw = ds(options={"path": d}).writer(None, False)
+    aw.commit([aw.write(iter([R2(row2)]))])
+    assert os.path.exists(os.path.join(d, "r1.TXT"))
+    assert os.path.exists(os.path.join(d, "r2.TXT"))
+
+    # newline injection rejected at write time
+    vals3 = dict(vals, headersFromJson="c1\nstatus: X")
+    row3 = tuple(vals3[n] for n in ERP_FIELD_ORDER)
+
+    class R3(R):
+        def __getitem__(self, k):
+            if isinstance(k, str):
+                return row3[
+                    ERP_FIELD_ORDER.index(
+                        {"RUTA_DE_REPORTE": "reportPath"}.get(k, k)
+                    )
+                ]
+            return tuple.__getitem__(self, k)
+
+    with pytest.raises(ValueError, match="newline"):
+        ds(options={"path": d}).writer(None, False).write(iter([R3(row3)]))

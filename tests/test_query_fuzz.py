@@ -1378,7 +1378,8 @@ def test_pmod_negative_divisor_asymmetry_pinned(spark, duck):
 
 
 # --- string-function edge fuzzing (round-10 sixth family) ---------------
-# Positional string ops over o_clerk/o_comment: negative substr starts,
+# Positional string ops over o_orderpriority/o_orderstatus: negative
+# substr starts,
 # over-length takes, lpad truncation, instr, left/right with
 # non-negative counts all agree exactly (probed, not assumed) and are
 # fuzzed as chains below. The DIVERGENT boundaries — substr at start 0
@@ -1439,13 +1440,16 @@ def test_generated_string_pipeline_matches_duckdb(spark, duck, spec):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.length(F.expr(s_expr))).cast("bigint").alias("len_sum"),
         F.countDistinct(F.expr(s_expr)).cast("bigint").alias("n_distinct"),
-        F.sum(F.expr(f"instr({s_expr}, 'a')")).cast("bigint").alias("pos_sum"),
+        # 'E' occurs in the sampled values (URGENT/MEDIUM/SPECIFIED) —
+        # a character absent from the corpus would make this signal
+        # identically zero and the instr drift check vacuous
+        F.sum(F.expr(f"instr({s_expr}, 'E')")).cast("bigint").alias("pos_sum"),
     ]
     agg_sql = (
         "CAST(count(*) AS BIGINT) AS n,"
         f" CAST(sum(length({d_expr})) AS BIGINT) AS len_sum,"
         f" CAST(count(DISTINCT {d_expr}) AS BIGINT) AS n_distinct,"
-        f" CAST(sum(instr({d_expr}, 'a')) AS BIGINT) AS pos_sum"
+        f" CAST(sum(instr({d_expr}, 'E')) AS BIGINT) AS pos_sum"
     )
     sdf = o.agg(*aggs)
     sql = f"SELECT {agg_sql} FROM orders"
