@@ -217,86 +217,53 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "delete_merge_on_read_dv", "manifest_commit_conflict_detect",
         "table_changes_cdc_versions", "compact_merge_deletion_vectors",
         "sink_write_audit_publish",
+        # --- round 10 green (CORRECTNESS_r10.json: 50/50 hash-match) ---
+        # the 34 round-10 window keys (3 were re-attests already listed
+        # above: manifest_commit_conflict_detect,
+        # compact_merge_deletion_vectors, sink_write_audit_publish;
+        # embedding_neardup_lsh / similarity_topk_lsh re-attested after
+        # the Arrow-matmul respelling, listed in earlier rounds)
+        "expire_snapshots_retention", "manifest_checkpoint_compaction",
+        "merge_mor_transactional", "stream_exactly_once_replay",
+        "mv_incremental_maintenance", "scan_hidden_partitioning_transforms",
+        "corpus_pii_scrub", "delete_mor_dv_positional_bitmap",
+        "scan_column_mapping_rename", "scan_time_travel_as_of_timestamp",
+        "tokenizer_bpe_merges", "stream_stream_join_left_outer_watermark",
+        "stream_stream_join_full_outer_watermark", "table_rollback_restore",
+        "scan_branch_tag_refs", "train_logistic_irls",
+        "text_bigram_lm_kneser_ney", "manifest_multi_table_transaction",
+        "manifest_stats_file_pruning",
+        "scan_snapshot_isolation_repeatable_read",
+        "scan_json_schema_drift_rescue",
+        "stream_stream_join_right_outer_watermark",
+        "table_history_metadata_relation", "feature_woe_information_value",
+        "embedding_pq_adc_topk", "sink_wap_branch_publish",
+        "report_ingest_python_datasource",
+        "stream_report_ingest_python_datasource",
+        "sink_report_python_datasource_roundtrip",
     }
 )
 
 
 #: Keys whose ATTESTATION must (re-)run through the driver's bounded
-#: 50-key window in the CURRENT round (round 10), so they sort FIRST:
-#: every NEW round-10 key, plus any key whose oracle TEXT or plan
+#: 50-key window in the CURRENT round (round 11), so they sort FIRST:
+#: every NEW round-11 key, plus any key whose oracle TEXT or plan
 #: changed this round (the r8 rule: an oracle edit invalidates the
 #: earlier green; the r9 convention re-attests plan changes too).
 _ADDED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # plan/protocol changed this round (ADVICE r9: ABA read-set
-        # validation now walks every intervening commit) — re-attested
-        "manifest_commit_conflict_detect",
-        # plan changed this round (ADVICE r9: survivors staged before the
-        # dynamic overwrite; emptied dirs dropped pre-DV-removal so a
-        # crash retry re-derives them) — re-attested
-        "compact_merge_deletion_vectors",
-        # audit economics changed this round (VERDICT r9 item 8: row-local
-        # expectation classes audit staged files only) — re-attested
-        "sink_write_audit_publish",
-        # round-10 lakehouse metadata-scaling keys (VERDICT r9 items 2-3)
-        "expire_snapshots_retention", "manifest_checkpoint_compaction",
-        "merge_mor_transactional",
-        # round-10 exactly-once streaming recovery (VERDICT r9 item 4)
-        "stream_exactly_once_replay",
-        # plan changed this round (VERDICT r9 item 5: the confirmed >4s
-        # isolated medians led to the vectorized signlsh_codes_udf
-        # hashing — bucket codes proven bit-identical, values unchanged,
-        # re-attested per the plan-change convention)
-        "embedding_neardup_lsh", "similarity_topk_lsh",
-        # round-10 second batch: CDC-driven incremental MV maintenance,
-        # Iceberg-style hidden partitioning, corpus PII scrubbing
-        "mv_incremental_maintenance", "scan_hidden_partitioning_transforms",
-        "corpus_pii_scrub",
-        # round-10 third batch: positional bitmap DVs (the production
-        # Delta/Iceberg DV representation), metadata-only column rename,
-        # timestamp-based time travel
-        "delete_mor_dv_positional_bitmap", "scan_column_mapping_rename",
-        "scan_time_travel_as_of_timestamp",
-        # round-10 fourth batch: tokenizer-training aggregation + the
-        # outer stream-stream join's watermark null-emission boundary
-        "tokenizer_bpe_merges", "stream_stream_join_left_outer_watermark",
-        # round-10 fifth batch: full-outer completes the stream-stream
-        # matrix (both orphan classes), named refs + rollback on the OCC
-        # log, iterative ML with driver-scalar state, KN-smoothed LM
-        "stream_stream_join_full_outer_watermark",
-        "table_rollback_restore", "scan_branch_tag_refs",
-        "train_logistic_irls", "text_bigram_lm_kneser_ney",
-        # round-10 sixth batch: cross-table atomicity (root pointer),
-        # manifest min/max file skipping, snapshot-isolation contract;
-        # manifest_checkpoint_compaction re-windowed for its fixture
-        # plan change (26 writes -> 2 partitioned writes)
-        "manifest_multi_table_transaction", "manifest_stats_file_pruning",
-        "scan_snapshot_isolation_repeatable_read",
-        # round-10 seventh batch: schema-drift rescue completes the
-        # dirty-input contract (rows -> PERMISSIVE, values -> try_cast,
-        # schema -> _rescued_data); right-outer completes the
-        # stream-stream outer matrix (purchase-side boundary isolated)
-        "scan_json_schema_drift_rescue",
-        "stream_stream_join_right_outer_watermark",
-        # round-10 eighth batch: the commit log as a queryable relation,
-        # WOE/IV feature audit, fully value-checked PQ+ADC (the ANN
-        # family's serving path)
-        "table_history_metadata_relation", "feature_woe_information_value",
-        "embedding_pq_adc_topk",
-        # round-10 ninth batch: WAP composed onto the refs machinery
-        # (the Iceberg spark.wap.branch production pattern)
-        "sink_wap_branch_publish",
-        # round-10 tenth batch: E1 as a custom Python Data Source —
-        # the connector extension point, attested against the same
-        # golden as the DataFrame pipeline — in BOTH batch and
-        # streaming (SimpleDataSourceStreamReader) forms
+        # round-11 window: filled as keys land this round.
+        # ADVICE r10: the connector parser's reportType semantics were
+        # aligned with the DataFrame pipeline (any_parquet over ALL block
+        # values including zip-keyed lines) — connector trio re-attested
+        # per the plan-change convention.
         "report_ingest_python_datasource",
         "stream_report_ingest_python_datasource",
-        # the connector's WRITE path: two-phase-commit report-format
-        # sink, round-tripped through the DataFrame pipeline
         "sink_report_python_datasource_roundtrip",
     }
 )
+
+
 
 
 def load_all() -> None:
