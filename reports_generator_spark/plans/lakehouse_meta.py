@@ -1080,14 +1080,36 @@ def _ref_path(base: str, kind: str, name: str) -> str:
     return os.path.join(d, f"{name}.txt")
 
 
+def _claim_name(base: str, name: str, kind: str) -> str:
+    """Claim ``name`` in the ONE shared ref namespace
+    (``refs/names/<name>.txt`` records the kind), returning the kind
+    now on record. ADVICE r10: the former check-then-claim across the
+    two ref directories let a concurrent create_tag(name) +
+    set_branch_head(name) each pass the other-kind existence check and
+    both succeed; racing on this single file makes cross-kind
+    collision a one-claim race — exactly one kind can ever own a
+    name."""
+    d = os.path.join(base, "refs", "names")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"{name}.txt")
+    if atomic_claim(p, kind):
+        return kind
+    with open(p) as f:
+        return f.read().strip()
+
+
 def create_tag(base: str, name: str, version: int) -> None:
     """Immutable named pointer (Iceberg TAG), claimed atomically
     (atomic_claim, not check-then-write — two concurrent create_tag
     calls can never both succeed, and a reader never sees an empty
     tag file): re-creating raises — a tag that can move is just a
-    branch. Tag and branch names share one namespace (collision
-    rejected at creation), so resolve_ref is never ambiguous."""
-    if os.path.exists(os.path.join(base, "refs", "heads", f"{name}-v1.txt")):
+    branch. Tag and branch names share ONE namespace, enforced by an
+    atomic claim on refs/names/<name>.txt (not by cross-directory
+    existence probes — see _claim_name), so resolve_ref is never
+    ambiguous. A crash between the name claim and the tag-file claim
+    is recoverable: re-running create_tag finds the name recorded as
+    'tag' and proceeds to race for the (still unclaimed) tag file."""
+    if _claim_name(base, name, "tag") != "tag":
         raise ValueError(f"{name!r} already names a branch")
     if not atomic_claim(_ref_path(base, "tags", name), str(version)):
         raise ValueError(f"tag {name!r} already exists (tags are immutable)")
@@ -1116,8 +1138,10 @@ def set_branch_head(base: str, name: str, version: int) -> None:
     not just in the single-writer test. In this linear commit log every
     older version is an ancestor of every newer one, so the
     fast-forward check is a monotonicity check; moving a head backward
-    is rejected (that is what RESTORE-as-forward-commit is for)."""
-    if os.path.exists(os.path.join(base, "refs", "tags", f"{name}.txt")):
+    is rejected (that is what RESTORE-as-forward-commit is for).
+    Namespace collision with tags races on the single refs/names claim
+    (_claim_name), not on a cross-directory existence probe."""
+    if _claim_name(base, name, "branch") != "branch":
         raise ValueError(f"{name!r} already names a tag")
     while True:
         chain = _branch_versions(base, name)

@@ -260,10 +260,14 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "report_ingest_python_datasource",
         "stream_report_ingest_python_datasource",
         "sink_report_python_datasource_roundtrip",
+        # VERDICT r10 item 1: connector filter/column pruning — file-level
+        # pushFilters + subset-schema projection, attested on a golden slice
+        "report_ingest_pushdown_pruned",
+        # ADVICE r10: tag/branch namespace now races on ONE atomic claim
+        # (refs/names) — ref-machinery plan change, re-attested
+        "scan_branch_tag_refs",
     }
 )
-
-
 
 
 def load_all() -> None:

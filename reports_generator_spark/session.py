@@ -42,6 +42,11 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.sources.useV1SourceList": "avro,csv,json,kafka,orc,parquet,text",
     "spark.sql.parquet.aggregatePushdown": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # the reports Python Data Source implements pushFilters; Spark 4.1
+    # REFUSES (DATA_SOURCE_PUSHDOWN_DISABLED) to plan a scan of a
+    # pushdown-capable Python source while this is false rather than
+    # silently skipping the pushdown
+    "spark.sql.python.filterPushdown.enabled": "true",
     # fixture `events.parquet` carries TIMESTAMP(NANOS); Spark reads
     # nanos as raw long and the events loader rescales to timestamp
     "spark.sql.legacy.parquet.nanosAsLong": "true",

@@ -23,10 +23,29 @@ which module-level classes (pickled by reference) would not.
 
 Scale posture: partition = file, so parallelism equals file count
 (the same unit the DataFrame path gets from input_file_name
-partitioning); per-partition state is one file's lines. Filter/column
-pruning are not implemented (pushFilters default = no pushdown) —
-the DataFrame path remains the scan of choice when pruning matters;
-this is the escape hatch for format logic, not a replacement.
+partitioning); per-partition state is one file's lines. The reader
+implements BOTH pruning axes of the DSv2-for-Python contract:
+
+- **Filter pushdown** (``pushFilters``, requires
+  ``spark.sql.python.filterPushdown.enabled=true``): equality /
+  IN / prefix / substring / suffix / IS NOT NULL predicates on any
+  output column are absorbed. Predicates on ``RUTA_DE_REPORTE`` (the
+  file path) and ``MODULO`` (constant per source) prune at the FILE
+  level inside ``partitions()`` — non-matching report files are never
+  opened, the honest analogue of partition pruning for a
+  file-per-partition source. Everything else is applied per-block
+  after the parse, before Arrow serialization. A pushed filter is
+  FULLY evaluated here (Spark does not re-check), so the supported
+  set is exactly the string-typed single-column predicates whose
+  semantics this parser can guarantee; anything else is yielded back
+  for Spark-side evaluation.
+- **Column pruning** via user-specified schema: ``.schema("MODULO
+  string, RUTA_DE_REPORTE string")`` makes the reader emit ONLY the
+  requested columns (any subset, any order, of the 27 public
+  headers) — the parse still reads the file (the grammar is
+  line-oriented; there is no sub-file projection), but the Arrow
+  transfer and everything downstream carry just the requested
+  columns.
 """
 
 from __future__ import annotations
@@ -54,8 +73,14 @@ def build_report_datasource():
         DataSource,
         DataSourceReader,
         DataSourceWriter,
+        EqualTo,
+        In,
         InputPartition,
+        IsNotNull,
         SimpleDataSourceStreamReader,
+        StringContains,
+        StringEndsWith,
+        StringStartsWith,
         WriterCommitMessage,
     )
 
@@ -77,9 +102,10 @@ def build_report_datasource():
             out.extend(os.path.join(root, f) for f in files if f.endswith(ext))
         return sorted(out)
 
-    def parse_report_file(path: str, generation_date: str):
+    def parse_report_blocks(path: str, generation_date: str):
         """P1-P8 in pure Python over ONE report file — the
-        per-partition body. Semantics mirror ingest/reports.py
+        per-partition body, yielding one complete logical-field DICT
+        per block. Semantics mirror ingest/reports.py
         stage-for-stage: first-':' split + trim, SI/NO localization on
         the boolean key, status-terminated blocks, completeness filter
         (terminator present AND >= BLOCK_LEN values), positional
@@ -117,8 +143,13 @@ def build_report_datasource():
             if not has_term or len(vals) < block_len:
                 continue  # P7/P12: incomplete blocks are not emitted here
             fields = {name: vals[pos - 1] for pos, name in positions.items()}
+            # over ALL block values — INCLUDING zip-keyed lines — to
+            # match parse_blocks_raw's any_parquet, which aggregates
+            # the rlike over every line before the ~is_zip positional
+            # exclusion (ingest/reports.py); ADVICE r10 pinned the two
+            # implementations apart on a parquet-matching zip value
             any_parquet = any(
-                re.search(rf"\b({type_match})\b", v) for v in vals
+                re.search(rf"\b({type_match})\b", v) for _k, v in blk
             )
             fields["module"] = "ERP"
             fields["reportType"] = type_message if any_parquet else ""
@@ -148,19 +179,125 @@ def build_report_datasource():
                 "fileAntColForCountRows", "fileColForCountRows"
             )
             fields["generationDate"] = generation_date
+            yield fields
+
+    def parse_report_file(path: str, generation_date: str):
+        """parse_report_blocks projected to the full contract tuple —
+        the streaming reader's body and the stable test hook."""
+        for fields in parse_report_blocks(path, generation_date):
             yield tuple(fields[logical] for logical in field_order)
 
+    pub2log = dict(zip(headers, field_order))
+
+    def eval_pushed(pushed, get):
+        """AND of the pushed predicates. ``get(logical) -> str | None``;
+        None means the value is not derivable at this stage (file-level
+        pruning only sees path-derived and constant fields), so that
+        predicate defers — it re-evaluates at the row stage where every
+        field is a concrete string."""
+        for kind, log, val in pushed:
+            v = get(log)
+            if v is None:
+                continue
+            if kind == "eq":
+                ok = v == val
+            elif kind == "in":
+                ok = v in val
+            elif kind == "sw":
+                ok = v.startswith(val)
+            elif kind == "ct":
+                ok = val in v
+            else:  # "ew"
+                ok = v.endswith(val)
+            if not ok:
+                return False
+        return True
+
     class ReportReader(DataSourceReader):
-        def __init__(self, options: dict) -> None:
+        def __init__(self, options: dict, schema) -> None:
             self._dir = options["path"]
             self._ext = options.get("ext", ".TXT")
             self._gen_date = options["generation_date"]
+            # column pruning: Spark hands the ACTUAL read schema —
+            # self.schema() (all 27) or the user's declared subset;
+            # emit exactly those columns, in that order
+            requested = (
+                [f.name for f in schema.fields]
+                if schema is not None
+                else list(headers)
+            )
+            unknown = [c for c in requested if c not in pub2log]
+            if unknown:
+                raise ValueError(
+                    f"unknown report columns {unknown}; the contract "
+                    f"columns are {list(headers)}"
+                )
+            self._project = tuple(pub2log[c] for c in requested)
+            self._pushed: list[tuple[str, str, object]] = []
+
+        def pushFilters(self, filters):
+            """Absorb the string-typed single-column predicates this
+            parser can fully guarantee; yield everything else back for
+            Spark-side evaluation (the contract: a pushed filter is
+            never re-checked by Spark)."""
+            for f in filters:
+                attr = getattr(f, "attribute", None)
+                log = (
+                    pub2log.get(attr[0])
+                    if attr is not None and len(attr) == 1
+                    else None
+                )
+                if log is None:
+                    yield f
+                elif isinstance(f, IsNotNull):
+                    pass  # every emitted field is a non-null string
+                elif isinstance(f, EqualTo) and isinstance(f.value, str):
+                    self._pushed.append(("eq", log, f.value))
+                elif isinstance(f, In) and all(
+                    isinstance(v, str) for v in f.value
+                ):
+                    self._pushed.append(("in", log, frozenset(f.value)))
+                elif isinstance(f, StringStartsWith):
+                    self._pushed.append(("sw", log, f.value))
+                elif isinstance(f, StringContains):
+                    self._pushed.append(("ct", log, f.value))
+                elif isinstance(f, StringEndsWith):
+                    self._pushed.append(("ew", log, f.value))
+                else:
+                    yield f
+
+        def _file_level_fields(self, path: str) -> dict:
+            """The fields decidable WITHOUT opening the file: the path
+            itself, the filename-embedded date, and the per-source
+            constants. Predicates on these prune whole files at
+            partition-planning time."""
+            import re
+
+            date_m = re.search(file_date_re, path)
+            return {
+                "reportPath": path,
+                "fileGeneratedDate": date_m.group(1) if date_m else "",
+                "module": "ERP",
+                "generationDate": self._gen_date,
+            }
 
         def partitions(self):
-            return [InputPartition(p) for p in scan_files(self._dir, self._ext)]
+            files = scan_files(self._dir, self._ext)
+            if self._pushed:
+                files = [
+                    p
+                    for p in files
+                    if eval_pushed(self._pushed, self._file_level_fields(p).get)
+                ]
+            return [InputPartition(p) for p in files]
 
         def read(self, partition):
-            return parse_report_file(partition.value, self._gen_date)
+            if partition is None:
+                return  # planner placeholder when partitions() == []
+            for fields in parse_report_blocks(partition.value, self._gen_date):
+                if self._pushed and not eval_pushed(self._pushed, fields.get):
+                    continue
+                yield tuple(fields[logical] for logical in self._project)
 
     class ReportStreamReader(SimpleDataSourceStreamReader):
         """Offset = the SEEN-FILE SET (sorted relative paths) — the
@@ -353,7 +490,7 @@ def build_report_datasource():
             return ", ".join(f"`{h}` string" for h in headers)
 
         def reader(self, schema):  # noqa: ANN001
-            return ReportReader(self.options)
+            return ReportReader(self.options, schema)
 
         def simpleStreamReader(self, schema):  # noqa: ANN001
             return ReportStreamReader(self.options)
@@ -361,6 +498,7 @@ def build_report_datasource():
         def writer(self, schema, overwrite):  # noqa: ANN001
             return ReportWriter(self.options, overwrite)
 
-    # test hook: the parser, reachable without registering the source
+    # test hooks: the parsers, reachable without registering the source
     ReportDataSource.parse_report_file = staticmethod(parse_report_file)
+    ReportDataSource.parse_report_blocks = staticmethod(parse_report_blocks)
     return ReportDataSource

@@ -521,3 +521,166 @@ def test_datasource_writer_refuses_split_reports_and_honors_overwrite(tmp_path):
 
     with pytest.raises(ValueError, match="newline"):
         ds(options={"path": d}).writer(None, False).write(iter([R3(row3)]))
+
+
+def test_datasource_pushdown_prunes_files_and_yields_unsupported(tmp_path):
+    """Engine-free pin of the reader's pushdown contract: a
+    RUTA_DE_REPORTE suffix predicate prunes the partition list (files
+    never opened), a MODULO mismatch prunes everything, row-level
+    predicates survive to read(), and any predicate outside the
+    guaranteed set is yielded BACK by reference (Spark re-evaluates
+    it; the source must not silently absorb what it can't honor)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        In,
+        IsNotNull,
+        LessThan,
+        StringEndsWith,
+    )
+
+    from reports_generator_spark.ingest.fixtures import (
+        report_file_name,
+        write_report_files,
+    )
+    from reports_generator_spark.sources.report_datasource import (
+        build_report_datasource,
+    )
+
+    d = str(tmp_path)
+    write_report_files(d, n_files=4, blocks_per_file=3)
+    cls = build_report_datasource()
+    opts = {"path": d, "generation_date": "2026-01-01 00:00:00"}
+
+    # file-level: suffix on the path column prunes 4 -> 1
+    r = cls(options=opts).reader(None)
+    unsupported = list(
+        r.pushFilters(
+            [
+                StringEndsWith(("RUTA_DE_REPORTE",), report_file_name(1)),
+                EqualTo(("CABECERAS_IGUALES",), "SI"),
+                IsNotNull(("ARCHIVO_PROCESADO",)),  # absorbed: never null
+                LessThan(("ARCHIVO_PROCESADO",), "zzz"),  # not guaranteed
+            ]
+        )
+    )
+    assert len(unsupported) == 1 and isinstance(unsupported[0], LessThan)
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].value.endswith(report_file_name(1))
+    # row-level predicate applied inside read(): file 1, blocks with
+    # b=1000+blk, b%3==0 -> blk 2 only
+    rows = list(r.read(parts[0]))
+    assert len(rows) == 1
+
+    # constant-column mismatch prunes every file without opening any
+    r2 = cls(options=opts).reader(None)
+    list(r2.pushFilters([EqualTo(("MODULO",), "ISU")]))
+    assert r2.partitions() == []
+
+    # In() on the filename-embedded date column is file-level too
+    r3 = cls(options=opts).reader(None)
+    list(
+        r3.pushFilters(
+            [In(("FECHA_DE_GENERACION_DE_REPORTE",), ("01-01-2019T13_00_30",))]
+        )
+    )
+    assert [p.value for p in r3.partitions()] == [
+        p.value for p in cls(options=opts).reader(None).partitions()
+        if report_file_name(0) in p.value
+    ]
+
+
+def test_datasource_pushdown_e2e_matches_post_scan_filter(spark, tmp_path):
+    """The pushed plan and the unpushed plan must agree: reading with
+    filters + subset schema through the engine equals filtering the
+    full 27-column read afterwards (pushdown is an optimization, never
+    a semantics change). Also pins that an empty prune (MODULO='ISU')
+    yields zero rows rather than an error (partitions() == [])."""
+    import pyspark.sql.functions as F
+
+    from reports_generator_spark.ingest.fixtures import (
+        report_file_name,
+        write_report_files,
+    )
+    from reports_generator_spark.sources.report_datasource import (
+        build_report_datasource,
+    )
+
+    d = str(tmp_path / "reports")
+    write_report_files(d, n_files=3, blocks_per_file=4)
+    spark.dataSource.register(build_report_datasource())
+
+    def base():  # .schema() mutates the reader builder — fresh one each time
+        return (
+            spark.read.format("reports")
+            .option("path", d)
+            .option("generation_date", "2026-01-01 00:00:00")
+        )
+
+    pushed = (
+        base()
+        .schema("RUTA_DE_REPORTE string, ESTADO_DEL_PROCESO string")
+        .load()
+        .filter(F.col("RUTA_DE_REPORTE").endswith(report_file_name(2)))
+        .filter(F.col("ESTADO_DEL_PROCESO") == "FINISHED")
+    )
+    full = (
+        base()
+        .load()
+        .filter(F.col("RUTA_DE_REPORTE").endswith(report_file_name(2)))
+        .filter(F.col("ESTADO_DEL_PROCESO") == "FINISHED")
+        .select("RUTA_DE_REPORTE", "ESTADO_DEL_PROCESO")
+    )
+    a, b = pushed.collect(), full.collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) == 3
+
+    empty = base().load().filter(F.col("MODULO") == "ISU")
+    assert empty.count() == 0
+
+
+def test_datasource_parser_any_parquet_includes_zip_lines(spark, tmp_path):
+    """ADVICE r10: TIPO_DE_REPORTE derives from a parquet-match over
+    ALL block values — including ISU-style zip-keyed lines, which are
+    excluded from the POSITIONAL array but not from the type probe
+    (parse_blocks_raw aggregates the rlike over every line). A block
+    whose only 'parquet' mention sits in a zip-keyed value must
+    classify as parquet in BOTH implementations."""
+    from reports_generator_spark.config import ReportConfig
+    from reports_generator_spark.ingest.fixtures import INPUT_KEYS, block_values
+    from reports_generator_spark.ingest.reports import ERP_FIELD_ORDER
+    from reports_generator_spark.sources.report_datasource import (
+        build_report_datasource,
+    )
+
+    vals = block_values(0, 1)  # b=1: fileColForSchema == 'avro', no parquet
+    assert "parquet" not in " ".join(vals.values())
+    lines = []
+    for i, k in enumerate(INPUT_KEYS):
+        if i == 5:
+            # zip-keyed line whose VALUE matches the type pattern
+            lines.append("zipRoute: /archive/parquet bundle.zip")
+        lines.append(f"{k}: {vals[k]}")
+    p = tmp_path / "[ERP]_REPORT_PARQUET_DATE_OF_PROCESSS[02-02-2019T13_01_30].TXT"
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+
+    ds = build_report_datasource()
+    rows = list(ds.parse_report_file(str(p), "2026-01-01 00:00:00"))
+    assert len(rows) == 1
+    row = dict(zip(ERP_FIELD_ORDER, rows[0], strict=True))
+    assert row["reportType"] == "Generación de Parquet"
+    assert row["file"] == vals["file"]  # positions unshifted
+
+    # the DataFrame pipeline agrees (the two attested implementations
+    # may not drift on this semantics — that was the ADVICE finding)
+    from reports_generator_spark.ingest import ingest_reports
+
+    cfg = ReportConfig(
+        input_dir=str(tmp_path),
+        output_parquet="",
+        output_csv="",
+        generation_date="2026-01-01 00:00:00",
+    )
+    df = ingest_reports(spark, cfg)
+    got = df.select("TIPO_DE_REPORTE", "ARCHIVO_PROCESADO").collect()
+    assert len(got) == 1
+    assert got[0]["TIPO_DE_REPORTE"] == "Generación de Parquet"
+    assert got[0]["ARCHIVO_PROCESADO"] == vals["file"]

@@ -821,3 +821,44 @@ def test_branch_head_monotonic_under_real_concurrency(tmp_path):
             chain.append(int(f.read().strip()))
     assert chain == sorted(chain), chain
     assert not [f for f in os.listdir(heads_dir) if f.endswith(".tmp")]
+
+
+def test_ref_namespace_single_atomic_claim(log):
+    """ADVICE r10: tag/branch collision must race on ONE atomic claim
+    (refs/names/<name>.txt), not on cross-directory existence probes.
+    Pins (a) the exact pre-fix failure window — name claimed as 'tag'
+    but the tag FILE not yet written (a concurrent create_tag between
+    its two claims, or a crash there): set_branch_head must already
+    lose; (b) the converse window for a branch name; (c) crash
+    RECOVERY: re-running create_tag after the name claim completes the
+    tag instead of wedging the name forever."""
+    import os
+
+    from reports_generator_spark.plans.lakehouse_meta import (
+        _claim_name,
+        create_tag,
+        resolve_ref,
+        set_branch_head,
+    )
+
+    # (a) mid-create_tag window: name owned as tag, tag file absent
+    assert _claim_name(log, "pin", "tag") == "tag"
+    assert not os.path.exists(os.path.join(log, "refs", "tags", "pin.txt"))
+    with pytest.raises(ValueError, match="already names a tag"):
+        set_branch_head(log, "pin", 1)
+    # (c) recovery: create_tag completes the half-done tag
+    create_tag(log, "pin", 1)
+    assert resolve_ref(log, "pin") == 1
+
+    # (b) mid-set_branch_head window: name owned as branch, no slot yet
+    assert _claim_name(log, "dev", "branch") == "branch"
+    with pytest.raises(ValueError, match="already names a branch"):
+        create_tag(log, "dev", 1)
+    set_branch_head(log, "dev", 1)  # the branch creator completes
+    assert resolve_ref(log, "dev") == 1
+
+    # steady state: both directions still rejected end-to-end
+    with pytest.raises(ValueError, match="already names a tag"):
+        set_branch_head(log, "pin", 2)
+    with pytest.raises(ValueError, match="already names a branch"):
+        create_tag(log, "dev", 2)
