@@ -876,6 +876,190 @@ def scan_column_mapping_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Schema evolution (ADD/DROP COLUMN) as ONE metadata commit on the OCC log
+# --------------------------------------------------------------------------
+def write_schema_version(base: str, v: int, columns: list[dict]) -> None:
+    """Publish schema version v: an ordered list of
+    ``{"logical", "physical", "type"}`` bindings (the column-mapping
+    contract, now carried per schema version). Immutable once
+    written."""
+    import json
+
+    _write_atomic(
+        os.path.join(base, f"schema-v{v}.json"), json.dumps(columns)
+    )
+
+
+def _schema_pointer(lines: list[str]) -> int:
+    marks = [ln for ln in lines if ln.startswith("@schema=")]
+    if len(marks) != 1:
+        raise ValueError(f"manifest must carry exactly one @schema marker, got {marks}")
+    return int(marks[0].split("=", 1)[1])
+
+
+def evolve_schema(
+    base: str, parent_v: int, new_schema_v: int, columns: list[dict]
+) -> tuple[int, int]:
+    """ADD/DROP COLUMN as ONE metadata-only OCC commit: publish the
+    new schema file, then swap the manifest's ``@schema=`` pointer
+    through commit_with_conflict_detection with the OLD pointer in the
+    read_set — so a concurrent schema change (or anything that
+    invalidated the pointer this evolution was computed against)
+    ABORTS with CommitConflict instead of silently clobbering (two
+    concurrent ADDs would otherwise both 'win' and one binding would
+    vanish). Data files are never touched — the Delta/Iceberg ALTER
+    TABLE economics: at 100 TB, ADD or DROP COLUMN is a one-file
+    metadata commit, not a table rewrite."""
+    old_ptr = _schema_pointer(_log_read(base, parent_v))
+    write_schema_version(base, new_schema_v, columns)
+    return commit_with_conflict_detection(
+        base,
+        parent_v,
+        add=[f"@schema={new_schema_v}"],
+        remove=[f"@schema={old_ptr}"],
+        read_set={f"@schema={old_ptr}"},
+    )
+
+
+def read_evolved(spark: SparkSession, base: str, v: int) -> DataFrame:
+    """Read manifest version v THROUGH its schema version: data files
+    are resolved by PHYSICAL name (mergeSchema unions the file
+    footers), then projected to the logical bindings — a physical
+    column absent from every live file (or added after a file was
+    written) NULL-backfills with the declared type, and a DROPPED
+    logical name simply stops being projected even though old files
+    still carry its physical bytes. Time travel composes for free:
+    each manifest version pins the schema version that was current
+    when it committed, so reading v_pre yields the pre-evolution
+    shape and v_post the post-evolution shape from the SAME files."""
+    import json
+
+    lines = _log_read(base, v)
+    with open(os.path.join(base, f"schema-v{_schema_pointer(lines)}.json")) as f:
+        columns = json.load(f)
+    files = [
+        os.path.join(base, "data", ln) for ln in lines if not ln.startswith("@")
+    ]
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    return df.select(
+        *[
+            (
+                F.col(c["physical"]).cast(c["type"])
+                if c["physical"] in df.columns
+                else F.lit(None).cast(c["type"])
+            ).alias(c["logical"])
+            for c in columns
+        ]
+    )
+
+
+#: the three schema eras of the evolution fixture (module-level: tests
+#: replay the same trajectory)
+EVO_SCHEMAS: dict[int, list[dict]] = {
+    1: [
+        {"logical": "o_orderkey", "physical": "col_1", "type": "bigint"},
+        {"logical": "cents", "physical": "col_2", "type": "bigint"},
+    ],
+    # ADD COLUMN qty_bucket (new physical col_3; old files NULL-backfill)
+    2: [
+        {"logical": "o_orderkey", "physical": "col_1", "type": "bigint"},
+        {"logical": "cents", "physical": "col_2", "type": "bigint"},
+        {"logical": "qty_bucket", "physical": "col_3", "type": "bigint"},
+    ],
+    # DROP COLUMN cents (metadata-only; col_2 bytes stay in old files)
+    3: [
+        {"logical": "o_orderkey", "physical": "col_1", "type": "bigint"},
+        {"logical": "qty_bucket", "physical": "col_3", "type": "bigint"},
+    ],
+}
+
+
+def build_evolution_table(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """v1: file A (keys %4==0, schema 1) — v2: +file B (keys %4==1,
+    data commit) — v3: ADD qty_bucket (metadata-only) — v4: +file C
+    (keys %4==2, written WITH col_3) — v5: DROP cents (metadata-only).
+    Returns the log base; data-file immutability across the two
+    evolution commits is asserted in-code."""
+    base = fixture_base(spark, sf_dir, tag)
+    shutil.rmtree(base, ignore_errors=True)
+    data = os.path.join(base, "data")
+    os.makedirs(data)
+
+    k = F.col("o_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("col_1"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("col_2"),
+        (F.col("o_custkey") % 10).cast("bigint").alias("col_3"),
+        k,
+    )
+    o.filter(k % 4 == 0).select("col_1", "col_2").write.parquet(
+        os.path.join(data, "a")
+    )
+    write_schema_version(base, 1, EVO_SCHEMAS[1])
+    assert atomic_claim(os.path.join(base, "manifest-v1.txt"), "a\n@schema=1")
+
+    o.filter(k % 4 == 1).select("col_1", "col_2").write.parquet(
+        os.path.join(data, "b")
+    )
+    commit_with_conflict_detection(base, 1, add=["b"], remove=[], read_set=set())
+
+    def mtimes() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for root, _d, files in os.walk(data):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = mtimes()
+    evolve_schema(base, 2, 2, EVO_SCHEMAS[2])  # v3: ADD qty_bucket
+    o.filter(k % 4 == 2).select("col_1", "col_2", "col_3").write.parquet(
+        os.path.join(data, "c")
+    )
+    commit_with_conflict_detection(base, 3, add=["c"], remove=[], read_set=set())
+    mid = {p: t for p, t in mtimes().items() if p in before}
+    evolve_schema(base, 4, 3, EVO_SCHEMAS[3])  # v5: DROP cents
+    after = {p: t for p, t in mtimes().items() if p in before}
+    assert before == mid == after, (
+        "schema evolution must be metadata-only — no pre-existing data "
+        "file may be rewritten"
+    )
+    return base
+
+
+@query(
+    "schema_evolution_occ_commit",
+    oracle="""
+    SELECT o_orderkey, CAST(NULL AS BIGINT) AS qty_bucket
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    UNION ALL
+    SELECT o_orderkey, CAST(o_custkey % 10 AS BIGINT) AS qty_bucket
+    FROM orders WHERE o_orderkey % 4 = 2
+    """,
+)
+def schema_evolution_occ_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD/DROP COLUMN as single OCC metadata commits
+    (VERDICT r10 item 3 — the gap between directory-level mergeSchema
+    and the Delta/Iceberg ALTER TABLE path): the manifest carries a
+    ``@schema=`` pointer next to its file list, a schema version binds
+    logical names to stable physical names (the column-mapping
+    contract), and an evolution swaps the pointer through
+    commit_with_conflict_detection with the old pointer in its
+    read_set — concurrent evolutions conflict instead of clobbering
+    (pinned in tests/test_lakehouse.py, as are data-file immutability
+    across both evolutions and time travel across the boundary:
+    v2 reads the pre-ADD shape, v4 shows qty_bucket NULL-backfilled
+    for old files and typed for new, v5 drops cents without a
+    rewrite). Returned relation: the HEAD read — old files' rows
+    NULL-backfilled in the added column, post-evolution files typed,
+    dropped column gone — value-attested against the oracle's
+    key-slice reconstruction."""
+    base = build_evolution_table(spark, sf_dir, "evo")
+    return read_evolved(spark, base, 5)
+
+
+# --------------------------------------------------------------------------
 # Timestamp-based time travel (AS OF <timestamp>)
 # --------------------------------------------------------------------------
 #: synthetic commit times (part of the query spec — deterministic)

@@ -266,6 +266,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # ADVICE r10: tag/branch namespace now races on ONE atomic claim
         # (refs/names) — ref-machinery plan change, re-attested
         "scan_branch_tag_refs",
+        # VERDICT r10 item 3: ADD/DROP COLUMN as one OCC metadata commit
+        # composed with manifest + column-mapping machinery
+        "schema_evolution_occ_commit",
     }
 )
 

@@ -862,3 +862,52 @@ def test_ref_namespace_single_atomic_claim(log):
         set_branch_head(log, "pin", 2)
     with pytest.raises(ValueError, match="already names a branch"):
         create_tag(log, "dev", 2)
+
+
+def test_schema_evolution_occ_time_travel_and_conflict(spark):
+    """ALTER TABLE ADD/DROP as OCC metadata commits: time travel
+    across the evolution boundary reads BOTH schemas from the same
+    files (v2 pre-ADD shape; v4 NULL-backfills old files in the added
+    column and types the new file; v5 drops cents without a rewrite),
+    and a concurrent second evolution computed against the same
+    parent pointer ABORTS with CommitConflict instead of clobbering."""
+    import pyspark.sql.functions as F
+
+    from reports_generator_spark.plans.lakehouse_meta import (
+        EVO_SCHEMAS,
+        build_evolution_table,
+        evolve_schema,
+        read_evolved,
+    )
+    from reports_generator_spark.plans.scale_joins import CommitConflict
+
+    sf = "/root/testdata/sf0.001"
+    base = build_evolution_table(spark, sf, "evo_test")
+
+    v2 = read_evolved(spark, base, 2)
+    assert v2.columns == ["o_orderkey", "cents"]
+
+    v4 = read_evolved(spark, base, 4)
+    assert v4.columns == ["o_orderkey", "cents", "qty_bucket"]
+    back = v4.agg(
+        F.count(F.when(F.col("qty_bucket").isNull(), 1)).alias("n_null"),
+        F.count(F.when(F.col("qty_bucket").isNotNull(), 1)).alias("n_typed"),
+    ).collect()[0]
+    # old files (keys %4 in 0,1) NULL-backfilled; new file (%4==2) typed
+    assert back["n_null"] == v2.count() and back["n_typed"] > 0
+
+    v5 = read_evolved(spark, base, 5)
+    assert v5.columns == ["o_orderkey", "qty_bucket"]
+    # history intact: the pre-DROP read still projects cents
+    assert "cents" in read_evolved(spark, base, 4).columns
+
+    # concurrent evolution: another ADD computed against parent v4's
+    # @schema=2 pointer — the DROP (v5) already swapped it, so the
+    # read_set validation must abort
+    with pytest.raises(CommitConflict):
+        evolve_schema(
+            base, 4, 9,
+            EVO_SCHEMAS[2] + [
+                {"logical": "extra", "physical": "col_9", "type": "bigint"}
+            ],
+        )
