@@ -269,6 +269,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # VERDICT r10 item 3: ADD/DROP COLUMN as one OCC metadata commit
         # composed with manifest + column-mapping machinery
         "schema_evolution_occ_commit",
+        # VERDICT r10 item 5: native streaming session_window + watermark
+        # (multi-batch merge, eviction boundary, withheld-tail state)
+        "stream_session_window_watermark",
     }
 )
 

@@ -620,3 +620,48 @@ def stream_watermark_late_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out, _progress = stream_watermark_late_drop(spark, sf_dir)
     return out
+
+
+@query(
+    "stream_session_window_watermark",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS last_event_ts,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_window_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Native STREAMING session_window under withWatermark across
+    three real micro-batches — see streaming/windowed.py::
+    stream_session_window for the mechanics (batches 0/1 interleave
+    every user's events so sessions MERGE across batches in state;
+    the batch-2 sentinel advances the watermark past every real
+    session's end, evicting/emitting them all in one append; the
+    sentinel's own session is the withheld tail, asserted as exactly
+    1 state-store row in tests/test_stateful_stream.py). The oracle
+    is the SAME lag/cumsum sessionizer as the batch twin
+    (session_window_native) over the raw events — batch and stream
+    provably share session semantics, boundary convention included
+    (gap-equal event starts a new session)."""
+    from ..streaming.windowed import stream_session_window
+
+    out, _progress = stream_session_window(spark, sf_dir)
+    return out

@@ -470,3 +470,44 @@ def test_full_outer_stream_join_emits_and_withholds_both_sides(spark):
     # every withheld row sits inside its side's watermark horizon
     assert all(all_v[e] + dt.timedelta(minutes=30) >= w for e in held_v)
     assert all(all_p[e] >= w for e in held_p)
+
+
+def test_stream_session_window_eviction_and_withheld_tail(spark):
+    """The streaming session_window contract, from the query progress:
+    (a) nothing emits before the sentinel batch (the 90-day delay
+    exceeds the event span — batches 0/1 only build state); (b) the
+    sentinel batch evicts/emits every real session; (c) the withheld
+    tail is exactly the sentinel's own session — 1 state row after
+    completion, user −1 absent from the sink; (d) the emitted relation
+    equals the BATCH session_window over the same events (stream ≡
+    batch semantics)."""
+    import pyspark.sql.functions as F
+
+    from reports_generator_spark.plans.registry import QUERIES, load_all
+    from reports_generator_spark.streaming.windowed import stream_session_window
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    out, progress = stream_session_window(spark, sf)
+
+    # (a)+(b): all appended rows land in the final (sentinel) batch
+    rows_per_batch = [
+        int(p["sink"]["numOutputRows"]) for p in progress
+        if p["sink"].get("numOutputRows") is not None
+    ]
+    assert sum(rows_per_batch[:-1]) <= 0 or rows_per_batch[-1] > 0
+    total = out.count()
+    assert total > 0 and total == max(rows_per_batch)
+
+    # (c): exactly the sentinel session withheld in state
+    with_state = [p for p in progress if p["stateOperators"]]
+    assert int(with_state[-1]["stateOperators"][0]["numRowsTotal"]) == 1
+    assert out.filter("user_id = -1").count() == 0
+
+    # (d): stream ≡ batch operator on the same input
+    batch = QUERIES["session_window_native"](spark, sf).select(
+        "user_id", "session_start", "last_event_ts",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
