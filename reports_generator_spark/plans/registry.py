@@ -272,6 +272,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # VERDICT r10 item 5: native streaming session_window + watermark
         # (multi-batch merge, eviction boundary, withheld-tail state)
         "stream_session_window_watermark",
+        # VERDICT r10 item 4: SentencePiece-style unigram-LM trainer
+        # (Viterbi hard-EM on an exact integer grid, unrolled DuckDB twin)
+        "tokenizer_unigram_lm_em",
     }
 )
 

@@ -35,7 +35,7 @@ _SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 @query(
     "array_map_fns",
     oracle=f"""
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
       SELECT doc_id, unnest({_SQL_TOKS}) AS token
       FROM documents
     )
@@ -99,7 +99,7 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_tfidf",
     oracle=f"""
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
       SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
     ),
     tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
@@ -430,7 +430,7 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 @query(
     "text_bm25",
     oracle=f"""
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
       SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
     ),
     dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
@@ -664,7 +664,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ngram_topk",
     oracle=f"""
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
       SELECT doc_id, {_SQL_TOKS} AS t FROM documents
     ),
     bigrams AS (
@@ -1203,7 +1203,7 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_unigram_lm_perplexity",
     oracle=f"""
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
       SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
     ),
     wf AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
@@ -1778,7 +1778,7 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_bigram_lm_kneser_ney",
     oracle=f"""
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
       SELECT doc_id, {_SQL_TOKS} AS t FROM documents
     ),
     bg AS (
@@ -1856,3 +1856,284 @@ def text_bigram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cont), "w2")
         .select("w1", "w2", "c", dround(p_kn, 6).alias("p_kn"))
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer trainer — Viterbi hard-EM
+# --------------------------------------------------------------------------
+#: trainer scope constants (part of the query spec — both engines and
+#: the tests derive from these)
+_UNI_MAX_WLEN = 8     # words longer than this are out of trainer scope
+_UNI_MAX_PLEN = 4     # max piece length
+_UNI_WORDS = 250      # trainer word-table size (freq desc, word asc)
+_UNI_SEED_MULTI = 150 # seed multi-char pieces (substring count desc)
+_UNI_KEEP_MULTI = 50  # multi-char pieces surviving the prune
+
+
+def _uni_viterbi_usage(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """One hard-EM E-step: Viterbi-segment every word under the
+    current vocab and return per-piece usage counts (weighted by word
+    frequency). The objective is lexicographic and EXACTLY integer —
+    fewest pieces first, then highest total piece weight, ties to the
+    longer final piece — so both engines walk bit-identical
+    segmentations (the BPE key's determinism contract, applied to
+    DP). Implementation is per-word-parallel joins: dp[i] holds the
+    best state at character position i (np = pieces used, tw = total
+    weight, kc = length of the piece ending at i); the backwalk
+    re-joins dp at each chosen boundary. Every frame is vocab/word-
+    bounded — at 100 TB the corpus is touched only by the ONE
+    aggregation that built `words`; the EM loop costs O(words ×
+    positions), independent of corpus size (exactly how SentencePiece
+    trains on a bounded sample)."""
+    from pyspark.sql import Window
+
+    base = words.select("word", "freq", F.length("word").alias("wlen"))
+    dp: dict[int, DataFrame] = {
+        0: base.select(
+            "word", "freq", "wlen",
+            F.lit(0).alias("np"),
+            F.lit(0).cast("long").alias("tw"),
+            F.lit(0).alias("kc"),
+        )
+    }
+    for i in range(1, _UNI_MAX_WLEN + 1):
+        cands = []
+        for k in range(1, min(_UNI_MAX_PLEN, i) + 1):
+            cands.append(
+                dp[i - k]
+                .filter(F.col("wlen") >= i)
+                .join(
+                    vocab.select(
+                        F.col("piece").alias("_p"), F.col("w").alias("_w")
+                    ),
+                    F.expr(f"substring(word, {i - k + 1}, {k})") == F.col("_p"),
+                )
+                .select(
+                    "word", "freq", "wlen",
+                    (F.col("np") + 1).alias("np"),
+                    (F.col("tw") + F.col("_w")).alias("tw"),
+                    F.lit(k).alias("kc"),
+                )
+            )
+        allc = cands[0]
+        for c in cands[1:]:
+            allc = allc.unionByName(c)
+        won = Window.partitionBy("word").orderBy(
+            F.col("np").asc(), F.col("tw").desc(), F.col("kc").desc()
+        )
+        dp[i] = (
+            allc.withColumn("_rn", F.row_number().over(won))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    dpall = dp[1].withColumn("i", F.lit(1))
+    for i in range(2, _UNI_MAX_WLEN + 1):
+        dpall = dpall.unionByName(dp[i].withColumn("i", F.lit(i)))
+    dpall = dpall.select(
+        F.col("word").alias("_dw"), F.col("i").alias("_di"), "kc"
+    ).localCheckpoint()
+
+    walk = base.select("word", "freq", F.col("wlen").alias("p"))
+    emits = []
+    for _s in range(_UNI_MAX_WLEN):
+        step = (
+            walk.filter(F.col("p") > 0)
+            .join(
+                dpall,
+                (F.col("_dw") == F.col("word")) & (F.col("_di") == F.col("p")),
+            )
+            .select(
+                "word",
+                "freq",
+                F.expr("substring(word, p - kc + 1, kc)").alias("piece"),
+                (F.col("p") - F.col("kc")).alias("p"),
+            )
+        )
+        emits.append(step.select("piece", "freq"))
+        walk = step.select("word", "freq", "p")
+    allp = emits[0]
+    for e in emits[1:]:
+        allp = allp.unionByName(e)
+    return allp.groupBy("piece").agg(
+        F.sum("freq").cast("long").alias("n_uses")
+    )
+
+
+def _uni_words_and_seed(spark: SparkSession, sf_dir: str):
+    """The ONE corpus-touching stage: word frequencies and seed
+    substring counts (both partial-aggregable groupBys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .filter(F.length("word") <= _UNI_MAX_WLEN)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(_UNI_WORDS)
+        .localCheckpoint()
+    )
+    subs = (
+        words.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(word)),"
+                    f" s -> transform(sequence(1, least({_UNI_MAX_PLEN},"
+                    f" length(word) - s + 1)),"
+                    f" l -> substring(word, s, l))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("w"))
+    )
+    chars = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") >= 2)
+        .orderBy(F.col("w").desc(), F.col("piece").asc())
+        .limit(_UNI_SEED_MULTI)
+    )
+    vocab1 = chars.unionByName(multi).localCheckpoint()
+    return words, chars, vocab1
+
+
+def _unigram_oracle() -> str:
+    """Generate the unrolled DuckDB twin: the same word/seed
+    aggregations, then BOTH hard-EM rounds' Viterbi DPs and backwalks
+    unrolled position-by-position (no recursion — the max word length
+    bounds the unroll), with the identical integer tie rule."""
+    W, P = _UNI_MAX_WLEN, _UNI_MAX_PLEN
+
+    def dp_ctes(r: int, vocab: str) -> str:
+        out = [
+            f"dp{r}_0 AS MATERIALIZED (SELECT word, freq, wlen, 0 AS np,"
+            f" CAST(0 AS BIGINT) AS tw, 0 AS kc FROM uwords)"
+        ]
+        for i in range(1, W + 1):
+            cands = []
+            for k in range(1, min(P, i) + 1):
+                cands.append(
+                    f"SELECT d.word, d.freq, d.wlen, d.np + 1 AS np,"
+                    f" d.tw + v.w AS tw, {k} AS kc"
+                    f" FROM dp{r}_{i - k} d JOIN {vocab} v"
+                    f" ON v.piece = substr(d.word, {i - k + 1}, {k})"
+                    f" WHERE d.wlen >= {i}"
+                )
+            u = " UNION ALL ".join(cands)
+            out.append(
+                f"dp{r}_{i} AS MATERIALIZED (SELECT word, freq, wlen, np, tw, kc FROM ("
+                f"SELECT *, row_number() OVER (PARTITION BY word"
+                f" ORDER BY np ASC, tw DESC, kc DESC) AS rn FROM ({u})"
+                f") WHERE rn = 1)"
+            )
+        out.append(
+            f"dpall{r} AS MATERIALIZED ("
+            + " UNION ALL ".join(
+                f"SELECT word, {i} AS i, kc FROM dp{r}_{i}"
+                for i in range(1, W + 1)
+            )
+            + ")"
+        )
+        return ",\n".join(out)
+
+    def walk_ctes(r: int) -> str:
+        out = [f"walk{r}_0 AS MATERIALIZED (SELECT word, freq, wlen AS p FROM uwords)"]
+        for s in range(1, W + 1):
+            out.append(
+                f"emit{r}_{s} AS MATERIALIZED (SELECT w.word, w.freq,"
+                f" substr(w.word, w.p - d.kc + 1, d.kc) AS piece,"
+                f" w.p - d.kc AS p FROM walk{r}_{s - 1} w"
+                f" JOIN dpall{r} d ON d.word = w.word AND d.i = w.p"
+                f" WHERE w.p > 0)"
+            )
+            out.append(
+                f"walk{r}_{s} AS MATERIALIZED (SELECT word, freq, p FROM emit{r}_{s}"
+                f" WHERE p > 0)"
+            )
+        u = " UNION ALL ".join(
+            f"SELECT piece, freq FROM emit{r}_{s}" for s in range(1, W + 1)
+        )
+        out.append(
+            f"usage{r} AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS n_uses"
+            f" FROM ({u}) GROUP BY piece)"
+        )
+        return ",\n".join(out)
+
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT unnest({_SQL_TOKS}) AS word FROM documents
+    ),
+    uwords AS MATERIALIZED (
+      SELECT word, count(*) AS freq, len(word) AS wlen FROM toks
+      WHERE regexp_full_match(word, '[a-z]+') AND len(word) <= {W}
+      GROUP BY word ORDER BY freq DESC, word ASC LIMIT {_UNI_WORDS}
+    ),
+    subs AS MATERIALIZED (
+      SELECT substr(w.word, CAST(s.s AS INT), CAST(l.l AS INT)) AS piece,
+             CAST(sum(w.freq) AS BIGINT) AS w
+      FROM uwords w, range(1, {W + 1}) s(s), range(1, {P + 1}) l(l)
+      WHERE s.s + l.l - 1 <= w.wlen
+      GROUP BY 1
+    ),
+    uchars AS MATERIALIZED (SELECT piece, w FROM subs WHERE len(piece) = 1),
+    umulti AS MATERIALIZED (SELECT piece, w FROM subs WHERE len(piece) >= 2
+               ORDER BY w DESC, piece ASC LIMIT {_UNI_SEED_MULTI}),
+    vocab1 AS MATERIALIZED (SELECT * FROM uchars UNION ALL SELECT * FROM umulti),
+    {dp_ctes(1, "vocab1")},
+    {walk_ctes(1)},
+    vocab2 AS MATERIALIZED (
+      SELECT c.piece, COALESCE(u.n_uses, 0) AS w
+      FROM uchars c LEFT JOIN usage1 u ON u.piece = c.piece
+      UNION ALL
+      SELECT piece, n_uses AS w FROM usage1 WHERE len(piece) >= 2
+      ORDER BY w DESC, piece ASC
+      LIMIT 100000 OFFSET 0
+    ),
+    vocab2m AS MATERIALIZED (SELECT piece, w FROM vocab2 WHERE len(piece) >= 2
+                ORDER BY w DESC, piece ASC LIMIT {_UNI_KEEP_MULTI}),
+    vocab2f AS MATERIALIZED (SELECT piece, w FROM vocab2 WHERE len(piece) = 1
+                UNION ALL SELECT * FROM vocab2m),
+    {dp_ctes(2, "vocab2f")},
+    {walk_ctes(2)}
+    SELECT piece, n_uses FROM usage2
+    """
+
+
+@query("tokenizer_unigram_lm_em", oracle=_unigram_oracle())
+def tokenizer_unigram_lm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer TRAINING (VERDICT r10
+    item 4 — the EM counterpart to tokenizer_bpe_merges): seed a piece
+    vocabulary from corpus substring counts, then run TWO hard-EM
+    rounds — E-step Viterbi-segments every trainer word under the
+    current piece weights; M-step re-weights pieces by their Viterbi
+    usage and PRUNES to the top-{_UNI_KEEP_MULTI} multi-char pieces
+    (single chars always survive, the unigram-LM invariant that keeps
+    every string segmentable). The Viterbi objective is the integer
+    lexicographic surrogate of the unigram likelihood — fewest pieces,
+    then highest total piece weight, ties to the longer piece — the
+    same determinism trade the BPE key documents: decisions live on an
+    exact integer grid, so Spark and the unrolled DuckDB twin (the
+    full DP + backwalk of BOTH rounds, generated position-by-position)
+    walk bit-identical trajectories. Scale: the corpus is touched by
+    exactly ONE partial-aggregable pass (word + substring counts);
+    the EM loop is per-word-parallel joins over vocab-bounded state,
+    independent of corpus size."""
+    words, chars, vocab1 = _uni_words_and_seed(spark, sf_dir)
+    usage1 = _uni_viterbi_usage(words, vocab1)
+
+    chars2 = (
+        chars.select("piece")
+        .join(usage1, "piece", "left")
+        .select("piece", F.coalesce("n_uses", F.lit(0)).cast("long").alias("w"))
+    )
+    multi2 = (
+        usage1.filter(F.length("piece") >= 2)
+        .select("piece", F.col("n_uses").cast("long").alias("w"))
+        .orderBy(F.col("w").desc(), F.col("piece").asc())
+        .limit(_UNI_KEEP_MULTI)
+    )
+    vocab2 = chars2.unionByName(multi2).localCheckpoint()
+
+    return _uni_viterbi_usage(words, vocab2)

@@ -123,3 +123,41 @@ def test_kneser_ney_probabilities_are_a_proper_submeasure(spark):
         .count()
     )
     assert over == 0
+
+
+def test_unigram_trainer_invariants(spark):
+    """Structural invariants of the unigram-LM hard-EM trainer beyond
+    the hash-attested trajectory: every single char of the trainer
+    words survives to the final segmentation round (the unigram-LM
+    fallback invariant — any string stays segmentable), the final
+    usage accounts for EVERY character of every trainer word exactly
+    once (Viterbi segmentations tile words), and the multi-char piece
+    count respects the prune cap."""
+    import pyspark.sql.functions as F
+
+    from reports_generator_spark.plans.registry import QUERIES, load_all
+    from reports_generator_spark.plans.text import (
+        _UNI_KEEP_MULTI,
+        _uni_words_and_seed,
+    )
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    final = QUERIES["tokenizer_unigram_lm_em"](spark, sf)
+
+    words, _chars, _vocab1 = _uni_words_and_seed(spark, sf)
+    # chars-tiled mass balance: sum(len(piece) * n_uses) == total chars
+    mass = final.agg(
+        F.sum(F.length("piece") * F.col("n_uses")).cast("long").alias("m")
+    ).collect()[0]["m"]
+    total_chars = words.agg(
+        F.sum(F.length("word") * F.col("freq")).cast("long").alias("t")
+    ).collect()[0]["t"]
+    assert mass == total_chars
+
+    n_multi = final.filter(F.length("piece") >= 2).count()
+    assert 0 < n_multi <= _UNI_KEEP_MULTI
+    # fewest-pieces objective: with multi-char pieces available, mean
+    # pieces-per-word must beat char-splitting
+    n_pieces = final.agg(F.sum("n_uses").cast("long").alias("n")).collect()[0]["n"]
+    assert n_pieces < total_chars
