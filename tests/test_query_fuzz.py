@@ -1511,3 +1511,167 @@ def test_upper_eszett_case_mapping_diverges(spark, duck):
     codepoints, not case-folded text)."""
     assert spark.sql("SELECT upper('straße') AS v").first()["v"] == "STRASSE"
     assert duck.execute("SELECT upper('straße') AS v").fetchone()[0] == "STRAẞE"
+
+
+# --- DECIMAL division / overflow boundary fuzzing (round-11 family) ----
+# The remaining divergence zone after the round-8 +,-,× family: DuckDB
+# evaluates DECIMAL ÷ DECIMAL in DOUBLE while Spark divides exactly at
+# DECIMAL(p,s), so the naive floor(a/b * 10^k + 0.5) spelling silently
+# loses half-boundary quotients in one engine only; and at the
+# precision ceiling Spark's ANSI sum raises ARITHMETIC_OVERFLOW where
+# DuckDB raises its own HUGEINT out-of-range. The portable spellings —
+# integer-domain rounded division (scaled BIGINT, DIV vs //) and the
+# width-budget aggregate — are fuzzed; each raw divergence is pinned.
+
+@st.composite
+def _div_specs(draw):
+    # divisor in tenths, never zero (zero-divisor semantics pinned
+    # separately); round scale 0..2; optional group
+    dt = draw(st.integers(1, 99))
+    k = draw(st.integers(0, 2))
+    group = draw(st.sampled_from([None, "o_orderstatus"]))
+    return dt, k, group
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(_div_specs())
+def test_generated_decimal_division_int_domain_matches_duckdb(spark, duck, spec):
+    """round(price / d, k) computed ENTIRELY in the integer domain —
+    cents = price*100 as BIGINT, then half-up rounding as
+    (cents*10^k*2 + d_cents) DIV (2*d_cents) — must be bit-identical
+    cross-engine (Spark DIV and DuckDB // both truncate toward zero;
+    operands here are non-negative). This is the division spelling the
+    engine's discipline prescribes; the naive double path it replaces
+    is pinned divergent below."""
+    dt, k, group = spec
+    d_cents = dt * 10  # divisor in cents
+    p = 10 ** k
+
+    o = spark.read.parquet(
+        "%s/orders.parquet" % __import__("conftest").SF_DIR
+    )
+    # cents via the mirrored floor spelling (o_totalprice is DOUBLE;
+    # a bare CAST truncates in Spark and rounds in DuckDB — the round-8
+    # family's pinned divergence class)
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    q = F.expr(
+        f"(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * {p} * 2 + {d_cents})"
+        f" DIV ({2 * d_cents})"
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q).cast("bigint").alias("s_q"),
+        F.min(q).cast("bigint").alias("mn_q"),
+        F.max(q).cast("bigint").alias("mx_q"),
+        F.sum(cents).cast("bigint").alias("s_cents"),
+    ]
+    sql_q = (
+        f"(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * {p} * 2 + {d_cents})"
+        f" // ({2 * d_cents})"
+    )
+    agg_sql = (
+        "CAST(count(*) AS BIGINT) AS n,"
+        f" CAST(sum({sql_q}) AS BIGINT) AS s_q,"
+        f" CAST(min({sql_q}) AS BIGINT) AS mn_q,"
+        f" CAST(max({sql_q}) AS BIGINT) AS mx_q,"
+        " CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s_cents"
+    )
+    if group is None:
+        sdf = o.agg(*aggs)
+        sql = f"SELECT {agg_sql} FROM orders"
+    else:
+        sdf = o.groupBy(group).agg(*aggs)
+        sql = f"SELECT {group}, {agg_sql} FROM orders GROUP BY {group}"
+    assert_matches_oracle(sdf, duck, sql)
+
+
+def test_decimal_division_naive_double_diverges_and_int_domain_heals(spark, duck):
+    """Pin the divergence the integer-domain spelling exists for:
+    0.09 / 0.4 = 0.225 exactly — Spark divides at DECIMAL scale and
+    the naive floor(q*100 + 0.5) lands 23, but DuckDB evaluates the
+    quotient in DOUBLE (0.22499999…) and lands 22. The scaled-BIGINT
+    half-up spelling agrees at 23 in both."""
+    naive = "CAST(floor(CAST(0.09 AS DECIMAL(18,2)) / CAST(0.4 AS DECIMAL(4,1)) * 100 + 0.5) AS BIGINT)"
+    s_naive = spark.sql(f"SELECT {naive} AS v").first()["v"]
+    d_naive = duck.execute(f"SELECT {naive} AS v").fetchone()[0]
+    assert s_naive == 23 and d_naive == 22  # the trap, pinned
+
+    s_int = spark.sql(
+        "SELECT (9 * 100 * 2 + 40) DIV (2 * 40) AS v"
+    ).first()["v"]
+    d_int = duck.execute(
+        "SELECT (9 * 100 * 2 + 40) // (2 * 40) AS v"
+    ).fetchone()[0]
+    assert s_int == d_int == 23
+
+
+def test_decimal_division_by_zero_portable_spelling(spark, duck):
+    """Zero-divisor semantics: Spark ANSI `/` and `DIV` RAISE on a
+    zero divisor where DuckDB yields NULL — the portable spelling is
+    Spark try_divide ≡ DuckDB `/` (NULL in both). Pinned in both
+    directions so neither engine's behavior drifts unnoticed."""
+    import pyspark.errors as pe
+
+    with pytest.raises(pe.exceptions.captured.ArithmeticException):
+        spark.sql(
+            "SELECT CAST(7.3 AS DECIMAL(18,2)) / CAST(0 AS DECIMAL(4,1)) AS v"
+        ).collect()
+    with pytest.raises(pe.exceptions.captured.ArithmeticException):
+        spark.sql("SELECT 7 DIV 0 AS v").collect()
+
+    s = spark.sql(
+        "SELECT try_divide(CAST(7.3 AS DECIMAL(18,2)), CAST(0 AS DECIMAL(4,1))) AS v"
+    ).first()["v"]
+    d = duck.execute(
+        "SELECT CAST(7.3 AS DECIMAL(18,2)) / CAST(0 AS DECIMAL(4,1)) AS v"
+    ).fetchone()[0]
+    assert s is None and d is None
+    # DuckDB's integer // is NULL on zero too (no raise to pin there)
+    assert duck.execute("SELECT 7 // 0 AS v").fetchone()[0] is None
+
+
+def test_decimal_sum_overflow_boundary_and_width_budget(spark, duck):
+    """The precision ceiling: summing ten 38-digit DECIMAL(38,0)
+    values overflows BOTH engines but through DIFFERENT channels —
+    Spark ANSI raises ARITHMETIC_OVERFLOW (try_sum yields NULL),
+    DuckDB's HUGEINT accumulator raises Out of Range — so no portable
+    spelling exists AT the ceiling; the discipline is the width
+    budget: values bounded one decade below (10 × 1e36 < 1e38) must
+    aggregate bit-identically. Exact-integer literals via repeat()
+    (a 1e36 DOUBLE literal is inexact and poisons the decimal in both
+    engines — also pinned)."""
+    import pyspark.errors as pe
+
+    big = "CAST('9' || repeat('9', 37) AS DECIMAL(38,0))"  # 38 nines
+    with pytest.raises(pe.exceptions.captured.ArithmeticException):
+        spark.sql(
+            f"SELECT sum(v) FROM (SELECT {big} AS v FROM range(10))"
+        ).collect()
+    s_try = spark.sql(
+        f"SELECT try_sum(v) AS v FROM (SELECT {big} AS v FROM range(10))"
+    ).first()["v"]
+    assert s_try is None
+    with pytest.raises(Exception, match="Out of Range"):
+        duck.execute(
+            f"SELECT sum(v) FROM (SELECT {big} AS v FROM range(10))"
+        ).fetchall()
+
+    # width budget honored: one decade of headroom, exact literals
+    ok = "CAST('1' || repeat('0', 36) AS DECIMAL(38,0))"
+    s = spark.sql(
+        f"SELECT CAST(sum(v) AS STRING) AS v FROM (SELECT {ok} AS v FROM range(10))"
+    ).first()["v"]
+    d = duck.execute(
+        f"SELECT CAST(sum(v) AS VARCHAR) AS v FROM (SELECT {ok} AS v FROM range(10))"
+    ).fetchone()[0]
+    assert s == d == "1" + "0" * 37
+
+    # the double-literal trap: CAST(1e36 AS DECIMAL) is NOT 10^36
+    d_lit = duck.execute(
+        "SELECT CAST(CAST(1e36 AS DECIMAL(38,0)) AS VARCHAR)"
+    ).fetchone()[0]
+    assert d_lit != "1" + "0" * 36  # inexact — why exact strings are used
