@@ -2543,3 +2543,111 @@ def train_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("_b12"), 6).alias("beta1_it2"),
         "log_loss",
     )
+
+
+# --------------------------------------------------------------------------
+# Multinomial naive Bayes — the aggregation-only trainer
+# --------------------------------------------------------------------------
+@query(
+    "train_naive_bayes_multinomial",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents
+    ),
+    t2 AS (
+      SELECT lang, token FROM toks WHERE regexp_full_match(token, '[a-z]+')
+    ),
+    vocab AS (
+      SELECT token, count(*) AS cnt FROM t2 GROUP BY token
+      ORDER BY cnt DESC, token ASC LIMIT 200
+    ),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    ct AS (
+      SELECT t2.lang, t2.token, count(*) AS c
+      FROM t2 JOIN vocab USING (token) GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT l.lang, v.token, COALESCE(ct.c, 0) AS c
+      FROM langs l CROSS JOIN vocab v
+      LEFT JOIN ct ON ct.lang = l.lang AND ct.token = v.token
+    ),
+    tc AS (SELECT lang, sum(c) AS t FROM grid GROUP BY lang),
+    nd AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    ntot AS (SELECT count(*) AS n FROM documents)
+    SELECT g.lang, g.token, CAST(g.c AS BIGINT) AS cnt,
+           CAST(((g.c + 1) * 2000000000 + (tc.t + 200))
+                // (2 * (tc.t + 200)) AS BIGINT) AS p_q9
+    FROM grid g JOIN tc USING (lang)
+    UNION ALL
+    SELECT nd.lang, '__prior__' AS token, CAST(nd.n AS BIGINT) AS cnt,
+           CAST((nd.n * 2000000000 + ntot.n) // (2 * ntot.n) AS BIGINT) AS p_q9
+    FROM nd CROSS JOIN ntot
+    """,
+)
+def train_naive_bayes_multinomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes trained by PURE AGGREGATION — the
+    classifier whose "training" is exactly the engine's native shape
+    (two partial-aggregable groupBys + a broadcast of the bounded
+    vocab), complementing the iterative IRLS key. Model state:
+    add-one-smoothed token likelihoods p(token|lang) over the
+    deterministic top-200 vocab (count desc, token asc) on the FULL
+    lang × vocab grid (zero-count cells carry the smoothing mass),
+    plus per-class priors as '__prior__' rows. Probabilities are
+    emitted on the q9 integer micro-grid via the scaled-BIGINT
+    half-up division spelling ((c+1)·2·10⁹ + D) DIV 2D — the engine's
+    cross-engine-exact division discipline (the naive double spelling
+    is pinned divergent in tests/test_query_fuzz.py), so the oracle
+    match is bit-exact, never tolerance-based. Scale: one corpus scan
+    builds the counts; everything downstream is vocab-bounded;
+    classes × vocab state would stay KB-sized at 100 TB."""
+    from ..functions.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("lang", F.explode(tokens_col(F.col("text"))).alias("token"))
+        .filter(F.col("token").rlike("^[a-z]+$"))
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(200)
+        .select("token")
+    )
+    langs = docs.select("lang").distinct()
+    ct = (
+        toks.join(F.broadcast(vocab), "token")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grid = (
+        langs.crossJoin(F.broadcast(vocab))  # 5 x 200 model grid
+        .join(ct, ["lang", "token"], "left")
+        .select("lang", "token", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    tc = grid.groupBy("lang").agg(F.sum("c").alias("t"))
+    likelihood = (
+        grid.join(tc, "lang")
+        .select(
+            "lang",
+            "token",
+            F.col("c").cast("bigint").alias("cnt"),
+            F.expr(
+                "CAST(((c + 1) * 2000000000 + (t + 200))"
+                " DIV (2 * (t + 200)) AS BIGINT)"
+            ).alias("p_q9"),
+        )
+    )
+    nd = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    ntot = docs.count()  # scalar-only collect (class-prior denominator)
+    priors = nd.select(
+        "lang",
+        F.lit("__prior__").alias("token"),
+        F.col("n").cast("bigint").alias("cnt"),
+        F.expr(
+            f"CAST((n * 2000000000 + {ntot}) DIV (2 * {ntot}) AS BIGINT)"
+        ).alias("p_q9"),
+    )
+    return likelihood.unionByName(priors)

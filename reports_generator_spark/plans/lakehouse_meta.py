@@ -1059,6 +1059,38 @@ def schema_evolution_occ_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_evolved(spark, base, 5)
 
 
+@query(
+    "schema_evolution_type_widening",
+    oracle="""
+    SELECT o_orderkey, CAST(NULL AS DOUBLE) AS qty_bucket
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    UNION ALL
+    SELECT o_orderkey, CAST(o_custkey % 10 AS DOUBLE) AS qty_bucket
+    FROM orders WHERE o_orderkey % 4 = 2
+    """,
+)
+def schema_evolution_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ... TYPE widening (bigint → double) as one more
+    OCC metadata commit on the evolution machinery — completing the
+    family: ADD/DROP (schema_evolution_occ_commit), RENAME
+    (scan_column_mapping_rename), WIDEN (this key). The widening is
+    READ-side: the physical column type in existing parquet footers
+    never changes (no rewrite — the Parquet type-promotion contract);
+    the schema version just declares the wider logical type and
+    read_evolved casts at projection. Concurrent-evolution OCC
+    semantics are inherited from evolve_schema (old pointer in the
+    read_set). The returned head relation is the post-widening shape,
+    NULL-backfill from the earlier ADD evolution preserved through
+    the cast."""
+    base = build_evolution_table(spark, sf_dir, "evo_w")
+    widened = [
+        dict(c, type="double") if c["logical"] == "qty_bucket" else c
+        for c in EVO_SCHEMAS[3]
+    ]
+    evolve_schema(base, 5, 4, widened)  # v6: WIDEN qty_bucket
+    return read_evolved(spark, base, 6)
+
+
 # --------------------------------------------------------------------------
 # Timestamp-based time travel (AS OF <timestamp>)
 # --------------------------------------------------------------------------
@@ -2021,3 +2053,132 @@ def sink_wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows_red_batch", "green_published_via_ff",
         "red_never_reaches_main", "red_branch_abandoned",
     )
+
+
+# --------------------------------------------------------------------------
+# SHALLOW CLONE: a new table whose manifest REFERENCES the source's files
+# --------------------------------------------------------------------------
+def read_manifest_rooted(spark: SparkSession, base: str, v: int) -> DataFrame:
+    """Read manifest version v whose entries are paths relative to the
+    log base's PARENT — the resolution rule that lets one table's
+    manifest reference another table's data files (the shallow-clone
+    contract: Delta CLONE and Iceberg snapshot-ref tables do exactly
+    this; data files are owned by whoever wrote them, manifests only
+    point)."""
+    root = os.path.dirname(base.rstrip("/"))
+    files = [os.path.join(root, ln) for ln in _log_read(base, v)]
+    return spark.read.parquet(*files)
+
+
+@query(
+    "table_shallow_clone_divergence",
+    oracle="""
+    SELECT 'src' AS side, o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+    UNION ALL
+    SELECT 'clone' AS side, o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT 'clone' AS side, o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 7 AS cents
+    FROM orders WHERE o_orderkey % 4 = 3
+    """,
+)
+def table_shallow_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE on the OCC log (Delta ``CREATE TABLE ... CLONE``):
+    the clone is a NEW commit log whose v1 manifest simply REFERENCES
+    the source's data files — zero bytes copied (asserted in-code: the
+    clone's data dir holds only files the clone itself wrote later).
+    Both tables then evolve INDEPENDENTLY with full OCC semantics:
+    the source appends a file; the clone drops one inherited file and
+    appends its own — four commits, two histories, one set of shared
+    immutable data files (source files byte-untouched, asserted by
+    mtime). Returned relation: BOTH head snapshots side-by-side
+    (side ∈ {src, clone}), each oracle-recomputed from key slices.
+    At 100 TB a clone for a dev/test/what-if branch is a one-file
+    metadata commit instead of a table copy — the same economics every
+    other operator in this family buys."""
+    base_src = fixture_base(spark, sf_dir, "clone_src")
+    base_cl = fixture_base(spark, sf_dir, "clone_dst")
+    shutil.rmtree(base_src, ignore_errors=True)
+    shutil.rmtree(base_cl, ignore_errors=True)
+    src_tag = os.path.basename(base_src.rstrip("/"))
+
+    k = F.col("o_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    data = os.path.join(base_src, "data")
+    os.makedirs(data)
+    for name, pred in (("a", k % 4 == 0), ("b", k % 4 == 1)):
+        o.filter(pred).write.parquet(os.path.join(data, name))
+    assert atomic_claim(
+        os.path.join(base_src, "manifest-v1.txt"),
+        f"{src_tag}/data/a\n{src_tag}/data/b",
+    )
+
+    def src_mtimes() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for root, _d, files in os.walk(data):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = src_mtimes()
+
+    # CLONE: one metadata commit referencing the source's v1 files
+    os.makedirs(os.path.join(base_cl, "data"))
+    assert atomic_claim(
+        os.path.join(base_cl, "manifest-v1.txt"),
+        "\n".join(_log_read(base_src, 1)),
+    )
+
+    # independent evolution — source appends c
+    o.filter(k % 4 == 2).write.parquet(os.path.join(data, "c"))
+    commit_with_conflict_detection(
+        base_src, 1, add=[f"{src_tag}/data/c"], remove=[], read_set=set()
+    )
+    # clone drops inherited a, appends its own d (modified payload)
+    cl_tag = os.path.basename(base_cl.rstrip("/"))
+    o.filter(k % 4 == 3).withColumn(
+        "cents", F.col("cents") + 7
+    ).write.parquet(os.path.join(base_cl, "data", "d"))
+    commit_with_conflict_detection(
+        base_cl,
+        1,
+        add=[f"{cl_tag}/data/d"],
+        remove=[f"{src_tag}/data/a"],
+        read_set={f"{src_tag}/data/a"},
+    )
+
+    # zero-copy + immutability claims (source's own append excluded)
+    after = {p: t for p, t in src_mtimes().items() if p in before}
+    assert after == before, "clone must not touch source files"
+    cloned_local = [
+        fn
+        for root, _d, files in os.walk(os.path.join(base_cl, "data"))
+        for fn in files
+        if fn.endswith(".parquet")
+    ]
+    d_local = [
+        fn
+        for root, _d, files in os.walk(os.path.join(base_cl, "data", "d"))
+        for fn in files
+        if fn.endswith(".parquet")
+    ]
+    assert sorted(cloned_local) == sorted(d_local), (
+        "shallow clone copied data files it should only reference"
+    )
+
+    src_head = read_manifest_rooted(spark, base_src, 2).select(
+        F.lit("src").alias("side"), "o_orderkey", "cents"
+    )
+    cl_head = read_manifest_rooted(spark, base_cl, 2).select(
+        F.lit("clone").alias("side"), "o_orderkey", "cents"
+    )
+    return src_head.unionByName(cl_head)

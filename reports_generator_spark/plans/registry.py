@@ -275,6 +275,12 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # VERDICT r10 item 4: SentencePiece-style unigram-LM trainer
         # (Viterbi hard-EM on an exact integer grid, unrolled DuckDB twin)
         "tokenizer_unigram_lm_em",
+        # round-11 trainer/lakehouse extensions: aggregation-only NB
+        # trainer, zero-copy SHALLOW CLONE with divergent histories,
+        # read-side TYPE WIDENING (completes ADD/DROP/RENAME/WIDEN)
+        "train_naive_bayes_multinomial",
+        "table_shallow_clone_divergence",
+        "schema_evolution_type_widening",
     }
 )
 
