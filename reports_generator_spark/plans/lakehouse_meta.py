@@ -2070,38 +2070,15 @@ def read_manifest_rooted(spark: SparkSession, base: str, v: int) -> DataFrame:
     return spark.read.parquet(*files)
 
 
-@query(
-    "table_shallow_clone_divergence",
-    oracle="""
-    SELECT 'src' AS side, o_orderkey,
-           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-    FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
-    UNION ALL
-    SELECT 'clone' AS side, o_orderkey,
-           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-    FROM orders WHERE o_orderkey % 4 = 1
-    UNION ALL
-    SELECT 'clone' AS side, o_orderkey,
-           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 7 AS cents
-    FROM orders WHERE o_orderkey % 4 = 3
-    """,
-)
-def table_shallow_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SHALLOW CLONE on the OCC log (Delta ``CREATE TABLE ... CLONE``):
-    the clone is a NEW commit log whose v1 manifest simply REFERENCES
-    the source's data files — zero bytes copied (asserted in-code: the
-    clone's data dir holds only files the clone itself wrote later).
-    Both tables then evolve INDEPENDENTLY with full OCC semantics:
-    the source appends a file; the clone drops one inherited file and
-    appends its own — four commits, two histories, one set of shared
-    immutable data files (source files byte-untouched, asserted by
-    mtime). Returned relation: BOTH head snapshots side-by-side
-    (side ∈ {src, clone}), each oracle-recomputed from key slices.
-    At 100 TB a clone for a dev/test/what-if branch is a one-file
-    metadata commit instead of a table copy — the same economics every
-    other operator in this family buys."""
-    base_src = fixture_base(spark, sf_dir, "clone_src")
-    base_cl = fixture_base(spark, sf_dir, "clone_dst")
+def build_clone_pair(spark: SparkSession, sf_dir: str, tag: str):
+    """Build the shallow-clone fixture pair: source table (files a,b ->
+    +c), clone created as a one-manifest metadata commit referencing
+    the source's v1 files, then divergent histories (clone drops
+    inherited a, appends its own d with a modified payload). Asserts
+    the zero-copy and source-immutability claims in-code. Returns
+    (base_src, base_cl)."""
+    base_src = fixture_base(spark, sf_dir, f"{tag}_src")
+    base_cl = fixture_base(spark, sf_dir, f"{tag}_dst")
     shutil.rmtree(base_src, ignore_errors=True)
     shutil.rmtree(base_cl, ignore_errors=True)
     src_tag = os.path.basename(base_src.rstrip("/"))
@@ -2175,6 +2152,40 @@ def table_shallow_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFram
         "shallow clone copied data files it should only reference"
     )
 
+    return base_src, base_cl
+
+
+@query(
+    "table_shallow_clone_divergence",
+    oracle="""
+    SELECT 'src' AS side, o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+    UNION ALL
+    SELECT 'clone' AS side, o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT 'clone' AS side, o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 7 AS cents
+    FROM orders WHERE o_orderkey % 4 = 3
+    """,
+)
+def table_shallow_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE on the OCC log (Delta ``CREATE TABLE ... CLONE``):
+    the clone is a NEW commit log whose v1 manifest simply REFERENCES
+    the source's data files — zero bytes copied (asserted in-code: the
+    clone's data dir holds only files the clone itself wrote later).
+    Both tables then evolve INDEPENDENTLY with full OCC semantics:
+    the source appends a file; the clone drops one inherited file and
+    appends its own — four commits, two histories, one set of shared
+    immutable data files (source files byte-untouched, asserted by
+    mtime). Returned relation: BOTH head snapshots side-by-side
+    (side ∈ {src, clone}), each oracle-recomputed from key slices.
+    At 100 TB a clone for a dev/test/what-if branch is a one-file
+    metadata commit instead of a table copy — the same economics every
+    other operator in this family buys."""
+    base_src, base_cl = build_clone_pair(spark, sf_dir, "clone")
     src_head = read_manifest_rooted(spark, base_src, 2).select(
         F.lit("src").alias("side"), "o_orderkey", "cents"
     )
@@ -2182,3 +2193,124 @@ def table_shallow_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit("clone").alias("side"), "o_orderkey", "cents"
     )
     return src_head.unionByName(cl_head)
+
+
+def vacuum_shared_root(root: str, log_bases: list[str]) -> list[str]:
+    """VACUUM for a data root that MULTIPLE commit logs reference
+    (the shallow-clone world): a file is live if ANY version of ANY
+    log under the root references it — the per-table candidate set is
+    wrong by construction once clones exist (Delta documents exactly
+    this hazard: VACUUM on a cloned table's source deletes files the
+    clone still needs). Deletes directory-level data entries with no
+    referencing manifest anywhere and returns their names."""
+    referenced: set[str] = set()
+    for base in log_bases:
+        for v in _log_versions(base):
+            referenced.update(_log_read(base, v))
+    removed: list[str] = []
+    for base in log_bases:
+        tag = os.path.basename(base.rstrip("/"))
+        data = os.path.join(base, "data")
+        if not os.path.isdir(data):
+            continue
+        for d in sorted(os.listdir(data)):
+            if f"{tag}/data/{d}" not in referenced:
+                shutil.rmtree(os.path.join(data, d))
+                removed.append(f"{tag}/data/{d}")
+    return removed
+
+
+@query(
+    "vacuum_clone_reference_safe",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE o_orderkey % 4 IN (0, 2)) AS BIGINT)
+             AS n_rows_src,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                FILTER (WHERE o_orderkey % 4 IN (0, 2)) AS BIGINT)
+             AS cents_checksum_src,
+           CAST(count(*) FILTER (WHERE o_orderkey % 4 IN (1, 3)) AS BIGINT)
+             AS n_rows_clone,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    + CASE WHEN o_orderkey % 4 = 3 THEN 7 ELSE 0 END)
+                FILTER (WHERE o_orderkey % 4 IN (1, 3)) AS BIGINT)
+             AS cents_checksum_clone,
+           CAST(1 AS BIGINT) AS n_naive_only_candidates,
+           CAST(1 AS BIGINT) AS n_orphans_removed,
+           CAST(1 AS BIGINT) AS clone_file_survived
+    FROM orders
+    """,
+)
+def vacuum_clone_reference_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM must not break SHALLOW CLONES — the documented Delta
+    hazard, reproduced then closed: the source drops file b and
+    EXPIRES its old snapshots, so b is no longer referenced anywhere
+    in the SOURCE's own log — a per-table vacuum would delete it —
+    but the clone's head still reads b. The shared-root vacuum
+    computes liveness over EVERY log under the root: b survives
+    (clone_file_survived, re-verified by actually re-reading the
+    clone head afterwards — the data columns, oracle-recomputed from
+    key slices, ARE that read), while a genuinely orphaned staged dir
+    is removed. n_naive_only_candidates counts the files the
+    per-table set difference would have wrongly deleted (filesystem
+    facts, literal-adjacent class documented at
+    vacuum_orphan_files_safe)."""
+    base_src, base_cl = build_clone_pair(spark, sf_dir, "vacln")
+    src_tag = os.path.basename(base_src.rstrip("/"))
+
+    # source drops b (still referenced by the clone), then expires
+    # history — b now unreferenced IN THE SOURCE LOG alone
+    commit_with_conflict_detection(
+        base_src, 2, add=[], remove=[f"{src_tag}/data/b"], read_set=set()
+    )
+    expire_snapshots(base_src, keep_last_n=1)
+
+    # a dying writer's debris: referenced by NO log — must be removed
+    load_table(spark, sf_dir, "orders").select("o_orderkey").limit(100).write.parquet(
+        os.path.join(base_src, "data", "orphan")
+    )
+
+    # the naive per-table candidate set (dry-run, never executed)
+    src_ref: set[str] = set()
+    for v in _log_versions(base_src):
+        src_ref.update(_log_read(base_src, v))
+    naive = {
+        f"{src_tag}/data/{d}"
+        for d in os.listdir(os.path.join(base_src, "data"))
+        if f"{src_tag}/data/{d}" not in src_ref
+    }
+
+    root = os.path.dirname(base_src.rstrip("/"))
+    removed = vacuum_shared_root(root, [base_src, base_cl])
+
+    naive_only = sorted(naive - set(removed))
+    assert naive_only == [f"{src_tag}/data/b"], (
+        "the clone-referenced file must be exactly what naive vacuum "
+        f"would wrongly delete: {naive_only}"
+    )
+    assert removed == [f"{src_tag}/data/orphan"]
+
+    # two 1-row aggregate frames folded into the audit row (documented
+    # crossJoin-of-scalars class)
+    src_head = read_manifest_rooted(spark, base_src, 3)
+    cl_head = read_manifest_rooted(spark, base_cl, 2)
+    return (
+        src_head.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows_src"),
+            F.sum("cents").cast("bigint").alias("cents_checksum_src"),
+        )
+        .crossJoin(
+            cl_head.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows_clone"),
+                F.sum("cents").cast("bigint").alias("cents_checksum_clone"),
+            )
+        )
+        .select(
+            "n_rows_src",
+            "cents_checksum_src",
+            "n_rows_clone",
+            "cents_checksum_clone",
+            F.lit(len(naive_only)).cast("bigint").alias("n_naive_only_candidates"),
+            F.lit(len(removed)).cast("bigint").alias("n_orphans_removed"),
+            F.lit(1).cast("bigint").alias("clone_file_survived"),
+        )
+    )

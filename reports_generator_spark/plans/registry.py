@@ -281,6 +281,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "train_naive_bayes_multinomial",
         "table_shallow_clone_divergence",
         "schema_evolution_type_widening",
+        # VACUUM liveness across shared-root logs: closes the documented
+        # source-vacuum-breaks-clone hazard
+        "vacuum_clone_reference_safe",
     }
 )
 
