@@ -44,6 +44,7 @@ def asof_join(
     tiebreak: str | None = None,
     suffix: str = "_r",
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: each left row gains the payload of the nearest
     right row on the same key (nulls when no such row — left-outer
@@ -56,7 +57,13 @@ def asof_join(
     on / ts: column name shared by both sides, or (left_name,
     right_name). right_payload: right columns to carry (renamed with
     `suffix` if they collide with a left column). tiebreak: right
-    column ordering equal-t right rows (greatest wins).
+    column ordering equal-t right rows (greatest wins). tolerance:
+    optional INTERVAL string (e.g. "1 hour" / "30 minutes", the
+    pandas merge_asof tolerance) — a carried match farther than this
+    from the left timestamp is nulled out AFTER the window (the plan
+    is unchanged: the window still carries the nearest candidate;
+    tolerance is a post-filter expression, not a join condition, so
+    no range-join explosion is reintroduced).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -76,6 +83,7 @@ def asof_join(
     # right row, so `last` skips exactly the left rows.
     payload_type = StructType(
         [StructField(out_names[c], right.schema[c].dataType) for c in right_payload]
+        + [StructField("__match_t", right.schema[rts].dataType)]
     )
     l_tagged = left.select(
         F.col(lkey).alias("__key"),
@@ -92,7 +100,8 @@ def asof_join(
         (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("__tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
         F.struct(
-            *[F.col(c).alias(out_names[c]) for c in right_payload]
+            *[F.col(c).alias(out_names[c]) for c in right_payload],
+            F.col(rts).alias("__match_t"),
         ).alias("__rp"),
     )
 
@@ -107,7 +116,17 @@ def asof_join(
         *[F.col(c) for c in left.columns],
         F.last("__rp", ignorenulls=True).over(w).alias("__rp"),
     )
-    return carried.filter(F.col("__is_left") == 1).select(
+    lefts = carried.filter(F.col("__is_left") == 1)
+    if tolerance is not None:
+        gap_ok = (
+            F.col("__rp.__match_t") >= F.col(lts) - F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col("__rp.__match_t") <= F.col(lts) + F.expr(f"INTERVAL {tolerance}")
+        )
+        lefts = lefts.withColumn(
+            "__rp", F.when(gap_ok, F.col("__rp"))  # else NULL: out of tolerance
+        )
+    return lefts.select(
         *[F.col(c) for c in left.columns],
         *[F.col(f"__rp.{out_names[c]}").alias(out_names[c]) for c in right_payload],
     )

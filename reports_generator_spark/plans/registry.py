@@ -284,6 +284,10 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # VACUUM liveness across shared-root logs: closes the documented
         # source-vacuum-breaks-clone hazard
         "vacuum_clone_reference_safe",
+        # merge_asof-style tolerance (new) + re-attests: the shared asof
+        # operator now carries the match timestamp in its payload struct
+        # (plan change convention)
+        "asof_join_tolerance", "asof_join", "asof_join_nearest",
     }
 )
 

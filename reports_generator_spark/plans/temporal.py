@@ -1144,3 +1144,54 @@ def interval_max_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> Data
     return run.groupBy(F.date_format("d", "yyyy-MM").alias("month")).agg(
         F.max("open_n").cast("bigint").alias("max_concurrent")
     )
+
+
+@query(
+    "asof_join_tolerance",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, ts AS click_ts,
+                      value AS click_value
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_id, c.click_value
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id AND c.click_ts <= p.ts
+     AND c.click_ts >= p.ts - INTERVAL 2 HOUR
+    QUALIFY row_number() OVER (
+        PARTITION BY p.event_id
+        ORDER BY c.click_ts DESC, c.click_id DESC) = 1
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join WITH TOLERANCE (pandas merge_asof's
+    ``tolerance``): each purchase picks up the user's most recent
+    click at-or-before it ONLY if that click is within 2 hours —
+    staler matches null out. The plan is IDENTICAL to the plain as-of
+    (one union + one per-key window carrying the nearest candidate);
+    tolerance is a post-window expression on the carried match
+    timestamp, so the operator keeps its one-shuffle O((|l|+|r|)·log)
+    shape instead of regressing to a range join whose candidate set
+    explodes with the tolerance width. Boundary (exactly
+    tolerance-old matches survive — >=, mirroring the oracle's >=)
+    pinned in tests/test_asof.py."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts="ts",
+        right_payload=["click_id", "click_value"],
+        tiebreak="click_id",
+        tolerance="2 hours",
+    )

@@ -104,3 +104,41 @@ def test_asof_direction_validated(spark):
     left = spark.createDataFrame([Row(k=1, t=1)])
     with pytest.raises(ValueError):
         asof_join(left, left, on="k", ts="t", right_payload=["t"], direction="sideways")
+
+
+def test_asof_tolerance_boundary_and_null_out(spark):
+    """The tolerance contract on a hand-built frame: a right row
+    exactly tolerance-old SURVIVES (>= boundary, matching the
+    oracle's >=), one second staler nulls out, an in-tolerance match
+    carries, and a keyless left row stays null — all through the same
+    one-window plan (tolerance must not change the match choice, only
+    null it: the stale case would otherwise fall back to an even
+    older row, which merge_asof semantics forbid)."""
+    import pyspark.sql.functions as F
+
+    from reports_generator_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00"),
+         (3, "2024-01-01 23:00:00"), (4, "2024-01-01 10:00:00")],
+        "k int, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 100.0),   # exactly 1h old: survives
+         (2, "2024-01-01 10:59:59", 200.0),   # 1h1s old: nulled
+         (3, "2024-01-01 22:30:00", 300.0)],  # 30min old: survives
+        "k int, ts string, v double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+
+    out = {
+        r["k"]: r["v_r"]
+        for r in asof_join(
+            left.withColumn("v", F.lit(None).cast("double")),
+            right,
+            on="k",
+            ts="ts",
+            right_payload=["v"],
+            tolerance="1 hour",
+        ).select("k", F.col("v_r")).collect()
+    }
+    assert out == {1: 100.0, 2: None, 3: 300.0, 4: None}
