@@ -288,6 +288,8 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # operator now carries the match timestamp in its payload struct
         # (plan change convention)
         "asof_join_tolerance", "asof_join", "asof_join_nearest",
+        # incremental SCD2 maintenance from time-sliced CDC epochs
+        "stream_cdc_to_scd2",
     }
 )
 

@@ -665,3 +665,38 @@ def stream_session_window_watermark(
 
     out, _progress = stream_session_window(spark, sf_dir)
     return out
+
+
+@query(
+    "stream_cdc_to_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def stream_cdc_to_scd2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintained INCREMENTALLY from time-sliced CDC
+    epochs via foreachBatch — see streaming/foreach_sink.py::
+    stream_cdc_to_scd2 for the merge contract (state = change points;
+    per epoch only affected users recompress; the in-order-epoch
+    precondition and its out-of-order failure mode are unit-pinned).
+    Oracle: the SAME text as the batch scd2_intervals key — the
+    incrementally-maintained dimension must equal the full batch
+    rebuild regardless of micro-batch slicing."""
+    from ..streaming.foreach_sink import stream_cdc_to_scd2
+
+    return stream_cdc_to_scd2(spark, sf_dir)

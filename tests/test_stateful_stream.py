@@ -511,3 +511,49 @@ def test_stream_session_window_eviction_and_withheld_tail(spark):
     )
     assert out.exceptAll(batch).count() == 0
     assert batch.exceptAll(out).count() == 0
+
+
+def test_cdc_scd2_inorder_precondition_pinned(spark):
+    """Why stream_cdc_to_scd2 requires time-sliced epochs: change-
+    point compression is lossy, so re-compressing (stored change
+    points ∪ late events) is NOT equivalent to compressing the full
+    history when a late event lands BETWEEN two compressed-away
+    same-type events. Pinned concretely: history A@1,A@2 compresses
+    to {A@1}; a late B@1.5 then yields {A@1,B@1.5} — the full-history
+    answer {A@1,B@1.5,A@2} needs the compressed-away A@2 back. The
+    in-order path (B@3 arriving after) IS equivalent."""
+    import pyspark.sql.functions as F
+
+    from reports_generator_spark.streaming.foreach_sink import _change_points
+
+    def pts(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp, event_id long"
+        )
+
+    import datetime as dt
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    hist = pts([(1, "A", t(1), 10), (1, "A", t(2), 20)])
+    stored = _change_points(hist)
+    assert [r["event_id"] for r in stored.collect()] == [10]
+
+    # in-order epoch: equivalent to full recompute
+    late_ok = pts([(1, "B", t(3), 30)])
+    inc = _change_points(stored.unionByName(late_ok))
+    full = _change_points(hist.unionByName(late_ok))
+    assert sorted(r["event_id"] for r in inc.collect()) == sorted(
+        r["event_id"] for r in full.collect()
+    )
+
+    # out-of-order: the incremental path LOSES the A@2 change point
+    late_bad = pts([(1, "B", t(1) + dt.timedelta(minutes=30), 15)])
+    inc_bad = sorted(
+        r["event_id"] for r in _change_points(stored.unionByName(late_bad)).collect()
+    )
+    full_bad = sorted(
+        r["event_id"] for r in _change_points(hist.unionByName(late_bad)).collect()
+    )
+    assert inc_bad == [10, 15] and full_bad == [10, 15, 20]  # the gap, pinned
