@@ -1870,92 +1870,69 @@ _UNI_SEED_MULTI = 150 # seed multi-char pieces (substring count desc)
 _UNI_KEEP_MULTI = 50  # multi-char pieces surviving the prune
 
 
+def _uni_viterbi(word: str, vocab: dict) -> list:
+    """Viterbi segmentation of ONE word under integer piece weights.
+    Objective (EXACTLY the SQL twin's rn=1 ordering — np ASC, tw DESC,
+    kc DESC — as a Python tuple min over (np, -tw, -k)): fewest
+    pieces, then highest total weight, ties to the longer final
+    piece. All decisions are exact integer comparisons, so Spark and
+    the unrolled DuckDB oracle walk bit-identical trajectories."""
+    n = len(word)
+    best = [(0, 0)] + [None] * n  # (np, -tw) at each position
+    choice = [0] * (n + 1)
+    for i in range(1, n + 1):
+        cands = []
+        for k in range(1, min(_UNI_MAX_PLEN, i) + 1):
+            if best[i - k] is None:
+                continue
+            w = vocab.get(word[i - k:i])
+            if w is None:
+                continue
+            np_, ntw = best[i - k]
+            cands.append(((np_ + 1, ntw - w, -k), k))
+        c, k = min(cands)  # single chars are always in vocab: non-empty
+        best[i] = (c[0], c[1])
+        choice[i] = k
+    pieces = []
+    p = n
+    while p > 0:
+        k = choice[p]
+        pieces.append(word[p - k:p])
+        p -= k
+    return pieces
+
+
 def _uni_viterbi_usage(words: DataFrame, vocab: DataFrame) -> DataFrame:
     """One hard-EM E-step: Viterbi-segment every word under the
     current vocab and return per-piece usage counts (weighted by word
-    frequency). The objective is lexicographic and EXACTLY integer —
-    fewest pieces first, then highest total piece weight, ties to the
-    longer final piece — so both engines walk bit-identical
-    segmentations (the BPE key's determinism contract, applied to
-    DP). Implementation is per-word-parallel joins: dp[i] holds the
-    best state at character position i (np = pieces used, tw = total
-    weight, kc = length of the piece ending at i); the backwalk
-    re-joins dp at each chosen boundary. Every frame is vocab/word-
-    bounded — at 100 TB the corpus is touched only by the ONE
-    aggregation that built `words`; the EM loop costs O(words ×
-    positions), independent of corpus size (exactly how SentencePiece
-    trains on a bounded sample)."""
-    from pyspark.sql import Window
+    frequency). The vocab is BOUNDED BY CONSTRUCTION (≤ seed-150
+    multi-char pieces + single chars), so it collects to a driver
+    dict and ships inside the Arrow-batched segmenter — exactly how
+    SentencePiece distributes (model state broadcast, corpus
+    partitioned); the per-word DP is imperative by nature, so this is
+    the documented Pandas-UDF escape hatch, ONE stage per E-step
+    instead of the per-position join ladder (measured 55 s → ~3 s at
+    sf0.1: a hundred vocab-sized shuffles was the pathological
+    shape). The M-step reduction is a partial-aggregable groupBy —
+    the only shuffle."""
+    import pandas as pd
 
-    base = words.select("word", "freq", F.length("word").alias("wlen"))
-    dp: dict[int, DataFrame] = {
-        0: base.select(
-            "word", "freq", "wlen",
-            F.lit(0).alias("np"),
-            F.lit(0).cast("long").alias("tw"),
-            F.lit(0).alias("kc"),
-        )
-    }
-    for i in range(1, _UNI_MAX_WLEN + 1):
-        cands = []
-        for k in range(1, min(_UNI_MAX_PLEN, i) + 1):
-            cands.append(
-                dp[i - k]
-                .filter(F.col("wlen") >= i)
-                .join(
-                    vocab.select(
-                        F.col("piece").alias("_p"), F.col("w").alias("_w")
-                    ),
-                    F.expr(f"substring(word, {i - k + 1}, {k})") == F.col("_p"),
-                )
-                .select(
-                    "word", "freq", "wlen",
-                    (F.col("np") + 1).alias("np"),
-                    (F.col("tw") + F.col("_w")).alias("tw"),
-                    F.lit(k).alias("kc"),
-                )
-            )
-        allc = cands[0]
-        for c in cands[1:]:
-            allc = allc.unionByName(c)
-        won = Window.partitionBy("word").orderBy(
-            F.col("np").asc(), F.col("tw").desc(), F.col("kc").desc()
-        )
-        dp[i] = (
-            allc.withColumn("_rn", F.row_number().over(won))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+    vocab_map = {r["piece"]: int(r["w"]) for r in vocab.collect()}
 
-    dpall = dp[1].withColumn("i", F.lit(1))
-    for i in range(2, _UNI_MAX_WLEN + 1):
-        dpall = dpall.unionByName(dp[i].withColumn("i", F.lit(i)))
-    dpall = dpall.select(
-        F.col("word").alias("_dw"), F.col("i").alias("_di"), "kc"
-    ).localCheckpoint()
+    def seg_batches(it):
+        for pdf in it:
+            pieces, freqs = [], []
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                f = int(freq)
+                for piece in _uni_viterbi(word, vocab_map):
+                    pieces.append(piece)
+                    freqs.append(f)
+            yield pd.DataFrame({"piece": pieces, "freq": freqs})
 
-    walk = base.select("word", "freq", F.col("wlen").alias("p"))
-    emits = []
-    for _s in range(_UNI_MAX_WLEN):
-        step = (
-            walk.filter(F.col("p") > 0)
-            .join(
-                dpall,
-                (F.col("_dw") == F.col("word")) & (F.col("_di") == F.col("p")),
-            )
-            .select(
-                "word",
-                "freq",
-                F.expr("substring(word, p - kc + 1, kc)").alias("piece"),
-                (F.col("p") - F.col("kc")).alias("p"),
-            )
-        )
-        emits.append(step.select("piece", "freq"))
-        walk = step.select("word", "freq", "p")
-    allp = emits[0]
-    for e in emits[1:]:
-        allp = allp.unionByName(e)
-    return allp.groupBy("piece").agg(
+    used = words.select("word", "freq").mapInPandas(
+        seg_batches, "piece string, freq long"
+    )
+    return used.groupBy("piece").agg(
         F.sum("freq").cast("long").alias("n_uses")
     )
 
