@@ -290,6 +290,8 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "asof_join_tolerance", "asof_join", "asof_join_nearest",
         # incremental SCD2 maintenance from time-sliced CDC epochs
         "stream_cdc_to_scd2",
+        # O(k)-state incremental leaderboard (distributive top-k fold)
+        "stream_topk_incremental",
     }
 )
 

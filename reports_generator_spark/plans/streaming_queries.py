@@ -700,3 +700,23 @@ def stream_cdc_to_scd2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.foreach_sink import stream_cdc_to_scd2
 
     return stream_cdc_to_scd2(spark, sf_dir)
+
+
+@query(
+    "stream_topk_incremental",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    ORDER BY value DESC, event_id DESC
+    LIMIT 25
+    """,
+)
+def stream_topk_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-25 leaderboard maintained incrementally via
+    foreachBatch with O(k) state — see streaming/foreach_sink.py::
+    stream_topk_incremental (top-k is a distributive bound, so folding
+    per-batch top-k is EXACT under any slicing; the total (value,
+    event_id) order makes it deterministic). Oracle: the plain batch
+    top-25 — the incrementally-maintained leaderboard must equal it."""
+    from ..streaming.foreach_sink import stream_topk_incremental
+
+    return stream_topk_incremental(spark, sf_dir)

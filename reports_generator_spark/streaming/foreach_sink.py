@@ -394,3 +394,50 @@ def stream_cdc_to_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+def stream_topk_incremental(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """Global top-k maintained incrementally across micro-batches: the
+    stored state is ONLY the current top-k (k rows, not the stream),
+    each batch folds its own top-k into it and re-truncates — exact,
+    because top-k by a per-row static score is a distributive bound:
+    topk(A ∪ B) = topk(topk(A) ∪ topk(B)). Ordering (value DESC,
+    event_id DESC) is total, so the fold is deterministic under ANY
+    batch slicing. The serving-table shape for leaderboards over
+    unbounded streams: state O(k) regardless of stream length."""
+    spark = _stream_session(spark)
+    target = os.path.join(
+        tempfile.gettempdir(), f"rg_topk_{uuid.uuid4().hex[:12]}"
+    )
+
+    def fold_topk(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch_top = (
+            batch_df.select("event_id", "user_id", "value")
+            .orderBy(F.col("value").desc(), F.col("event_id").desc())
+            .limit(k)
+        )
+        if os.path.isdir(target):
+            cur = s.read.parquet(target)
+            merged = (
+                cur.unionByName(batch_top)
+                .orderBy(F.col("value").desc(), F.col("event_id").desc())
+                .limit(k)
+                .localCheckpoint()
+            )
+            merged.write.mode("overwrite").parquet(target)
+        else:
+            batch_top.write.mode("overwrite").parquet(target)
+
+    ev = _stream_events(spark, sf_dir).select("event_id", "user_id", "value")
+    q = (
+        ev.writeStream.foreachBatch(fold_topk)
+        .option("checkpointLocation", target + "_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(target).localCheckpoint()
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(target + "_chk", ignore_errors=True)
+    return out
