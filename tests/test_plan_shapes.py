@@ -621,3 +621,34 @@ def test_topk_per_group_uses_window_group_limit(spark):
     df = registry.QUERIES["sql_qualify_topn"](spark, SF_DIR)
     plan = plan_str(df)
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_asof_tolerance_keeps_single_shuffle_window(spark):
+    """Tolerance must stay a post-window expression — the plan is the
+    SAME union+window as the plain as-of (no range join, no second
+    exchange class reintroduced by the interval predicate)."""
+    df = registry.QUERIES["asof_join_tolerance"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_naive_bayes_broadcasts_vocab_grid(spark):
+    """The NB trainer's vocab joins must broadcast (the model grid is
+    classes x 200 — shuffling the token stream against it would be a
+    plan bug) and the corpus-side counts must partial-aggregate."""
+    df = registry.QUERIES["train_naive_bayes_multinomial"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_unigram_trainer_estep_is_arrow_not_pickle(spark):
+    """The Viterbi E-step crosses to Python exactly once per round via
+    Arrow batches — row-pickling eval would be the 10-100x slow
+    path."""
+    df = registry.QUERIES["tokenizer_unigram_lm_em"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan
