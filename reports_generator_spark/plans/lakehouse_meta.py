@@ -881,13 +881,26 @@ def scan_column_mapping_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 def write_schema_version(base: str, v: int, columns: list[dict]) -> None:
     """Publish schema version v: an ordered list of
     ``{"logical", "physical", "type"}`` bindings (the column-mapping
-    contract, now carried per schema version). Immutable once
-    written."""
+    contract, now carried per schema version). CLAIMED atomically and
+    immutable once written: a plain overwrite would let a LOSING
+    concurrent evolution clobber the winner's schema body after the
+    winner's pointer commit — the pointer would then resolve to the
+    wrong bindings (the same check-then-write class as the r10 refs
+    fix). A claim loss with identical content is an idempotent retry
+    and succeeds; different content raises CommitConflict so the
+    caller re-evolves under a fresh version number."""
     import json
 
-    _write_atomic(
-        os.path.join(base, f"schema-v{v}.json"), json.dumps(columns)
-    )
+    body = json.dumps(columns)
+    path = os.path.join(base, f"schema-v{v}.json")
+    if not atomic_claim(path, body):
+        with open(path) as f:
+            existing = f.read()
+        if existing != body:
+            raise CommitConflict(
+                f"schema-v{v} already claimed with different bindings — "
+                "re-read the table and evolve under a new schema version"
+            )
 
 
 def _schema_pointer(lines: list[str]) -> int:

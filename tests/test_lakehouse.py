@@ -911,3 +911,22 @@ def test_schema_evolution_occ_time_travel_and_conflict(spark):
                 {"logical": "extra", "physical": "col_9", "type": "bigint"}
             ],
         )
+
+
+def test_schema_version_claim_is_atomic(log):
+    """A losing concurrent evolution must not clobber the winner's
+    schema BODY: schema files are claimed atomically — identical
+    content re-claims idempotently, different content raises
+    CommitConflict (the caller re-evolves under a fresh version)."""
+    from reports_generator_spark.plans.lakehouse_meta import write_schema_version
+    from reports_generator_spark.plans.scale_joins import CommitConflict
+
+    cols_a = [{"logical": "a", "physical": "col_1", "type": "bigint"}]
+    cols_b = [{"logical": "b", "physical": "col_9", "type": "bigint"}]
+    write_schema_version(log, 7, cols_a)
+    write_schema_version(log, 7, cols_a)  # idempotent retry: fine
+    with pytest.raises(CommitConflict, match="different bindings"):
+        write_schema_version(log, 7, cols_b)
+    import json, os
+    with open(os.path.join(log, "schema-v7.json")) as f:
+        assert json.load(f) == cols_a  # winner's body intact
