@@ -254,6 +254,13 @@ def test_no_antipatterns_in_any_batch_plan(spark):
         # round-10 ninth batch, same class: branch-WAP folds the final
         # main frame with the red-batch count frame
         "sink_wap_branch_publish",
+        # round-11 members: NB crosses the 5-row class dim with the
+        # broadcast 200-row vocab to densify the model grid (the
+        # time_spine_gapfill bounded-spine class; the corpus-side joins
+        # are BroadcastHashJoin, separately plan-asserted); the
+        # clone-vacuum key folds its two 1-row head frames (src ×
+        # clone count/checksum) into the audit row
+        "train_naive_bayes_multinomial", "vacuum_clone_reference_safe",
     }
     bad = {}
     for name, fn in sorted(registry.QUERIES.items()):
