@@ -292,6 +292,8 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "stream_cdc_to_scd2",
         # O(k)-state incremental leaderboard (distributive top-k fold)
         "stream_topk_incremental",
+        # kNN-graph edges + mutuality (the graph-clustering primitive)
+        "embedding_knn_graph_topk",
     }
 )
 

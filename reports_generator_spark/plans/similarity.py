@@ -1281,3 +1281,101 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK_PQ)
         .select("query_id", "neighbor_id", "adc_micro", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# kNN GRAPH construction (mutual-kNN edges — the clustering primitive)
+# --------------------------------------------------------------------------
+_KNN_GRAPH_MOD, _KNN_GRAPH_K = 29, 3
+
+
+@query(
+    "embedding_knn_graph_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+          WHERE vec_id % {_KNN_GRAPH_MOD} = 0),
+    p AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, c.v) / (q.qn * c.nrm), 4) AS score
+      FROM q CROSS JOIN n c
+      WHERE c.vec_id <> q.query_id
+    ),
+    e AS (
+      SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM p
+      ) WHERE rank <= {_KNN_GRAPH_K}
+    )
+    SELECT e.query_id, e.neighbor_id, e.score, e.rank,
+           CAST(CASE WHEN r.query_id IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS is_mutual
+    FROM e LEFT JOIN e r
+      ON r.query_id = e.neighbor_id AND r.neighbor_id = e.query_id
+    """,
+)
+def embedding_knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-GRAPH construction — the edge relation every graph-based
+    dedup/clustering pass starts from (mutual-kNN pruning, kNN-graph
+    community detection, HNSW ground-truth audits): exact cosine
+    top-{_KNN_GRAPH_K} edges for a deterministic stratified node
+    sample (vec_id % {_KNN_GRAPH_MOD} = 0) against the FULL corpus,
+    plus the MUTUAL flag — edge (a,b) is mutual when b's own top-k
+    contains a (decidable within the sampled node set; the oracle's
+    self-join restates it). Plan: the bounded query stratum broadcasts
+    against the corpus (the knn posture — corpus never shuffles),
+    per-query top-k via one window; the mutuality join touches only
+    the |sample|·k edge relation. The FULL-graph materialization at
+    100 TB is this same plan with the stratum predicate replaced by
+    the banded LSH candidate join (embedding_neardup_lsh) — candidate
+    generation bounded, never all-pairs; this key pins the exact
+    semantics + graph contract that path must reproduce."""
+    base = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import with_norm
+
+    n = with_norm(base, "embedding")
+    q = n.filter(F.col("vec_id") % _KNN_GRAPH_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("v_norm").alias("qn"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("v_norm").alias("cn"),
+    )
+    from ..operators.similarity import _dot
+
+    score = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4)
+    pairs = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", score.alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    edges = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_GRAPH_K)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("bigint").alias("rank"))
+        .localCheckpoint()  # the |sample|*k edge relation, reused by the mutuality join
+    )
+    rev = edges.select(
+        F.col("query_id").alias("_rq"), F.col("neighbor_id").alias("_rn")
+    )
+    return edges.join(
+        rev,
+        (F.col("_rq") == F.col("neighbor_id")) & (F.col("_rn") == F.col("query_id")),
+        "left",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "score",
+        "rank",
+        F.when(F.col("_rq").isNotNull(), 1).otherwise(0).cast("bigint").alias("is_mutual"),
+    )
