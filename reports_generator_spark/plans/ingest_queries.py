@@ -374,3 +374,62 @@ def sink_report_python_datasource_roundtrip(
         module="ERP", generation_date=_FIXED_GEN_DATE,
     )
     return basename_ruta(ingest_reports(spark, cfg2))
+
+
+@query("sink_report_stream_python_datasource", oracle=STREAM_REPORT_INGEST_ORACLE)
+def sink_report_stream_python_datasource(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The connector matrix's FOURTH quadrant — STREAMING write
+    (DataSourceStreamWriter): one streaming query reads the report
+    corpus through the connector's stream reader AND writes it back
+    out through the connector's streaming sink (micro-batch two-phase
+    commit with an exactly-once epoch marker — re-delivered batches
+    discard their staged temps instead of double-publishing; the
+    replay guard is unit-pinned in tests/test_ingest.py). The
+    round-tripped corpus re-ingests through the DataFrame pipeline
+    and must still equal the STREAM golden — the same oracle the
+    stream-read key attests against, now proven through a full
+    stream-in/stream-out cycle of the custom format."""
+    import shutil
+    import uuid
+
+    from ..sources.report_datasource import build_report_datasource
+    from .scale_joins import fixture_base
+
+    ensure_goldens()
+    spark.dataSource.register(build_report_datasource())
+
+    base = fixture_base(spark, sf_dir, "ds_swr")
+    shutil.rmtree(base, ignore_errors=True)
+    reports, out, ckpt = (
+        os.path.join(base, d) for d in ("reports", "out", "ckpt")
+    )
+    os.makedirs(reports)
+    write_report_files(reports, n_files=3, blocks_per_file=4)
+
+    q = (
+        spark.readStream.format("reports")
+        .option("path", reports)
+        .option("generation_date", _FIXED_GEN_DATE)
+        .load()
+        # basename BEFORE the write (stateless projection): the writer
+        # joins sink dir + RUTA, and re-ingest re-derives the full path
+        .withColumn(
+            "RUTA_DE_REPORTE", F.regexp_extract("RUTA_DE_REPORTE", r"([^/]+)$", 1)
+        )
+        .repartition(F.col("RUTA_DE_REPORTE"))
+        .writeStream.format("reports")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .queryName(f"rg_ds_swr_{uuid.uuid4().hex[:12]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    cfg = ReportConfig(
+        input_dir=out, output_parquet="", output_csv="",
+        module="ERP", generation_date=_FIXED_GEN_DATE,
+    )
+    return basename_ruta(ingest_reports(spark, cfg))

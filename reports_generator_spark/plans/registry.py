@@ -294,6 +294,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "stream_topk_incremental",
         # kNN-graph edges + mutuality (the graph-clustering primitive)
         "embedding_knn_graph_topk",
+        # connector matrix fourth quadrant: STREAMING report-format sink
+        # (micro-batch 2PC + exactly-once epoch marker)
+        "sink_report_stream_python_datasource",
     }
 )
 

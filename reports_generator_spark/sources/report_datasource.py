@@ -72,6 +72,7 @@ def build_report_datasource():
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamWriter,
         DataSourceWriter,
         EqualTo,
         In,
@@ -475,6 +476,41 @@ def build_report_datasource():
                     except FileNotFoundError:
                         pass
 
+    class ReportStreamWriter(ReportWriter, DataSourceStreamWriter):
+        """STREAMING report-format sink (DataSourceStreamWriter) —
+        completes the connector matrix's fourth quadrant (batch read,
+        stream read, batch write, stream write). Reuses the batch
+        writer's staging verbatim (tasks stage .tmp files, one report
+        name per task); commit is per-MICRO-BATCH with an
+        exactly-once epoch guard: an ``_epoch-<batchId>`` marker is
+        claimed atomically (O_CREAT|O_EXCL) BEFORE any rename — a
+        re-delivered batch (crash between sink commit and checkpoint
+        ack, the Structured Streaming retry contract) finds the
+        marker already claimed and discards its staged temps instead
+        of double-publishing. Duplicate report names across tasks are
+        refused exactly as in batch. overwrite mode is rejected: a
+        streaming sink appends micro-batches; full-corpus replacement
+        is a batch operation."""
+
+        def __init__(self, options: dict) -> None:
+            super().__init__(options, overwrite=False)
+
+        def commit(self, messages, batchId: int) -> None:  # noqa: N803
+            import os
+
+            marker = os.path.join(self._dir, f"_epoch-{batchId}")
+            try:
+                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+            except FileExistsError:
+                # re-delivered micro-batch: already published — drop temps
+                self.abort(messages, batchId)
+                return
+            super().commit(messages)
+
+        def abort(self, messages, batchId: int) -> None:  # noqa: N803
+            super().abort(messages)
+
     class ReportDataSource(DataSource):
         """``spark.read.format("reports")`` / ``spark.readStream.
         format("reports")`` / ``df.write.format("reports")`` —
@@ -497,6 +533,14 @@ def build_report_datasource():
 
         def writer(self, schema, overwrite):  # noqa: ANN001
             return ReportWriter(self.options, overwrite)
+
+        def streamWriter(self, schema, overwrite):  # noqa: ANN001, N802
+            if overwrite:
+                raise ValueError(
+                    "the streaming report sink appends micro-batches; "
+                    "overwrite is a batch-writer mode"
+                )
+            return ReportStreamWriter(self.options)
 
     # test hooks: the parsers, reachable without registering the source
     ReportDataSource.parse_report_file = staticmethod(parse_report_file)

@@ -684,3 +684,74 @@ def test_datasource_parser_any_parquet_includes_zip_lines(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["TIPO_DE_REPORTE"] == "Generación de Parquet"
     assert got[0]["ARCHIVO_PROCESADO"] == vals["file"]
+
+
+def test_datasource_stream_writer_epoch_replay_guard(tmp_path):
+    """Engine-free pin of the streaming sink's exactly-once contract:
+    committing the SAME batchId twice publishes once — the second
+    commit finds the epoch marker claimed, discards its staged temps,
+    and leaves the published files byte-identical (a re-delivered
+    micro-batch after a crash between sink commit and checkpoint ack
+    must not double-publish or tear). A NEW batchId still publishes."""
+    import os
+
+    from reports_generator_spark.ingest.reports import ERP_FIELD_ORDER
+    from reports_generator_spark.sources.report_datasource import (
+        build_report_datasource,
+    )
+
+    d = str(tmp_path)
+    cls = build_report_datasource()
+    w = cls(options={"path": d}).streamWriter(None, False)
+
+    vals = {n: f"v_{n}" for n in ERP_FIELD_ORDER}
+    vals.update(
+        RUTA_DE_REPORTE="r1.TXT", equalsHeaders="SI",
+        fileAntColForCountColumns="12", fileColForCountColumns="10",
+        fileAntColForCountRows="100", fileColForCountRows="90",
+    )
+    vals["reportPath"] = "r1.TXT"
+    row = tuple(vals[n] for n in ERP_FIELD_ORDER)
+
+    class R(tuple):
+        def __getitem__(self, k):
+            if isinstance(k, str):
+                return row[
+                    ERP_FIELD_ORDER.index(
+                        {"RUTA_DE_REPORTE": "reportPath"}.get(k, k)
+                    )
+                ]
+            return tuple.__getitem__(self, k)
+
+    msg1 = w.write(iter([R(row)]))
+    w.commit([msg1], batchId=7)
+    p = os.path.join(d, "r1.TXT")
+    assert os.path.exists(p) and os.path.exists(os.path.join(d, "_epoch-7"))
+    body = open(p).read()
+
+    # replay of epoch 7: staged again, must be suppressed
+    msg2 = w.write(iter([R(row)]))
+    w.commit([msg2], batchId=7)
+    assert open(p).read() == body
+    assert not [f for f in os.listdir(d) if f.startswith(".tmp-")]
+
+    # a NEW epoch publishes (append semantics)
+    vals2 = dict(vals, reportPath="r2.TXT", RUTA_DE_REPORTE="r2.TXT")
+    row2 = tuple(vals2[n] for n in ERP_FIELD_ORDER)
+
+    class R2(R):
+        def __getitem__(self, k):
+            if isinstance(k, str):
+                return row2[
+                    ERP_FIELD_ORDER.index(
+                        {"RUTA_DE_REPORTE": "reportPath"}.get(k, k)
+                    )
+                ]
+            return tuple.__getitem__(self, k)
+
+    w.commit([w.write(iter([R2(row2)]))], batchId=8)
+    assert os.path.exists(os.path.join(d, "r2.TXT"))
+
+    # overwrite mode is a batch-writer concept
+    with pytest.raises(ValueError, match="overwrite"):
+        cls(options={"path": d}).streamWriter(None, True)
