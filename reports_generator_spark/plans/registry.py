@@ -297,6 +297,8 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # connector matrix fourth quadrant: STREAMING report-format sink
         # (micro-batch 2PC + exactly-once epoch marker)
         "sink_report_stream_python_datasource",
+        # similarity -> mutual-kNN -> CC composition, fully value-attested
+        "embedding_knn_graph_clusters",
     }
 )
 

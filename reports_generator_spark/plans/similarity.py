@@ -1336,6 +1336,12 @@ def embedding_knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banded LSH candidate join (embedding_neardup_lsh) — candidate
     generation bounded, never all-pairs; this key pins the exact
     semantics + graph contract that path must reproduce."""
+    return _knn_graph_edges(spark, sf_dir)
+
+
+def _knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampled-stratum kNN edge relation with mutuality flags —
+    shared by the edge key and the clustering composition."""
     base = load_table(spark, sf_dir, "embeddings")
     from ..operators.similarity import with_norm
 
@@ -1378,4 +1384,67 @@ def embedding_knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "rank",
         F.when(F.col("_rq").isNotNull(), 1).otherwise(0).cast("bigint").alias("is_mutual"),
+    )
+
+
+@query(
+    "embedding_knn_graph_clusters",
+    oracle=f"""
+    WITH RECURSIVE n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+          WHERE vec_id % {_KNN_GRAPH_MOD} = 0),
+    p AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, c.v) / (q.qn * c.nrm), 4) AS score
+      FROM q CROSS JOIN n c
+      WHERE c.vec_id <> q.query_id
+    ),
+    e AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM p
+      ) WHERE rank <= {_KNN_GRAPH_K}
+    ),
+    m AS (
+      SELECT e.query_id AS src, e.neighbor_id AS dst
+      FROM e JOIN e r
+        ON r.query_id = e.neighbor_id AND r.neighbor_id = e.query_id
+    ),
+    und AS (SELECT src, dst FROM m UNION SELECT dst, src FROM m),
+    walk(node, label) AS (
+      SELECT DISTINCT src, src FROM und
+      UNION
+      SELECT u.dst, w.label FROM walk w JOIN und u ON u.src = w.node
+      WHERE w.label < u.dst
+    )
+    SELECT node AS vec_id, min(label) AS cluster_id FROM walk GROUP BY node
+    """,
+)
+def embedding_knn_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-clustering composition closed end-to-end:
+    similarity → mutual-kNN graph → connected components. Mutual
+    edges from the sampled-stratum kNN graph (both endpoints carry
+    the other in their top-{_KNN_GRAPH_K} — the standard spurious-edge
+    prune before clustering) feed the SAME min-label/star CC operator
+    the dedup family uses; output is (vec_id, cluster_id = min id in
+    the component) for every node with at least one mutual edge. The
+    oracle restates the whole composition — brute-force top-k,
+    mutuality self-join, recursive-CTE fixpoint — so the clustering
+    is value-attested, not just shape-checked. Scale: edges are
+    |sample|·k, CC rounds are O(diameter) on small dense clusters;
+    the 100 TB full-graph variant swaps the stratum for the banded
+    LSH candidate join, exactly as the edge key documents."""
+    from ..operators.graph import connected_components
+
+    edges = _knn_graph_edges(spark, sf_dir).filter(F.col("is_mutual") == 1)
+    cc = connected_components(edges, src="query_id", dst="neighbor_id")
+    return cc.select(
+        F.col("node").cast("bigint").alias("vec_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
     )
