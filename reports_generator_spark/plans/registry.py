@@ -241,64 +241,36 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "report_ingest_python_datasource",
         "stream_report_ingest_python_datasource",
         "sink_report_python_datasource_roundtrip",
+        # --- round 11 green (CORRECTNESS_r11.json: 50/50 hash-match) ---
+        # the 20 round-11 window keys (the connector trio + asof_join /
+        # asof_join_nearest / scan_branch_tag_refs were re-attests already
+        # listed above; the 14 first-time greens are listed here)
+        "report_ingest_pushdown_pruned", "schema_evolution_occ_commit",
+        "stream_session_window_watermark", "tokenizer_unigram_lm_em",
+        "train_naive_bayes_multinomial", "table_shallow_clone_divergence",
+        "schema_evolution_type_widening", "vacuum_clone_reference_safe",
+        "asof_join_tolerance", "stream_cdc_to_scd2",
+        "stream_topk_incremental", "embedding_knn_graph_topk",
+        "sink_report_stream_python_datasource",
+        "embedding_knn_graph_clusters",
     }
 )
 
 
 #: Keys whose ATTESTATION must (re-)run through the driver's bounded
-#: 50-key window in the CURRENT round (round 11), so they sort FIRST:
-#: every NEW round-11 key, plus any key whose oracle TEXT or plan
+#: 50-key window in the CURRENT round (round 12), so they sort FIRST:
+#: every NEW round-12 key, plus any key whose oracle TEXT or plan
 #: changed this round (the r8 rule: an oracle edit invalidates the
 #: earlier green; the r9 convention re-attests plan changes too).
 _ADDED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # round-11 window: filled as keys land this round.
-        # ADVICE r10: the connector parser's reportType semantics were
-        # aligned with the DataFrame pipeline (any_parquet over ALL block
-        # values including zip-keyed lines) — connector trio re-attested
-        # per the plan-change convention.
-        "report_ingest_python_datasource",
-        "stream_report_ingest_python_datasource",
-        "sink_report_python_datasource_roundtrip",
-        # VERDICT r10 item 1: connector filter/column pruning — file-level
-        # pushFilters + subset-schema projection, attested on a golden slice
-        "report_ingest_pushdown_pruned",
-        # ADVICE r10: tag/branch namespace now races on ONE atomic claim
-        # (refs/names) — ref-machinery plan change, re-attested
-        "scan_branch_tag_refs",
-        # VERDICT r10 item 3: ADD/DROP COLUMN as one OCC metadata commit
-        # composed with manifest + column-mapping machinery
-        "schema_evolution_occ_commit",
-        # VERDICT r10 item 5: native streaming session_window + watermark
-        # (multi-batch merge, eviction boundary, withheld-tail state)
-        "stream_session_window_watermark",
-        # VERDICT r10 item 4: SentencePiece-style unigram-LM trainer
-        # (Viterbi hard-EM on an exact integer grid, unrolled DuckDB twin)
-        "tokenizer_unigram_lm_em",
-        # round-11 trainer/lakehouse extensions: aggregation-only NB
-        # trainer, zero-copy SHALLOW CLONE with divergent histories,
-        # read-side TYPE WIDENING (completes ADD/DROP/RENAME/WIDEN)
-        "train_naive_bayes_multinomial",
-        "table_shallow_clone_divergence",
-        "schema_evolution_type_widening",
-        # VACUUM liveness across shared-root logs: closes the documented
-        # source-vacuum-breaks-clone hazard
-        "vacuum_clone_reference_safe",
-        # merge_asof-style tolerance (new) + re-attests: the shared asof
-        # operator now carries the match timestamp in its payload struct
-        # (plan change convention)
-        "asof_join_tolerance", "asof_join", "asof_join_nearest",
-        # incremental SCD2 maintenance from time-sliced CDC epochs
-        "stream_cdc_to_scd2",
-        # O(k)-state incremental leaderboard (distributive top-k fold)
-        "stream_topk_incremental",
-        # kNN-graph edges + mutuality (the graph-clustering primitive)
-        "embedding_knn_graph_topk",
-        # connector matrix fourth quadrant: STREAMING report-format sink
-        # (micro-batch 2PC + exactly-once epoch marker)
-        "sink_report_stream_python_datasource",
-        # similarity -> mutual-kNN -> CC composition, fully value-attested
-        "embedding_knn_graph_clusters",
+        # round-12 window: filled as keys land this round.
+        # ADVICE r11 (low): the oracle TEXT of these six keys changed in
+        # round 11 ('WITH toks AS MATERIALIZED' hint) without a re-attest.
+        # Per the r8 rule an oracle edit invalidates the earlier green even
+        # when semantically neutral — queued for re-attestation here.
+        "array_map_fns", "text_tfidf", "text_bm25", "ngram_topk",
+        "text_unigram_lm_perplexity", "text_bigram_lm_kneser_ney",
     }
 )
 
