@@ -2215,11 +2215,37 @@ def vacuum_shared_root(root: str, log_bases: list[str]) -> list[str]:
     wrong by construction once clones exist (Delta documents exactly
     this hazard: VACUUM on a cloned table's source deletes files the
     clone still needs). Deletes directory-level data entries with no
-    referencing manifest anywhere and returns their names."""
+    referencing manifest anywhere and returns their names.
+
+    Entry-convention guard (ADVICE r11): liveness is probed as
+    ``{tag}/data/{d}`` i.e. ROOT-relative entries. A log written with
+    BASE-relative entries (``a``, ``b`` — the convention of the
+    schema-evolution fixtures) would match nothing and every live
+    directory would be rmtree'd. Since this function performs
+    irreversible deletes, any manifest entry not of the root-relative
+    ``<tag>/data/<dir>`` form for a known tag raises instead of
+    deleting."""
+    tags = {os.path.basename(b.rstrip("/")) for b in log_bases}
     referenced: set[str] = set()
     for base in log_bases:
         for v in _log_versions(base):
             referenced.update(_log_read(base, v))
+    bad = sorted(
+        e
+        for e in referenced
+        if not (
+            len(e.split("/")) == 3
+            and e.split("/")[0] in tags
+            and e.split("/")[1] == "data"
+        )
+    )
+    if bad:
+        raise ValueError(
+            f"vacuum_shared_root requires root-relative manifest entries "
+            f"('<tag>/data/<dir>' with tag in {sorted(tags)}); refusing "
+            f"to delete with non-conforming entries {bad[:5]} — a "
+            f"base-relative log would mark every live directory orphaned"
+        )
     removed: list[str] = []
     for base in log_bases:
         tag = os.path.basename(base.rstrip("/"))

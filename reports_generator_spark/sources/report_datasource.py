@@ -190,15 +190,24 @@ def build_report_datasource():
 
     pub2log = dict(zip(headers, field_order))
 
-    def eval_pushed(pushed, get):
-        """AND of the pushed predicates. ``get(logical) -> str | None``;
-        None means the value is not derivable at this stage (file-level
-        pruning only sees path-derived and constant fields), so that
-        predicate defers — it re-evaluates at the row stage where every
-        field is a concrete string."""
+    def eval_pushed(pushed, get, *, partial: bool = False):
+        """AND of the pushed predicates. ``get(logical) -> str | None``.
+        With ``partial=True`` (file-level pruning, which only sees
+        path-derived and constant fields) a None value means "not
+        derivable at this stage" and the predicate defers to the row
+        stage. At the row stage (``partial=False``) every field must be
+        a concrete string — a pushed filter is fully absorbed and Spark
+        never re-checks it, so a None there is raised loudly instead of
+        silently passing the predicate (ADVICE r11)."""
         for kind, log, val in pushed:
             v = get(log)
             if v is None:
+                if not partial:
+                    raise ValueError(
+                        f"pushed predicate on '{log}' found no value at "
+                        "the row stage; absorbed filters must never "
+                        "evaluate against a missing field"
+                    )
                 continue
             if kind == "eq":
                 ok = v == val
@@ -288,7 +297,11 @@ def build_report_datasource():
                 files = [
                     p
                     for p in files
-                    if eval_pushed(self._pushed, self._file_level_fields(p).get)
+                    if eval_pushed(
+                        self._pushed,
+                        self._file_level_fields(p).get,
+                        partial=True,
+                    )
                 ]
             return [InputPartition(p) for p in files]
 
@@ -483,14 +496,21 @@ def build_report_datasource():
         writer's staging verbatim (tasks stage .tmp files, one report
         name per task); commit is per-MICRO-BATCH with an
         exactly-once epoch guard: an ``_epoch-<batchId>`` marker is
-        claimed atomically (O_CREAT|O_EXCL) BEFORE any rename — a
+        written AFTER every rename has succeeded (marker-last) — a
         re-delivered batch (crash between sink commit and checkpoint
         ack, the Structured Streaming retry contract) finds the
-        marker already claimed and discards its staged temps instead
-        of double-publishing. Duplicate report names across tasks are
-        refused exactly as in batch. overwrite mode is rejected: a
-        streaming sink appends micro-batches; full-corpus replacement
-        is a batch operation."""
+        marker and discards its staged temps instead of
+        double-publishing; a crash BEFORE the marker merely
+        re-publishes the identical re-staged bytes on retry
+        (os.replace over the same final names is idempotent), so no
+        window loses the batch. Marker-first would claim the epoch
+        before publishing and silently drop the batch if the process
+        died between claim and rename — or on the duplicate-name
+        validation error, which must fail the batch un-claimed so the
+        retry still runs (ADVICE r11). Duplicate report names across
+        tasks are refused exactly as in batch. overwrite mode is
+        rejected: a streaming sink appends micro-batches; full-corpus
+        replacement is a batch operation."""
 
         def __init__(self, options: dict) -> None:
             super().__init__(options, overwrite=False)
@@ -499,16 +519,21 @@ def build_report_datasource():
             import os
 
             marker = os.path.join(self._dir, f"_epoch-{batchId}")
-            try:
-                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-            except FileExistsError:
+            if os.path.exists(marker):
                 # re-delivered micro-batch: already published — drop temps
                 self.abort(messages, batchId)
                 return
+            # validate + publish first (raises un-claimed on duplicate
+            # report names; re-publish of the same staged batch is
+            # idempotent), then claim the epoch marker
             super().commit(messages)
+            fd = os.open(marker, os.O_CREAT | os.O_WRONLY)
+            os.close(fd)
 
-        def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        def abort(self, messages, batchId: int = None) -> None:  # noqa: N803
+            # batchId defaults to None so the batch writer's internal
+            # ``self.abort(messages)`` (duplicate-name refusal path)
+            # dispatches here without a TypeError masking the ValueError
             super().abort(messages)
 
     class ReportDataSource(DataSource):

@@ -755,3 +755,76 @@ def test_datasource_stream_writer_epoch_replay_guard(tmp_path):
     # overwrite mode is a batch-writer concept
     with pytest.raises(ValueError, match="overwrite"):
         cls(options={"path": d}).streamWriter(None, True)
+
+
+def test_datasource_stream_writer_marker_last_crash_windows(tmp_path):
+    """ADVICE r11 (medium): the epoch marker must be claimed AFTER the
+    renames, so neither crash window loses a batch.
+
+    Window A — crash between publish and marker claim: the retry finds
+    files published but NO marker, re-publishes the identical re-staged
+    bytes (idempotent os.replace), and only then claims the marker.
+    Window B — duplicate-report-name validation error: the batch must
+    fail UN-claimed (no marker), so a corrected retry of the same
+    batchId can still publish; marker-first would have claimed the
+    epoch and silently discarded the retry."""
+    import os
+
+    import pytest
+
+    from reports_generator_spark.ingest.reports import ERP_FIELD_ORDER
+    from reports_generator_spark.sources.report_datasource import (
+        build_report_datasource,
+    )
+
+    d = str(tmp_path)
+    cls = build_report_datasource()
+    w = cls(options={"path": d}).streamWriter(None, False)
+
+    def mkrow(name):
+        vals = {n: f"v_{n}" for n in ERP_FIELD_ORDER}
+        vals.update(
+            RUTA_DE_REPORTE=name, equalsHeaders="SI",
+            fileAntColForCountColumns="12", fileColForCountColumns="10",
+            fileAntColForCountRows="100", fileColForCountRows="90",
+            reportPath=name,
+        )
+        row = tuple(vals[n] for n in ERP_FIELD_ORDER)
+
+        class R(tuple):
+            def __getitem__(self, k):
+                if isinstance(k, str):
+                    return row[
+                        ERP_FIELD_ORDER.index(
+                            {"RUTA_DE_REPORTE": "reportPath"}.get(k, k)
+                        )
+                    ]
+                return tuple.__getitem__(self, k)
+
+        return R(row)
+
+    # --- Window B: duplicate names -> ValueError, marker must NOT exist
+    m1 = w.write(iter([mkrow("dup.TXT")]))
+    m2 = w.write(iter([mkrow("dup.TXT")]))
+    with pytest.raises(ValueError, match="multiple tasks"):
+        w.commit([m1, m2], batchId=3)
+    assert not os.path.exists(os.path.join(d, "_epoch-3"))
+    assert not [f for f in os.listdir(d) if f.startswith(".tmp-")]
+    # corrected retry of the SAME batchId still publishes
+    w.commit([w.write(iter([mkrow("dup.TXT")]))], batchId=3)
+    assert os.path.exists(os.path.join(d, "dup.TXT"))
+    assert os.path.exists(os.path.join(d, "_epoch-3"))
+
+    # --- Window A: simulate crash between renames and marker claim by
+    # publishing batch 4 then deleting its marker (files live, marker
+    # absent == the pre-marker crash state); the engine's retry
+    # re-stages the same rows and must re-publish + claim
+    w.commit([w.write(iter([mkrow("a.TXT")]))], batchId=4)
+    os.remove(os.path.join(d, "_epoch-4"))
+    body = open(os.path.join(d, "a.TXT")).read()
+    w.commit([w.write(iter([mkrow("a.TXT")]))], batchId=4)
+    assert open(os.path.join(d, "a.TXT")).read() == body
+    assert os.path.exists(os.path.join(d, "_epoch-4"))
+    # and a replay AFTER the marker exists is suppressed (no temp litter)
+    w.commit([w.write(iter([mkrow("a.TXT")]))], batchId=4)
+    assert not [f for f in os.listdir(d) if f.startswith(".tmp-")]

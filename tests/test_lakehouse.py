@@ -930,3 +930,46 @@ def test_schema_version_claim_is_atomic(log):
     import json, os
     with open(os.path.join(log, "schema-v7.json")) as f:
         assert json.load(f) == cols_a  # winner's body intact
+
+
+def test_vacuum_shared_root_refuses_base_relative_entries(tmp_path):
+    """ADVICE r11: vacuum_shared_root probes liveness as
+    '{tag}/data/{d}' (root-relative). A log whose manifest entries are
+    BASE-relative ('a', 'b' — the schema-evolution fixtures'
+    convention) would match nothing and every live data directory
+    would be rmtree'd. The guard must refuse to delete, loudly, and
+    leave the data intact."""
+    import pytest as _pt
+
+    from reports_generator_spark.plans.lakehouse_meta import (
+        vacuum_shared_root,
+    )
+    from reports_generator_spark.plans.scale_joins import atomic_claim
+
+    base = os.path.join(str(tmp_path), "tbl")
+    data = os.path.join(base, "data")
+    os.makedirs(os.path.join(data, "a"))
+    with open(os.path.join(data, "a", "part-0.parquet"), "w") as f:
+        f.write("live bytes")
+    # base-relative manifest entry: the dangerous convention
+    assert atomic_claim(os.path.join(base, "manifest-v1.txt"), "a")
+
+    with _pt.raises(ValueError, match="root-relative"):
+        vacuum_shared_root(str(tmp_path), [base])
+    # the live directory survived the refusal
+    assert os.path.exists(os.path.join(data, "a", "part-0.parquet"))
+
+    # the conforming convention still vacuums normally: reference a,
+    # leave an unreferenced staged dir b -> only b is removed
+    os.makedirs(os.path.join(data, "b"))
+    with open(os.path.join(data, "b", "junk"), "w") as f:
+        f.write("orphan")
+    base2 = os.path.join(str(tmp_path), "tbl2")
+    os.makedirs(os.path.join(base2, "data"))
+    assert atomic_claim(os.path.join(base2, "manifest-v1.txt"), "tbl/data/a")
+    os.remove(os.path.join(base, "manifest-v1.txt"))
+    assert atomic_claim(os.path.join(base, "manifest-v1.txt"), "tbl/data/a")
+    removed = vacuum_shared_root(str(tmp_path), [base, base2])
+    assert removed == ["tbl/data/b"]
+    assert os.path.exists(os.path.join(data, "a", "part-0.parquet"))
+    assert not os.path.exists(os.path.join(data, "b"))
