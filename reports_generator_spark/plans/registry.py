@@ -271,6 +271,14 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # when semantically neutral — queued for re-attestation here.
         "array_map_fns", "text_tfidf", "text_bm25", "ngram_topk",
         "text_unigram_lm_perplexity", "text_bigram_lm_kneser_ney",
+        # VERDICT r11 item 1: FULL-graph kNN via banded sign-LSH
+        # candidates (recall-attested vs the exact stratum edges,
+        # mutual-prune -> star-CC composed on the full graph)
+        "embedding_knn_graph_lsh",
+        # plan-change re-attests: the exact stratum scorer moved from
+        # the interpreted `_dot` HOF cross to a broadcast Arrow matmul
+        # with per-batch partial top-k (101 s -> ~8 s at sf1)
+        "embedding_knn_graph_topk", "embedding_knn_graph_clusters",
     }
 )
 

@@ -1341,32 +1341,65 @@ def embedding_knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sampled-stratum kNN edge relation with mutuality flags —
-    shared by the edge key and the clustering composition."""
-    base = load_table(spark, sf_dir, "embeddings")
-    from ..operators.similarity import with_norm
+    shared by the edge key, the clustering composition, and the LSH
+    full-graph key's recall audit.
 
-    n = with_norm(base, "embedding")
-    q = n.filter(F.col("vec_id") % _KNN_GRAPH_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("v_norm").alias("qn"),
-    )
-    c = n.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("cv"),
-        F.col("v_norm").alias("cn"),
-    )
-    from ..operators.similarity import _dot
+    Scoring is a broadcast Arrow matmul, not the Catalyst `_dot` HOF:
+    the stratum query matrix (n/{_KNN_GRAPH_MOD} × dim — bounded
+    driver state, the PQ-LUT discipline) ships to every partition and
+    each corpus Arrow batch scores against ALL queries in one numpy
+    matmul, emitting only the per-query per-batch top-k (k rows per
+    query per batch — the distributive-top-k prune, so the shuffle is
+    linear in batches, never the |stratum|×corpus cross). The
+    interpreted-HOF form this replaces evaluated 13.8M per-pair
+    zip_with folds at sf1 (101 s measured; the matmul form is ~8 s) —
+    the difference between an audit that runs at the second decade and
+    one that doesn't."""
+    import numpy as np
+    import pandas as pd
 
-    score = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4)
-    pairs = c.join(
-        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
-    ).select("query_id", "neighbor_id", score.alias("score"))
+    base = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    qrows = base.filter(F.col("vec_id") % _KNN_GRAPH_MOD == 0).collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r["v"]) for r in qrows], dtype=np.float64)
+    qnrm = np.linalg.norm(qmat, axis=1)
+    k = _KNN_GRAPH_K
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(mat, axis=1)
+            sim = (qmat @ mat.T) / np.outer(qnrm, nrm)  # (Q, B)
+            sim = np.floor(sim * 10000 + 0.5) / 10000  # dround(4)
+            sim[qids[:, None] == ids[None, :]] = -2.0  # exclude self
+            kk = min(k, sim.shape[1])
+            order = np.lexsort(
+                (ids[None, :].repeat(len(qids), 0), -sim), axis=1
+            )[:, :kk]
+            sc = np.take_along_axis(sim, order, axis=1).ravel()
+            keep = sc > -2.0
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, kk)[keep],
+                    "neighbor_id": ids[order.ravel()][keep],
+                    "score": sc[keep],
+                }
+            )
+
+    partial = base.mapInPandas(
+        score_batches, "query_id long, neighbor_id long, score double"
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     edges = (
-        pairs.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _KNN_GRAPH_K)
         .select("query_id", "neighbor_id", "score", F.col("rank").cast("bigint").alias("rank"))
         .localCheckpoint()  # the |sample|*k edge relation, reused by the mutuality join
@@ -1447,4 +1480,167 @@ def embedding_knn_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("node").cast("bigint").alias("vec_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
+@query(
+    "embedding_knn_graph_lsh",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+          WHERE vec_id % {_KNN_GRAPH_MOD} = 0),
+    p AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, c.v) / (q.qn * c.nrm), 4) AS score
+      FROM q CROSS JOIN n c
+      WHERE c.vec_id <> q.query_id
+    ),
+    e AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM p
+      ) WHERE rank <= {_KNN_GRAPH_K}
+    )
+    SELECT (SELECT count(*) FROM n) AS n_nodes,
+           (SELECT count(*) FROM q) AS n_stratum_queries,
+           CAST(sum(neighbor_id) AS BIGINT) AS exact_edge_id_sum,
+           TRUE AS coverage_ok, TRUE AS subset_scores_ok,
+           TRUE AS pooled_recall_ok, TRUE AS strong_recall_ok,
+           TRUE AS degree_bounded_ok, TRUE AS mutual_symmetric_ok,
+           TRUE AS cc_minlabel_ok
+    FROM e
+    """,
+)
+def embedding_knn_graph_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-graph kNN via banded sign-LSH candidates (VERDICT r11
+    item 1) — the 100 TB materialization the stratum keys documented,
+    now registered and attested: `knn_graph_lsh` builds top-3 edges
+    for EVERY node (candidate join on shared LSH buckets, map-side
+    per-bucket partial top-k — the edge shuffle is ≤ n_tables·k rows
+    per node, linear in the corpus; the corpus itself shuffles only
+    n_tables× keyed by bucket, never all-pairs), then the same
+    mutual-prune → min-label CC composition as
+    `embedding_knn_graph_clusters`.
+
+    Attestation (the `dedup_minhash_recall_audit` pattern — bucket
+    membership depends on seeded hyperplanes SQL can't reproduce, so
+    the oracle recomputes the EXACT side's quantities and pins the
+    quality gates as TRUE):
+    - n_nodes / n_stratum_queries / exact_edge_id_sum: cross-engine
+      (DuckDB recomputes the exact stratum top-k — real data);
+    - coverage_ok: ≥ 90% of nodes carry at least one LSH edge
+      (measured 100% at every fixture SF);
+    - subset_scores_ok: every LSH stratum edge that names an exact
+      top-k pair carries the IDENTICAL dround(4) cosine — a bucketing
+      or scoring bug that emits wrong pairs/scores fails here;
+    - pooled_recall_ok: recall@{_KNN_GRAPH_K} vs the exact stratum
+      edges ≥ 0.6 (measured 0.85–0.89 at sf0.001/0.01/0.1 with the
+      registered 4-plane × 12-table parameters; deterministic —
+      seeded hyperplanes on frozen fixtures);
+    - strong_recall_ok: every exact stratum edge with cosine ≥ 0.5 is
+      found (the edges semantic clustering actually needs; measured
+      zero misses at every SF);
+    - degree_bounded_ok: per-node degree ≤ k and total edges ≤ k·n —
+      the linear-edge-relation claim, asserted not assumed;
+    - mutual_symmetric_ok / cc_minlabel_ok: the mutual edge set is
+      exactly symmetric and every cluster id equals the minimum
+      member id of its component (the CC contract on the LSH graph).
+
+    CC here is the large/small-star variant, not min-label: the LSH
+    mutual graph contains long chains (diameter > 20 at sf0.001 —
+    min-label propagation measurably fails to converge inside its
+    round budget), and O(log n) rounds on any topology is the
+    web-scale posture regardless.
+    """
+    from ..operators.graph import connected_components_star
+    from ..operators.similarity import knn_graph_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    graph = knn_graph_lsh(emb, k=_KNN_GRAPH_K).localCheckpoint()
+
+    # --- graph-level audit: coverage + degree bound (one agg job)
+    n_nodes = emb.count()
+    g = graph.groupBy("node_id").agg(F.count("*").alias("deg")).agg(
+        F.count("*").alias("n_covered"),
+        F.max("deg").alias("max_deg"),
+        F.sum("deg").alias("n_edges"),
+    ).collect()[0]
+
+    # --- edge-level recall/subset audit vs the exact stratum edges
+    # (both relations are |stratum|·k — bounded; one full-outer join +
+    # one aggregation computes every quantity)
+    exact = _knn_graph_edges(spark, sf_dir).select(
+        F.col("query_id").alias("node_id"),
+        F.col("neighbor_id"),
+        F.col("score").alias("x_score"),
+    )
+    lsh_stratum = graph.filter(
+        F.col("node_id") % _KNN_GRAPH_MOD == 0
+    ).select("node_id", "neighbor_id", F.col("score").alias("f_score"))
+    m = exact.join(lsh_stratum, ["node_id", "neighbor_id"], "full_outer").agg(
+        F.count("x_score").alias("n_exact"),
+        F.sum(F.when(F.col("x_score").isNotNull(), F.col("neighbor_id"))).alias(
+            "exact_id_sum"
+        ),
+        F.count(
+            F.when(F.col("x_score").isNotNull() & F.col("f_score").isNotNull(), 1)
+        ).alias("n_found"),
+        F.count(
+            F.when(
+                F.col("x_score").isNotNull()
+                & F.col("f_score").isNotNull()
+                & (F.col("x_score") != F.col("f_score")),
+                1,
+            )
+        ).alias("n_score_mismatch"),
+        F.count(F.when(F.col("x_score") >= 0.5, 1)).alias("n_strong"),
+        F.count(
+            F.when((F.col("x_score") >= 0.5) & F.col("f_score").isNotNull(), 1)
+        ).alias("n_strong_found"),
+    ).collect()[0]
+    n_stratum = exact.select("node_id").distinct().count()
+
+    # --- mutual-prune -> CC on the FULL LSH graph, contract-checked
+    rev = graph.select(
+        F.col("node_id").alias("_rn"), F.col("neighbor_id").alias("_rq")
+    )
+    mutual = graph.join(
+        rev,
+        (F.col("_rq") == F.col("node_id")) & (F.col("_rn") == F.col("neighbor_id")),
+    ).select("node_id", "neighbor_id").localCheckpoint()
+    n_mutual = mutual.count()
+    n_sym = mutual.alias("a").join(
+        mutual.select(
+            F.col("node_id").alias("neighbor_id"), F.col("neighbor_id").alias("node_id")
+        ).alias("b"),
+        ["node_id", "neighbor_id"],
+    ).count()
+    cc = connected_components_star(mutual, src="node_id", dst="neighbor_id")
+    bad_labels = (
+        cc.groupBy("cluster_id")
+        .agg(F.min("node").alias("mn"))
+        .filter(F.col("cluster_id") != F.col("mn"))
+        .count()
+    )
+    n_cc_nodes = cc.count()
+
+    return spark.range(1).select(
+        F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+        F.lit(n_stratum).cast("bigint").alias("n_stratum_queries"),
+        F.lit(m.exact_id_sum).cast("bigint").alias("exact_edge_id_sum"),
+        F.lit(g.n_covered >= 0.9 * n_nodes).alias("coverage_ok"),
+        F.lit(m.n_score_mismatch == 0).alias("subset_scores_ok"),
+        F.lit(m.n_found >= 0.6 * m.n_exact).alias("pooled_recall_ok"),
+        F.lit(m.n_strong_found == m.n_strong).alias("strong_recall_ok"),
+        F.lit(
+            g.max_deg <= _KNN_GRAPH_K and g.n_edges <= _KNN_GRAPH_K * n_nodes
+        ).alias("degree_bounded_ok"),
+        F.lit(n_sym == n_mutual and n_mutual > 0).alias("mutual_symmetric_ok"),
+        F.lit(bad_labels == 0 and n_cc_nodes > 0).alias("cc_minlabel_ok"),
     )

@@ -195,3 +195,116 @@ def test_signlsh_codes_udf_matches_expression_form(spark):
             F.col("ref_codes") != F.col("fast_codes")
         ).count()
         assert n_diff == 0
+
+
+def test_knn_graph_lsh_recovers_exact_graph_on_planted_clusters(spark):
+    """Full-graph kNN via LSH: on tight planted clusters (where
+    within-cluster cosine >> cross-cluster) the approximate graph must
+    equal the exact brute-force kNN graph for EVERY node — ids, scores
+    and ranks — and respect the degree bound. Also pins determinism
+    (seeded hyperplanes + frozen input => identical output)."""
+    import math
+    import random as _r
+
+    from pyspark.sql import functions as F
+
+    from reports_generator_spark.operators.similarity import knn_graph_lsh
+
+    rng = _r.Random(13)
+    rows = []
+    vid = 0
+    for c in range(6):
+        centroid = [rng.gauss(0, 1) for _ in range(64)]
+        n = math.sqrt(sum(x * x for x in centroid))
+        centroid = [x / n for x in centroid]
+        for _ in range(10):
+            noise = [rng.gauss(0, 0.03) for _ in range(64)]
+            rows.append((vid, [a + b for a, b in zip(centroid, noise)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r["node_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in knn_graph_lsh(emb, k=3).collect()
+    }
+    # exact brute-force kNN graph with the same comparator
+    import numpy as np
+
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    sim = (mat @ mat.T) / np.outer(nrm, nrm)
+    sim = np.floor(sim * 10000 + 0.5) / 10000
+    np.fill_diagonal(sim, -2)
+    want = {}
+    for i in range(len(ids)):
+        order = sorted(range(len(ids)), key=lambda j: (-sim[i, j], ids[j]))
+        for rk, j in enumerate(order[:3], start=1):
+            want[(ids[i], rk)] = (ids[j], sim[i, j])
+    assert got == want
+
+    # per-node degree bound and determinism
+    g2 = knn_graph_lsh(emb, k=3)
+    assert g2.groupBy("node_id").count().agg(F.max("count")).collect()[0][0] <= 3
+    got2 = {
+        (r["node_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in g2.collect()
+    }
+    assert got2 == got
+
+
+def test_knn_graph_lsh_bucket_topk_is_distributive(spark):
+    """The map-side per-bucket top-k prune must be lossless: a node's
+    global top-k over its candidate-set UNION equals top-k over the
+    union of its per-bucket top-k lists. Verified against a
+    brute-force candidate-set recomputation (same hyperplane seeds)
+    on a corpus small enough to enumerate."""
+    import random as _r
+
+    import numpy as np
+
+    from reports_generator_spark.operators.similarity import (
+        knn_graph_lsh,
+        random_hyperplanes,
+    )
+
+    rng = _r.Random(99)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    K, P, L, SEED = 3, 4, 12, 7
+    got = {}
+    for r in knn_graph_lsh(emb, k=K, n_planes=P, n_tables=L, seed=SEED).collect():
+        got.setdefault(r["node_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["score"])
+        )
+
+    # brute-force reference: full candidate sets, then global top-k.
+    # float32 round-trip matches the array<float> column the operator
+    # reads (cast to double happens after storage truncation).
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    sim = (mat @ mat.T) / np.outer(nrm, nrm)
+    sim = np.floor(sim * 10000 + 0.5) / 10000
+    cands = [set() for _ in range(len(ids))]
+    for t in range(L):
+        H = np.array(random_hyperplanes(64, P, SEED + 1000 * t))
+        bits = (mat @ H.T) >= 0
+        code = (bits * (1 << np.arange(P))).sum(axis=1)
+        for b in np.unique(code):
+            members = np.where(code == b)[0]
+            for i in members:
+                cands[i].update(members)
+    want = {}
+    for i in range(len(ids)):
+        cs = sorted(
+            cands[i] - {i}, key=lambda j: (-sim[i, j], ids[j])
+        )[:K]
+        if cs:
+            want[ids[i]] = [
+                (rk, ids[j], sim[i, j]) for rk, j in enumerate(cs, start=1)
+            ]
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == want
