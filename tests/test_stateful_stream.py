@@ -176,50 +176,12 @@ def test_merge_snapshot_slicing_invariant(spark):
     assert rows(merge_snapshot(d1, d0)) == expected
 
 
-import pytest
-
-from conftest import SF_DIR
-
-
-def _has_protobuf() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithState's Python state-server protocol requires "
-    "protobuf, which this sandbox does not ship (see streaming/tws.py)",
-)
-def test_transform_with_state_matches_batch(spark):
-    """TWS per-user profile == batch groupBy aggregate (order-independent
-    stats make the result micro-batch-slicing invariant)."""
-    from pyspark.sql import functions as F
-
-    from reports_generator_spark.streaming.tws import stream_user_profile_tws
-
-    got = {
-        r.user_id: (r.n_events, r.max_value)
-        for r in stream_user_profile_tws(spark, SF_DIR).collect()
-    }
-    want = {
-        r.user_id: (r.n_events, r.max_value)
-        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
-        .collect()
-    }
-    assert got == want
-
-
 def test_watermark_late_drop_actually_drops(spark):
     """The late-drop key's semantics depend on slice C being dropped by
     the watermark — assert the drop REALLY happened (state metrics),
     not just that the surviving counts match the oracle."""
+    from conftest import SF_DIR
+
     from reports_generator_spark.streaming.windowed import (
         stream_watermark_late_drop,
     )
