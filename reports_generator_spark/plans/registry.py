@@ -279,6 +279,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # the interpreted `_dot` HOF cross to a broadcast Arrow matmul
         # with per-batch partial top-k (101 s -> ~8 s at sf1)
         "embedding_knn_graph_topk", "embedding_knn_graph_clusters",
+        # VERDICT r11 item 6: WordPiece trainer (likelihood-scored
+        # merges, unrolled DuckDB twin) completes the trainer trio
+        "tokenizer_wordpiece_merges",
     }
 )
 

@@ -9,6 +9,8 @@ aggregation.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2114,3 +2116,199 @@ def tokenizer_unigram_lm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab2 = chars2.unionByName(multi2).localCheckpoint()
 
     return _uni_viterbi_usage(words, vocab2)
+
+
+# --------------------------------------------------------------------------
+# WordPiece merge learning — the likelihood-scored trainer (completes
+# the trainer trio: BPE r10, unigram-LM r11, WordPiece r12)
+# --------------------------------------------------------------------------
+_WP_ROUNDS = 3
+
+#: DuckDB twin of one WordPiece round's pair relation over a
+#: (word, freq, sym) frame — identical windows to _BPE_PAIRS_SQL.
+_WP_PAIRS_SQL = _BPE_PAIRS_SQL
+
+
+def _wordpiece_oracle() -> str:
+    """Unrolled 3-round DuckDB twin of the WordPiece trainer: symbol
+    freqs + pair freqs → argmax by score = cnt/(fa·fb) (IEEE-double
+    division of exact integers — deterministically identical in both
+    engines; ties to pair asc) → literal ' ##'-collapsing replace."""
+    parts = [
+        """
+    WITH words AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS word
+        FROM documents
+      ) WHERE regexp_matches(word, '^[a-z]+$')
+      GROUP BY word
+    ),
+    w0 AS (SELECT word, freq,
+                  ' ' || substr(word, 1, 1) || ' ' ||
+                  regexp_replace(substr(word, 2), '(.)', '##\\1 ', 'g')
+                    AS sym
+           FROM words)"""
+    ]
+    for r in range(1, _WP_ROUNDS + 1):
+        parts.append(
+            f""",
+    p{r} AS ({_WP_PAIRS_SQL.format(src=f'w{r - 1}')}),
+    pc{r} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+              FROM p{r} GROUP BY pair),
+    sf{r} AS (
+      SELECT s, CAST(sum(freq) AS BIGINT) AS f FROM (
+        SELECT unnest(list_filter(string_split(trim(sym), ' '),
+                                  x -> x <> '')) AS s,
+               freq
+        FROM w{r - 1}
+      ) GROUP BY s
+    ),
+    best{r} AS (
+      SELECT pair, cnt, fa.f AS fa, fb.f AS fb,
+             CAST(cnt AS DOUBLE) / (CAST(fa.f AS DOUBLE)
+                                    * CAST(fb.f AS DOUBLE)) AS score
+      FROM pc{r}
+      JOIN sf{r} fa ON fa.s = split_part(pair, ' ', 1)
+      JOIN sf{r} fb ON fb.s = split_part(pair, ' ', 2)
+      ORDER BY score DESC, pair ASC LIMIT 1
+    ),
+    w{r} AS (
+      SELECT word, freq,
+             replace(sym,
+                     ' ' || (SELECT pair FROM best{r}) || ' ',
+                     ' ' || replace((SELECT pair FROM best{r}), ' ##', '')
+                         || ' ') AS sym
+      FROM w{r - 1}
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round,"
+        f" (SELECT pair FROM best{r}) AS merged_pair,"
+        f" (SELECT cnt FROM best{r}) AS pair_count,"
+        f" (SELECT fa FROM best{r}) AS freq_a,"
+        f" (SELECT fb FROM best{r}) AS freq_b,"
+        f" (SELECT CAST(floor(score * 1000000000 + 0.5) AS BIGINT)"
+        f"  FROM best{r}) AS score_e9"
+        for r in range(1, _WP_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@query("tokenizer_wordpiece_merges", oracle=_wordpiece_oracle())
+def tokenizer_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 3 WordPiece merges (VERDICT r11 item 6 — the
+    likelihood-scored trainer that completes the trio with BPE and
+    unigram-LM): symbols carry the ## continuation prefix
+    (word → 'w ##o ##r ##d'), each round counts symbol and adjacent-
+    pair frequencies weighted by word freq and merges the pair
+    maximizing score = freq(ab) / (freq(a)·freq(b)) — BPE's raw-count
+    argmax normalized by the parts' own frequencies, which is what
+    makes WordPiece prefer cohesive units over merely-common ones.
+
+    Determinism contract: the score is an IEEE-double division of
+    exact integers (both < 2^53, so the quotient is identically
+    rounded in the JVM and DuckDB); ties break to pair asc; the merge
+    rewrite is the same literal leftmost-non-overlapping
+    space-delimited replace as the BPE key (merged symbol =
+    pair with ' ##' collapsed — the second element of an adjacent
+    pair is ALWAYS a continuation symbol, so the collapse is total).
+    The oracle unrolls all three rounds (symbol-freq CTE + pair CTE +
+    scored argmax + rewrite per round), so the full trajectory —
+    winners, counts, and e9-scaled scores — is value-attested
+    cross-engine.
+
+    Scale shape: identical to tokenizer_bpe_merges — ONE corpus scan
+    builds the word-frequency state; each round is two vocab-sized
+    aggregations (symbol freqs, pair freqs) joined item-dimension
+    sized, plus a scalar argmax collect. Rounds cost O(vocab),
+    independent of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "sym",
+            F.concat(
+                F.lit(" "),
+                F.substring("word", 1, 1),
+                F.lit(" "),
+                F.regexp_replace(F.expr("substring(word, 2)"), "(.)", "##$1 "),
+            ),
+        )
+        .localCheckpoint()  # the vocab state: tiny, reused every round
+    )
+
+    merges: list[tuple[int, str, int, int, int, int]] = []
+    for r in range(1, _WP_ROUNDS + 1):
+        split_syms = words.select(
+            "freq", F.split(F.trim("sym"), " ").alias("a")
+        ).localCheckpoint(eager=False)
+        sym_freq = (
+            split_syms.select("freq", F.explode("a").alias("s"))
+            .groupBy("s")
+            .agg(F.sum("freq").cast("bigint").alias("f"))
+        )
+        pairs = (
+            split_syms.filter(F.size("a") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(a)-1),"
+                        " i -> element_at(a, i) || ' ' || element_at(a, i+1))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        fa = sym_freq.select(F.col("s").alias("_sa"), F.col("f").alias("fa"))
+        fb = sym_freq.select(F.col("s").alias("_sb"), F.col("f").alias("fb"))
+        scored = (
+            pairs.join(fa, F.split_part(F.col("pair"), F.lit(" "), F.lit(1)) == F.col("_sa"))
+            .join(fb, F.split_part(F.col("pair"), F.lit(" "), F.lit(2)) == F.col("_sb"))
+            .select(
+                "pair",
+                "cnt",
+                "fa",
+                "fb",
+                (
+                    F.col("cnt").cast("double")
+                    / (F.col("fa").cast("double") * F.col("fb").cast("double"))
+                ).alias("score"),
+            )
+        )
+        best = scored.orderBy(
+            F.col("score").desc(), F.col("pair").asc()
+        ).first()  # scalar-only collect: the argmax merge decision
+        merges.append(
+            (
+                r,
+                best["pair"],
+                best["cnt"],
+                best["fa"],
+                best["fb"],
+                int(math.floor(best["score"] * 1_000_000_000 + 0.5)),
+            )
+        )
+        merged_sym = best["pair"].replace(" ##", "")
+        words = words.withColumn(
+            "sym",
+            F.expr(f"replace(sym, ' {best['pair']} ', ' {merged_sym} ')"),
+        ).localCheckpoint()
+
+    out = None
+    for r, pair, cnt, f_a, f_b, s_e9 in merges:
+        row = spark.range(1).select(
+            F.lit(r).cast("bigint").alias("round"),
+            F.lit(pair).alias("merged_pair"),
+            F.lit(cnt).cast("bigint").alias("pair_count"),
+            F.lit(f_a).cast("bigint").alias("freq_a"),
+            F.lit(f_b).cast("bigint").alias("freq_b"),
+            F.lit(s_e9).cast("bigint").alias("score_e9"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

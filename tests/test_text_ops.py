@@ -161,3 +161,61 @@ def test_unigram_trainer_invariants(spark):
     # pieces-per-word must beat char-splitting
     n_pieces = final.agg(F.sum("n_uses").cast("long").alias("n")).collect()[0]["n"]
     assert n_pieces < total_chars
+
+
+def test_wordpiece_score_prefers_cohesive_over_common(spark):
+    """The WordPiece argmax is score = freq(ab)/(freq(a)·freq(b)), not
+    raw pair count: a pair whose parts appear ONLY together must beat
+    a more frequent pair built from ubiquitous parts. Corpus: 'xq'
+    occurs 3 times (x and q appear nowhere else → score 3/(3·3)=1/3);
+    'ab' occurs 5 times but initial a and continuation ##b also occur
+    in three other words each (initial and continuation occurrences
+    are DISTINCT symbols, so the dilution comes from 'a?' and '?b'
+    shaped words; score 5/(fa·fb) « 1/3). BPE's raw-count rule would pick the 'ab'
+    pair first; WordPiece must pick ' x ##q '."""
+    import duckdb
+
+    from reports_generator_spark.plans.registry import ORACLES
+    from reports_generator_spark.plans.text import (
+        tokenizer_wordpiece_merges,
+    )
+
+    docs = [
+        "xq xq xq",
+        "ab ab ab ab ab",
+        "an at ar",  # initial a diluted: fa = 5 + 3 = 8
+        "cb db eb",  # continuation ##b diluted: f##b = 5 + 3 = 8
+    ]
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("_wp_docs")
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {
+            r["round"]: (r["merged_pair"], r["pair_count"])
+            for r in tokenizer_wordpiece_merges(spark, d).collect()
+        }
+        assert out[1][0] == "x ##q", out
+        assert out[1][1] == 3
+
+        # and the full trajectory still matches the DuckDB twin on
+        # this adversarial corpus, not just the fixture corpus
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                ORACLES["tokenizer_wordpiece_merges"]
+            ).fetchall()
+        )
+        got = sorted(
+            tuple(r)
+            for r in tokenizer_wordpiece_merges(spark, d).collect()
+        )
+        assert got == want
