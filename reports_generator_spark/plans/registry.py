@@ -282,6 +282,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # VERDICT r11 item 6: WordPiece trainer (likelihood-scored
         # merges, unrolled DuckDB twin) completes the trainer trio
         "tokenizer_wordpiece_merges",
+        # VERDICT r11 item 7: persisted IVF index + OCC incremental
+        # maintenance, served-vs-recomputed attested
+        "vector_index_incremental",
     }
 )
 

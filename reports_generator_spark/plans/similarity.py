@@ -1644,3 +1644,340 @@ def embedding_knn_graph_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_sym == n_mutual and n_mutual > 0).alias("mutual_symmetric_ok"),
         F.lit(bad_labels == 0 and n_cc_nodes > 0).alias("cc_minlabel_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted vector index + incremental maintenance (VERDICT r11 item 7:
+# the similarity × lakehouse composition — IVF cell assignments live as
+# an OCC-committed table; appends maintain it at O(batch), queries are
+# served from the stored index)
+# --------------------------------------------------------------------------
+_VIX_CELLS = 16
+_VIX_PROBE = 4
+_VIX_K = 5
+_VIX_QUERY_IDS = [0, 4, 8, 12, 16]  # all % 4 == 0: drawn from the APPEND batch
+
+
+def _vix_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment against a FROZEN
+    centroid table — one broadcast of the O(n_cells·dim) centroid
+    array + a map-side array argmax (`_scored_cells`); the vectors
+    never shuffle. This is both the index BUILD and the index
+    MAINTENANCE kernel: append batches run it over only their own
+    rows."""
+    from ..operators.similarity import _scored_cells, with_norm
+
+    cent_arr = cents.agg(
+        F.collect_list(F.struct("cell", "cv", "cnrm")).alias("cents")
+    )
+    scored = (
+        with_norm(vecs, "embedding")
+        .join(F.broadcast(cent_arr))
+        .withColumn("scored", _scored_cells(F.col("cents")))
+    )
+    best = F.array_max(F.col("scored"))
+    return scored.select(
+        "vec_id", (-best["negcell"]).cast("int").alias("cell")
+    )
+
+
+def _ensure_vector_index(spark: SparkSession, sf_dir: str) -> str:
+    """The persisted-index fixture: an OCC-logged table whose data
+    dirs are the VECTOR shards, the frozen COARSE QUANTIZER, and the
+    per-shard INDEX (cell-assignment) shards.
+
+    v1: vectors with vec_id % 4 != 0 (vec_base), centroids picked
+    from v1 by the seedless multiplicative-hash sample (the
+    semantic_dedup quantizer — persisted, because an IVF index IS its
+    quantizer plus its postings), assignments idx_base.
+    v2 (the APPEND): the vec_id % 4 == 0 batch lands as vec_batch;
+    maintenance assigns ONLY the batch against the frozen centroids
+    (idx_batch) and publishes one OCC commit adding both shards with
+    the centroid artifact in its read_set (a concurrent re-clustering
+    would invalidate the assignment — that's exactly the lost-update
+    OCC exists to catch). Build-time audits (recorded in _AUDIT for
+    the key to attest): the maintenance read NO v1 vector file
+    (inputFiles), and the v1 index shard's bytes are untouched by the
+    append (mtime equality)."""
+    import json
+    import os
+    import shutil
+
+    from .scale_joins import (
+        atomic_claim,
+        commit_with_conflict_detection,
+        fixture_base,
+    )
+
+    base = fixture_base(spark, sf_dir, "vix")
+    if os.path.exists(os.path.join(base, "_READY")):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    data = os.path.join(base, "data")
+    os.makedirs(data)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb.filter(F.col("vec_id") % 4 != 0).write.parquet(
+        os.path.join(data, "vec_base")
+    )
+    emb.filter(F.col("vec_id") % 4 == 0).write.parquet(
+        os.path.join(data, "vec_batch")
+    )
+
+    # frozen coarse quantizer from v1 ONLY (appends must not shift it)
+    from ..operators.similarity import with_norm
+
+    v1 = spark.read.parquet(os.path.join(data, "vec_base"))
+    hkey = ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
+        1000003
+    )
+    w_cent = Window.orderBy(hkey.asc(), F.col("vec_id").asc())
+    with_norm(v1, "embedding").orderBy(hkey.asc(), F.col("vec_id").asc()).limit(
+        _VIX_CELLS
+    ).select(
+        (F.row_number().over(w_cent) - 1).cast("int").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("v_norm").alias("cnrm"),
+    ).coalesce(1).write.parquet(os.path.join(data, "centroids_v1"))
+
+    cents = spark.read.parquet(os.path.join(data, "centroids_v1"))
+    _vix_assign(v1, cents).write.parquet(os.path.join(data, "idx_base"))
+    assert atomic_claim(
+        os.path.join(base, "manifest-v1.txt"),
+        "\n".join(["vec_base", "centroids_v1", "idx_base"]),
+    )
+
+    # --- the APPEND: maintenance touches O(batch), never the corpus
+    idx_mtimes = {
+        p: os.path.getmtime(os.path.join(data, "idx_base", p))
+        for p in os.listdir(os.path.join(data, "idx_base"))
+    }
+    batch = spark.read.parquet(os.path.join(data, "vec_batch"))
+    batch_assign = _vix_assign(batch, cents)
+    touched = set(batch_assign.inputFiles())
+    v1_vec_files = {
+        f"file:{os.path.join(data, 'vec_base', p)}"
+        for p in os.listdir(os.path.join(data, "vec_base"))
+    }
+    batch_assign.write.parquet(os.path.join(data, "idx_batch"))
+    commit_with_conflict_detection(
+        base,
+        1,
+        add=["vec_batch", "idx_batch"],
+        remove=[],
+        read_set={"centroids_v1"},
+    )
+    base_untouched = all(
+        os.path.getmtime(os.path.join(data, "idx_base", p)) == t
+        for p, t in idx_mtimes.items()
+    )
+    with open(os.path.join(base, "_AUDIT"), "w") as f:
+        json.dump(
+            {
+                "maintenance_read_no_v1_vectors": not (touched & v1_vec_files),
+                "base_index_shard_untouched": bool(base_untouched),
+            },
+            f,
+        )
+    open(os.path.join(base, "_READY"), "w").close()
+    return base
+
+
+def _vix_served_topk(
+    spark: SparkSession, vecs: DataFrame, idx: DataFrame, cents: DataFrame
+) -> DataFrame:
+    """IVF top-k SERVED FROM the stored index: probe each query's
+    _VIX_PROBE nearest cells (map-side argsort over the broadcast
+    centroid array), equi-join the probed cells against the stored
+    postings, exact-score only those candidates."""
+    from ..operators.similarity import _dot, _scored_cells, with_norm
+
+    base = with_norm(vecs, "embedding")
+    cent_arr = cents.agg(
+        F.collect_list(F.struct("cell", "cv", "cnrm")).alias("cents")
+    )
+    probes = (
+        base.filter(F.col("vec_id").isin(_VIX_QUERY_IDS))
+        .join(F.broadcast(cent_arr))
+        .withColumn("scored", _scored_cells(F.col("cents")))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort("scored")), 1, _VIX_PROBE)
+            ).alias("probe"),
+        )
+        .select("query_id", (-F.col("probe.negcell")).cast("int").alias("cell"))
+    )
+    qv = base.filter(F.col("vec_id").isin(_VIX_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("v_norm").alias("q_norm"),
+    )
+    cand = (
+        idx.join(F.broadcast(probes), ["cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cv = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("v_norm").alias("c_norm"),
+    )
+    score = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _VIX_K)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+@query(
+    "vector_index_incremental",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+          WHERE vec_id IN ({", ".join(map(str, _VIX_QUERY_IDS))})),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qv, c.v)
+                                / (q.qn * c.nrm), 4) DESC,
+                          c.vec_id ASC) AS rank
+        FROM q CROSS JOIN n c
+        WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= {_VIX_K}
+    )
+    SELECT (SELECT count(*) FROM n) AS n_corpus,
+           (SELECT count(*) FROM n WHERE vec_id % 4 = 0) AS n_batch_appended,
+           CAST(sum(neighbor_id) AS BIGINT) AS exact_topk_id_sum,
+           TRUE AS served_equals_recompute_ok,
+           TRUE AS index_content_matches_recompute_ok,
+           TRUE AS maintenance_o_batch_ok,
+           TRUE AS base_index_shard_untouched_ok,
+           TRUE AS occ_versions_ok,
+           TRUE AS recall_ok
+    FROM exact
+    """,
+)
+def vector_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index PERSISTENCE + INCREMENTAL MAINTENANCE (VERDICT r11
+    item 7 — the similarity × lakehouse composition): IVF cell
+    assignments and their frozen coarse quantizer live as dirs of an
+    OCC-logged table; an append batch is indexed by assigning ONLY its
+    own rows against the stored centroids and publishing one
+    conflict-detected commit (read_set = the quantizer artifact, so a
+    concurrent re-clustering aborts the append instead of silently
+    mixing quantizers); queries are served from the stored postings.
+
+    Attestation (quantizer/bucketing state isn't SQL-reproducible, so
+    the oracle recomputes the EXACT side + pins quality gates TRUE —
+    the `embedding_knn_graph_lsh` pattern):
+    - n_corpus / n_batch_appended / exact_topk_id_sum: cross-engine
+      (v1 ∪ append ≡ the embeddings table, so DuckDB recomputes the
+      exact top-{_VIX_K} on real data);
+    - served_equals_recompute_ok: top-k SERVED FROM the stored index
+      == the same IVF plan recomputed from the raw vectors with the
+      same frozen centroids (the index adds no approximation beyond
+      its construction — the 'index-served ≡ recomputed' contract);
+    - index_content_matches_recompute_ok: the stored postings
+      (idx_base ∪ idx_batch) are row-identical to a fresh full
+      assignment of every vector;
+    - maintenance_o_batch_ok: the append's assignment job read NO v1
+      vector file (inputFiles audit at build time) — O(batch), not
+      O(corpus);
+    - base_index_shard_untouched_ok: the v1 index shard's bytes
+      survived the append unmodified (mtime audit);
+    - occ_versions_ok: the log holds exactly v1/v2 and v2 = v1 + the
+      two appended shards;
+    - recall_ok: served top-k pooled recall vs the exact top-k ≥ 0.2
+      (the registered _VIX_PROBE/{_VIX_CELLS} probe budget's floor,
+      same bar as the ANN keys)."""
+    import json
+    import os
+
+    from .scale_joins import _log_read, _log_versions
+
+    base = _ensure_vector_index(spark, sf_dir)
+    data = os.path.join(base, "data")
+    v2 = _log_read(base, 2)
+    vec_shards = [s for s in v2 if s.startswith("vec_")]
+    idx_shards = [s for s in v2 if s.startswith("idx_")]
+    vecs = spark.read.parquet(
+        *[os.path.join(data, s) for s in sorted(vec_shards)]
+    ).localCheckpoint()
+    idx = spark.read.parquet(*[os.path.join(data, s) for s in sorted(idx_shards)])
+    cents = spark.read.parquet(os.path.join(data, "centroids_v1")).localCheckpoint()
+
+    served = _vix_served_topk(spark, vecs, idx, cents).localCheckpoint()
+
+    # twin 1: the same serving plan over a FRESH full assignment
+    # (checkpointed once — it feeds the serving twin AND both sides
+    # of the content-equality diff)
+    fresh_idx = _vix_assign(vecs, cents).localCheckpoint()
+    recomputed = _vix_served_topk(spark, vecs, fresh_idx, cents)
+    n_serve_diff = (
+        served.exceptAll(recomputed).unionAll(recomputed.exceptAll(served)).count()
+    )
+
+    # twin 2: stored postings == fresh assignment, row for row
+    idx_diff = (
+        idx.exceptAll(fresh_idx).unionAll(fresh_idx.exceptAll(idx)).count()
+    )
+
+    # exact side: bounded broadcast cross (the cosine_topk contract)
+    exact = cosine_topk(vecs, _VIX_QUERY_IDS, k=_VIX_K).select(
+        "query_id", "neighbor_id"
+    )
+    ex = exact.withColumn("_x", F.lit(1))
+    sv = served.select("query_id", "neighbor_id").withColumn("_f", F.lit(1))
+    m = ex.join(sv, ["query_id", "neighbor_id"], "full_outer").agg(
+        F.count("_x").alias("n_exact"),
+        F.sum(F.when(F.col("_x").isNotNull(), F.col("neighbor_id"))).alias(
+            "exact_id_sum"
+        ),
+        F.count(F.when(F.col("_x").isNotNull() & F.col("_f").isNotNull(), 1)).alias(
+            "n_found"
+        ),
+    ).collect()[0]
+
+    with open(os.path.join(base, "_AUDIT")) as f:
+        audit = json.load(f)
+    versions = _log_versions(base)
+    v1 = _log_read(base, 1)
+    occ_ok = versions == [1, 2] and sorted(v2) == sorted(
+        v1 + ["vec_batch", "idx_batch"]
+    )
+    n_corpus = vecs.count()
+    n_batch = spark.read.parquet(os.path.join(data, "vec_batch")).count()
+
+    return spark.range(1).select(
+        F.lit(n_corpus).cast("bigint").alias("n_corpus"),
+        F.lit(n_batch).cast("bigint").alias("n_batch_appended"),
+        F.lit(m.exact_id_sum).cast("bigint").alias("exact_topk_id_sum"),
+        F.lit(n_serve_diff == 0).alias("served_equals_recompute_ok"),
+        F.lit(idx_diff == 0).alias("index_content_matches_recompute_ok"),
+        F.lit(audit["maintenance_read_no_v1_vectors"]).alias(
+            "maintenance_o_batch_ok"
+        ),
+        F.lit(audit["base_index_shard_untouched"]).alias(
+            "base_index_shard_untouched_ok"
+        ),
+        F.lit(occ_ok).alias("occ_versions_ok"),
+        F.lit(m.n_found >= 0.2 * m.n_exact).alias("recall_ok"),
+    )

@@ -308,3 +308,67 @@ def test_knn_graph_lsh_bucket_topk_is_distributive(spark):
             ]
     got = {k: sorted(v) for k, v in got.items()}
     assert got == want
+
+
+def test_vector_index_append_conflicts_with_requantization(spark, tmp_path):
+    """The append's OCC read_set names the quantizer artifact: a
+    concurrent commit that REPLACES the centroids (re-clustering)
+    must abort the batch append (its assignments were computed under
+    the old quantizer — publishing them would mix quantizers), while
+    an unrelated concurrent append rebases cleanly."""
+    import os
+
+    import pytest as _pt
+
+    from reports_generator_spark.plans.scale_joins import (
+        CommitConflict,
+        atomic_claim,
+        commit_with_conflict_detection,
+    )
+
+    base = str(tmp_path / "vix")
+    os.makedirs(os.path.join(base, "data"))
+    assert atomic_claim(
+        os.path.join(base, "manifest-v1.txt"),
+        "\n".join(["vec_base", "centroids_v1", "idx_base"]),
+    )
+
+    # concurrent re-clustering wins v2: swaps the quantizer
+    commit_with_conflict_detection(
+        base, 1,
+        add=["centroids_v2", "idx_rebuilt"],
+        remove=["centroids_v1", "idx_base"],
+        read_set={"vec_base"},
+    )
+    # the in-flight append (computed against centroids_v1) must abort
+    with _pt.raises(CommitConflict):
+        commit_with_conflict_detection(
+            base, 1,
+            add=["vec_batch", "idx_batch"],
+            remove=[],
+            read_set={"centroids_v1"},
+        )
+
+    # fresh table: an unrelated append (new vector shard by another
+    # writer) does NOT invalidate the quantizer — the batch rebases
+    base2 = str(tmp_path / "vix2")
+    os.makedirs(os.path.join(base2, "data"))
+    assert atomic_claim(
+        os.path.join(base2, "manifest-v1.txt"),
+        "\n".join(["vec_base", "centroids_v1", "idx_base"]),
+    )
+    commit_with_conflict_detection(
+        base2, 1, add=["vec_other", "idx_other"], remove=[],
+        read_set={"centroids_v1"},
+    )
+    v, retries = commit_with_conflict_detection(
+        base2, 1, add=["vec_batch", "idx_batch"], remove=[],
+        read_set={"centroids_v1"},
+    )
+    assert v == 3 and retries >= 1
+    from reports_generator_spark.plans.scale_joins import _log_read
+
+    assert sorted(_log_read(base2, 3)) == sorted(
+        ["vec_base", "centroids_v1", "idx_base",
+         "vec_other", "idx_other", "vec_batch", "idx_batch"]
+    )
