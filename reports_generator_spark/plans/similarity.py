@@ -1981,3 +1981,211 @@ def vector_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(occ_ok).alias("occ_versions_ok"),
         F.lit(m.n_found >= 0.2 * m.n_exact).alias("recall_ok"),
     )
+
+
+@query(
+    "stream_vector_index_append",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+          WHERE vec_id IN ({", ".join(map(str, _VIX_QUERY_IDS))})),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qv, c.v)
+                                / (q.qn * c.nrm), 4) DESC,
+                          c.vec_id ASC) AS rank
+        FROM q CROSS JOIN n c
+        WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= {_VIX_K}
+    )
+    SELECT (SELECT count(*) FROM n) AS n_corpus,
+           (SELECT count(DISTINCT vec_id % 3) FROM n WHERE vec_id % 4 = 0)
+             AS n_batches_published,
+           CAST(sum(neighbor_id) AS BIGINT) AS exact_topk_id_sum,
+           TRUE AS index_content_matches_recompute_ok,
+           TRUE AS served_equals_recompute_ok,
+           TRUE AS replay_suppressed_ok,
+           TRUE AS occ_versions_ok,
+           TRUE AS recall_ok
+    FROM exact
+    """,
+)
+def stream_vector_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of the persisted vector index — the
+    composition that closes the loop on `vector_index_incremental`:
+    the append batch arrives as a STREAM (3 micro-batches,
+    maxFilesPerTrigger=1, availableNow), and each micro-batch's
+    foreachBatch assigns ONLY its own rows against the frozen
+    quantizer and publishes one OCC commit adding (vec_e{{id}},
+    idx_e{{id}}) with the quantizer artifact in its read_set.
+
+    Exactly-once lives in the COMMIT LOG, not a side marker: before
+    committing, the sink checks whether its idx shard name is already
+    in the latest manifest — the Delta/Iceberg txnAppId/txnVersion
+    idempotent-writer pattern, with the manifest itself as the
+    transaction record. A re-delivered micro-batch (the foreachBatch
+    at-least-once recovery contract) finds its shard published and
+    no-ops; the key REPLAYS epoch 1 explicitly and attests the log
+    did not advance.
+
+    Attestation (same oracle shape as vector_index_incremental —
+    v1 ∪ streamed appends ≡ the embeddings table):
+    - n_corpus / n_batches_published / exact_topk_id_sum cross-engine;
+    - index_content_matches_recompute_ok: postings assembled across
+      four commits == one fresh full assignment;
+    - served_equals_recompute_ok: the stored-index serving plan ==
+      the same plan over the fresh assignment;
+    - replay_suppressed_ok: re-delivering epoch 1 leaves the version
+      count unchanged (and no duplicate postings exist);
+    - occ_versions_ok: log is exactly v1..v4, head = v1 + the six
+      streamed shards;
+    - recall_ok: served top-k vs exact ≥ 0.2 (the ANN floor)."""
+    import os
+    import shutil
+
+    from ..operators.similarity import with_norm
+    from ..streaming.windowed import _stream_session
+    from .scale_joins import (
+        atomic_claim,
+        commit_with_conflict_detection,
+        fixture_base,
+        _log_read,
+        _log_versions,
+    )
+
+    s = _stream_session(spark)
+    base = fixture_base(spark, sf_dir, "vixs")
+    # the append/replay protocol IS the operator — rebuild per run
+    shutil.rmtree(base, ignore_errors=True)
+    data = os.path.join(base, "data")
+    os.makedirs(data)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb.filter(F.col("vec_id") % 4 != 0).write.parquet(
+        os.path.join(data, "vec_base")
+    )
+    v1 = spark.read.parquet(os.path.join(data, "vec_base"))
+    hkey = ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
+        1000003
+    )
+    w_cent = Window.orderBy(hkey.asc(), F.col("vec_id").asc())
+    with_norm(v1, "embedding").orderBy(hkey.asc(), F.col("vec_id").asc()).limit(
+        _VIX_CELLS
+    ).select(
+        (F.row_number().over(w_cent) - 1).cast("int").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("v_norm").alias("cnrm"),
+    ).coalesce(1).write.parquet(os.path.join(data, "centroids_v1"))
+    cents = spark.read.parquet(os.path.join(data, "centroids_v1")).localCheckpoint()
+    _vix_assign(v1, cents).write.parquet(os.path.join(data, "idx_base"))
+    assert atomic_claim(
+        os.path.join(base, "manifest-v1.txt"),
+        "\n".join(["vec_base", "centroids_v1", "idx_base"]),
+    )
+
+    # source: the append batch as 3 mtime-ordered slice files
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    t0 = 1_600_000_000
+    for i in range(3):
+        tmp = os.path.join(base, f"__slice{i}")
+        batch.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(tmp)
+        fn = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+        dst = os.path.join(src, f"slice-{i}.parquet")
+        shutil.copy(os.path.join(tmp, fn), dst)
+        os.utime(dst, (t0 + 100 * i, t0 + 100 * i))
+        shutil.rmtree(tmp)
+
+    def append_epoch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = _log_versions(base)[-1]
+        if f"idx_e{batch_id}" in set(_log_read(base, latest)):
+            return  # replay: this epoch's shards are already committed
+        batch_df.write.parquet(os.path.join(data, f"vec_e{batch_id}"))
+        _vix_assign(
+            spark.read.parquet(os.path.join(data, f"vec_e{batch_id}")), cents
+        ).write.parquet(os.path.join(data, f"idx_e{batch_id}"))
+        commit_with_conflict_detection(
+            base,
+            latest,
+            add=[f"vec_e{batch_id}", f"idx_e{batch_id}"],
+            remove=[],
+            read_set={"centroids_v1"},
+        )
+
+    schema = s.read.parquet(src).schema
+    q = (
+        s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(append_epoch)
+        .option("checkpointLocation", os.path.join(base, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions_before_replay = _log_versions(base)
+
+    # THE REPLAY: re-deliver epoch 1 (crash-before-checkpoint-ack path)
+    append_epoch(s.read.parquet(os.path.join(src, "slice-1.parquet")), 1)
+    versions_after_replay = _log_versions(base)
+    replay_ok = versions_after_replay == versions_before_replay
+
+    head_v = versions_after_replay[-1]
+    head = _log_read(base, head_v)
+    vec_shards = sorted(x for x in head if x.startswith("vec_"))
+    idx_shards = sorted(x for x in head if x.startswith("idx_"))
+    occ_ok = (
+        versions_after_replay == [1, 2, 3, 4]
+        and vec_shards == ["vec_base", "vec_e0", "vec_e1", "vec_e2"]
+        and idx_shards == ["idx_base", "idx_e0", "idx_e1", "idx_e2"]
+    )
+    n_batches = len([x for x in idx_shards if x.startswith("idx_e")])
+
+    vecs = spark.read.parquet(
+        *[os.path.join(data, x) for x in vec_shards]
+    ).localCheckpoint()
+    idx = spark.read.parquet(*[os.path.join(data, x) for x in idx_shards])
+    fresh_idx = _vix_assign(vecs, cents).localCheckpoint()
+    idx_diff = idx.exceptAll(fresh_idx).unionAll(fresh_idx.exceptAll(idx)).count()
+
+    served = _vix_served_topk(spark, vecs, idx, cents).localCheckpoint()
+    recomputed = _vix_served_topk(spark, vecs, fresh_idx, cents)
+    n_serve_diff = (
+        served.exceptAll(recomputed).unionAll(recomputed.exceptAll(served)).count()
+    )
+
+    exact = cosine_topk(vecs, _VIX_QUERY_IDS, k=_VIX_K).select(
+        "query_id", "neighbor_id"
+    )
+    ex = exact.withColumn("_x", F.lit(1))
+    sv = served.select("query_id", "neighbor_id").withColumn("_f", F.lit(1))
+    m = ex.join(sv, ["query_id", "neighbor_id"], "full_outer").agg(
+        F.count("_x").alias("n_exact"),
+        F.sum(F.when(F.col("_x").isNotNull(), F.col("neighbor_id"))).alias(
+            "exact_id_sum"
+        ),
+        F.count(F.when(F.col("_x").isNotNull() & F.col("_f").isNotNull(), 1)).alias(
+            "n_found"
+        ),
+    ).collect()[0]
+    n_corpus = vecs.count()
+
+    return spark.range(1).select(
+        F.lit(n_corpus).cast("bigint").alias("n_corpus"),
+        F.lit(n_batches).cast("bigint").alias("n_batches_published"),
+        F.lit(m.exact_id_sum).cast("bigint").alias("exact_topk_id_sum"),
+        F.lit(idx_diff == 0).alias("index_content_matches_recompute_ok"),
+        F.lit(n_serve_diff == 0).alias("served_equals_recompute_ok"),
+        F.lit(replay_ok).alias("replay_suppressed_ok"),
+        F.lit(occ_ok).alias("occ_versions_ok"),
+        F.lit(m.n_found >= 0.2 * m.n_exact).alias("recall_ok"),
+    )
