@@ -285,6 +285,12 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # VERDICT r11 item 7: persisted IVF index + OCC incremental
         # maintenance, served-vs-recomputed attested
         "vector_index_incremental",
+        # streaming maintenance of the persisted index: micro-batch
+        # appends as idempotent OCC commits (manifest-as-txn-record)
+        "stream_vector_index_append",
+        # WordPiece inference (greedy longest-match under the trained
+        # vocab, full value attestation via a recursive-CTE twin)
+        "tokenizer_wordpiece_apply",
     }
 )
 

@@ -2312,3 +2312,193 @@ def tokenizer_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _wordpiece_vocab_ctes() -> str:
+    """DuckDB CTEs producing the applied-vocabulary relation
+    ``vocab(piece, stem, is_initial, plen)`` from the trainer's 3
+    unrolled rounds (`_wordpiece_oracle` CTE chain is embedded
+    verbatim up through w{_WP_ROUNDS}): every single char seen
+    word-initially (bare) or word-internally (## form), plus the
+    merge winners. ``stem`` = the raw letters (## stripped),
+    ``plen`` = len(stem) — what greedy longest-match consumes."""
+    trainer = _wordpiece_oracle()
+    # reuse the trainer's WITH chain; cut before its final SELECT, and
+    # promote to WITH RECURSIVE (the walk CTE below self-references)
+    head, _sep, _tail = trainer.rpartition("\n    SELECT")
+    head = head.replace("WITH words AS", "WITH RECURSIVE words AS", 1)
+    return (
+        head
+        + f""",
+    merged AS (
+      SELECT replace(pair, ' ##', '') AS piece FROM best1
+      UNION ALL SELECT replace(pair, ' ##', '') FROM best2
+      UNION ALL SELECT replace(pair, ' ##', '') FROM best3
+    ),
+    singles AS (
+      SELECT DISTINCT substr(word, 1, 1) AS piece FROM words
+      UNION
+      SELECT DISTINCT '##' || x
+      FROM (SELECT unnest(list_transform(range(2, length(word) + 1),
+                                         i -> substr(word, i, 1))) AS x
+            FROM words WHERE length(word) >= 2)
+    ),
+    vocab AS (
+      SELECT piece,
+             replace(piece, '##', '') AS stem,
+             CASE WHEN piece LIKE '##%' THEN 0 ELSE 1 END AS is_initial,
+             length(replace(piece, '##', '')) AS plen
+      FROM (SELECT piece FROM singles UNION SELECT piece FROM merged)
+    )"""
+    )
+
+
+@query(
+    "tokenizer_wordpiece_apply",
+    oracle=f"""{_wordpiece_vocab_ctes()},
+    walk AS (
+      SELECT word, freq, 0 AS pos, CAST(NULL AS VARCHAR) AS piece
+      FROM words
+      UNION ALL
+      SELECT w.word, w.freq, w.pos + v.plen AS pos, v.piece
+      FROM (
+        SELECT word, freq, pos, piece,
+               row_number() OVER (PARTITION BY word, pos
+                                  ORDER BY plen DESC) AS rnk
+        FROM (
+          SELECT k.word, k.freq, k.pos, v.piece, v.plen
+          FROM walk k JOIN vocab v
+            ON v.is_initial = CASE WHEN k.pos = 0 THEN 1 ELSE 0 END
+           AND substr(k.word, k.pos + 1, v.plen) = v.stem
+          WHERE k.pos < length(k.word)
+        )
+      ) w JOIN vocab v ON v.piece = w.piece
+      WHERE w.rnk = 1
+    )
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS n_uses
+    FROM walk WHERE piece IS NOT NULL
+    GROUP BY piece
+    """,
+)
+def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece INFERENCE — greedy longest-match tokenization under
+    the vocabulary the trainer learned (all single chars in their
+    initial/## forms + the {_WP_ROUNDS} merge winners), returning
+    per-piece usage counts over the corpus: the serving-side half of
+    `tokenizer_wordpiece_merges`, and the LLM-pipeline primitive that
+    turns a trained vocab into token streams.
+
+    Greedy longest-match (the HF WordPiece decoder): at position 0
+    match the longest INITIAL-form piece prefixing the word, then
+    repeatedly the longest ##-form piece prefixing the remainder;
+    ties are impossible (one piece per (form, string)). Every corpus
+    char appears in the vocab by construction, so no UNK path
+    (asserted in-code: the walk's consumed length re-sums to the
+    corpus's total letters).
+
+    Cross-engine: the oracle embeds the trainer's full 3-round CTE
+    chain (so the vocab itself is re-derived, not copied), then walks
+    every word with a recursive CTE whose per-(word, pos) argmax is
+    the same longest-match rule — full value attestation of the
+    tokenization, not a spot check.
+
+    Scale shape: ONE corpus scan builds the word-freq table; the walk
+    runs over the VOCAB-SIZED word table in an Arrow-batched pandas
+    UDF against a broadcast piece list (per-word Python cost is
+    O(word length), corpus never crosses to Python); usage counts are
+    one vocab-sized aggregation."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint()
+    )
+
+    # the trained vocab: re-run the trainer (vocab-sized work) and
+    # assemble singles + merge winners exactly as the oracle does
+    merges = tokenizer_wordpiece_merges(spark, sf_dir).collect()
+    merged_pieces = [r["merged_pair"].replace(" ##", "") for r in merges]
+    singles = (
+        words.select(F.substring("word", 1, 1).alias("piece"))
+        .union(
+            words.filter(F.length("word") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(2, length(word)),"
+                        " i -> '##' || substring(word, i, 1))"
+                    )
+                ).alias("piece")
+            )
+        )
+        .distinct()
+    )
+    vocab = sorted(
+        {r["piece"] for r in singles.collect()} | set(merged_pieces)
+    )
+    # longest-match tables, initial vs continuation, sorted by stem
+    # length DESC so the first prefix hit IS the greedy choice
+    init_pieces = sorted(
+        [p for p in vocab if not p.startswith("##")],
+        key=lambda p: (-len(p), p),
+    )
+    cont_pieces = sorted(
+        [(p, p[2:]) for p in vocab if p.startswith("##")],
+        key=lambda ps: (-len(ps[1]), ps[0]),
+    )
+
+    def tok(w: str) -> list[str]:
+        out: list[str] = []
+        pos = 0
+        n = len(w)
+        while pos < n:
+            if pos == 0:
+                for p in init_pieces:
+                    if w.startswith(p):
+                        out.append(p)
+                        pos = len(p)
+                        break
+                else:
+                    raise ValueError(f"no initial piece for {w!r}")
+            else:
+                for p, stem in cont_pieces:
+                    if w.startswith(stem, pos):
+                        out.append(p)
+                        pos += len(stem)
+                        break
+                else:
+                    raise ValueError(f"no continuation piece for {w!r}")
+        return out
+
+    def wp_tokenize(batches):
+        for pdf in batches:
+            toks = pdf["word"].map(tok)
+            lens = toks.map(len)
+            yield pd.DataFrame(
+                {
+                    "piece": [p for ts in toks for p in ts],
+                    "freq": pdf["freq"].repeat(lens).to_numpy(),
+                }
+            )
+
+    pieces = words.select("word", "freq").mapInPandas(
+        wp_tokenize, "piece string, freq bigint"
+    )
+    out = pieces.groupBy("piece").agg(
+        F.sum("freq").cast("bigint").alias("n_uses")
+    )
+    # no-UNK coverage assert: consumed letters re-sum to corpus letters
+    consumed = out.agg(
+        F.sum(
+            F.length(F.regexp_replace("piece", "#", "")) * F.col("n_uses")
+        ).cast("long")
+    ).collect()[0][0]
+    total = words.agg(
+        F.sum(F.length("word") * F.col("freq")).cast("long")
+    ).collect()[0][0]
+    assert consumed == total, "wordpiece walk lost characters"
+    return out
