@@ -659,3 +659,86 @@ def test_unigram_trainer_estep_is_arrow_not_pickle(spark):
     plan = plan_str(df)
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_knn_graph_lsh_shuffles_buckets_not_pairs(spark):
+    """The full-graph kNN builder's only corpus-sized exchanges are the
+    (tbl, bucket) packing and the bounded edge relation — never an
+    all-pairs join: no CartesianProduct / BroadcastNestedLoopJoin
+    anywhere, hashing crosses to Python via Arrow (ArrowEvalPython),
+    and the per-node top-k window runs over the pruned edge relation
+    (≤ n_tables·k rows per node by the per-bucket partial top-k)."""
+    from reports_generator_spark.operators.similarity import knn_graph_lsh
+    from reports_generator_spark.sources import load_table
+
+    df = knn_graph_lsh(load_table(spark, SF_DIR, "embeddings"), k=3)
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan  # the matmul hashing pass
+    assert "MapInPandas" in plan, plan      # the bucket top-k kernel
+
+
+def test_vector_index_assignment_never_shuffles_vectors(spark):
+    """The persisted-index build/maintenance kernel is the IVF
+    discipline: broadcast centroid array + map-side argmax — the
+    vector relation must never hash-partition by vec_id (an append
+    batch's assignment is a pure map stage over the batch)."""
+    from reports_generator_spark.plans.similarity import _vix_assign
+    from reports_generator_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    hkey = "((vec_id % 2147483648) * 2654435761) % 1000003"
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy(F.expr(hkey).asc(), F.col("vec_id").asc())
+    from reports_generator_spark.operators.similarity import with_norm
+
+    cents = (
+        with_norm(emb, "embedding")
+        .orderBy(F.expr(hkey).asc(), F.col("vec_id").asc())
+        .limit(16)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("v_norm").alias("cnrm"),
+        )
+    )
+    plan = plan_str(_vix_assign(emb, cents))
+    ex_lines = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert not any("vec_id" in ln for ln in ex_lines), plan
+
+
+def test_wordpiece_trainer_rounds_are_vocab_sized(spark):
+    """The WordPiece round state is the word-frequency frame, not the
+    corpus: the per-round pair/symbol aggregations must read the
+    localCheckpointed vocab (zero FileScans in the round plan — the
+    corpus was scanned exactly once, before the loop)."""
+    from pyspark.sql import functions as F
+
+    from reports_generator_spark.plans.registry import QUERIES
+    from reports_generator_spark.sources import load_table
+    from reports_generator_spark.functions import tokens_col
+
+    docs = load_table(spark, SF_DIR, "documents")
+    words = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "sym",
+            F.concat(
+                F.lit(" "),
+                F.substring("word", 1, 1),
+                F.lit(" "),
+                F.regexp_replace(F.expr("substring(word, 2)"), "(.)", "##$1 "),
+            ),
+        )
+        .localCheckpoint()
+    )
+    pairs = words.select("freq", F.split(F.trim("sym"), " ").alias("a")).filter(
+        F.size("a") >= 2
+    )
+    plan = plan_str(pairs.groupBy("a").count(), "simple")
+    assert "FileScan" not in plan, plan
