@@ -291,6 +291,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # WordPiece inference (greedy longest-match under the trained
         # vocab, full value attestation via a recursive-CTE twin)
         "tokenizer_wordpiece_apply",
+        # PQ codes inside the persisted index: fully value-checked
+        # ADC top-k served from stored shards (codebook frozen at v1)
+        "vector_index_pq_codes",
     }
 )
 
