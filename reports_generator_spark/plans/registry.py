@@ -294,6 +294,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # PQ codes inside the persisted index: fully value-checked
         # ADC top-k served from stored shards (codebook frozen at v1)
         "vector_index_pq_codes",
+        # incremental LSH-kNN-graph maintenance: batch-only hashing vs
+        # stored postings, EXACT equality vs full rebuild attested
+        "embedding_knn_graph_incremental",
     }
 )
 

@@ -2409,3 +2409,271 @@ def vector_index_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PQ_TOPK)
         .select("query_id", "neighbor_id", "adc_micro", "rank")
     )
+
+
+@query(
+    "embedding_knn_graph_incremental",
+    oracle=f"""
+    SELECT CAST(count(*) FILTER (WHERE vec_id % 4 <> 0) AS BIGINT)
+             AS n_base_nodes,
+           CAST(count(*) FILTER (WHERE vec_id % 4 = 0) AS BIGINT)
+             AS n_batch_nodes,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           TRUE AS incremental_equals_rebuild_ok,
+           TRUE AS changed_subset_of_affected_ok,
+           TRUE AS batch_never_rehashes_base_ok,
+           TRUE AS degree_bounded_ok
+    FROM embeddings
+    """,
+)
+def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance of the LSH kNN graph — the
+    dedup_incremental_minhash discipline applied to
+    `embedding_knn_graph_lsh`: a new batch (vec_id % 4 == 0) updates
+    the stored graph by hashing ONLY ITSELF and joining against the
+    STORED bucket postings; the base corpus is never re-hashed and
+    never re-scored against itself.
+
+    Update rule, exact by the distributive-top-k identity
+    topk(A ∪ B) = topk(topk(A) ∪ B):
+    - a NEW node's edges = top-k over its co-bucketed candidates
+      (stored posting members + co-bucketed batch peers);
+    - an EXISTING node's edges = top-k over (its STORED top-k ∪ its
+      co-bucketed batch candidates) — bucket membership of old
+      vectors is unchanged (same seeded hyperplanes), so the stored
+      top-k stands in for the full old candidate set losslessly.
+    The key ATTESTS the identity rather than assuming it:
+    incremental_equals_rebuild_ok compares the maintained graph
+    row-for-row (ids, scores, ranks) against a full
+    `knn_graph_lsh` rebuild over the union corpus — exact equality,
+    not recall. changed_subset_of_affected_ok pins the locality
+    claim: every base node whose edge set changed had a batch
+    candidate (untouched nodes pass through byte-identically).
+    batch_never_rehashes_base_ok is structural — the incremental
+    plan's only Python crossings are the batch hashing pass and the
+    per-bucket delta kernel, asserted by checking the stored-posting
+    relation is consumed from its checkpoint (no second hashing of
+    base vectors exists in the maintained graph's lineage).
+
+    Scale shape: the batch hashes in one Arrow matmul over O(batch)
+    rows; candidates are bucket-equi-joined against stored postings
+    (the vector_index_incremental read path); per-bucket partial
+    top-k bounds emissions to ≤ tables·k per node; the merge window
+    runs over the linear edge relation. At 100 TB this is the
+    difference between nightly graph maintenance costing O(new data)
+    and O(corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.similarity import knn_graph_lsh, signlsh_codes_udf
+
+    P, L, SEED, K = 4, 12, 7, _KNN_GRAPH_K  # the knn_graph_lsh defaults
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corp = emb.filter(F.col("vec_id") % 4 != 0).select(
+        F.col("vec_id").cast("long").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    batch = emb.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").cast("long").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+
+    codes = signlsh_codes_udf(P, L, 64, SEED)
+    # --- the STORED state (in production: parquet shards of the index
+    # table, the vector_index_incremental pattern; here checkpointed
+    # relations so base lineage is provably severed from the update)
+    base_packed = (
+        base_corp.select(
+            "vid", "v", F.posexplode(codes(F.col("v"))).alias("tbl", "bucket")
+        )
+        .groupBy("tbl", "bucket")
+        .agg(F.collect_list(F.struct("vid", "v")).alias("base_vecs"))
+        .localCheckpoint()
+    )
+    g_base = (
+        knn_graph_lsh(
+            base_corp, id_col="vid", vec_col="v", k=K,
+            n_planes=P, n_tables=L, seed=SEED,
+        )
+        .select("node_id", "neighbor_id", "score")
+        .localCheckpoint()
+    )
+
+    # --- the INCREMENTAL pass: hash ONLY the batch, join stored postings
+    batch_packed = (
+        batch.select(
+            "vid", "v", F.posexplode(codes(F.col("v"))).alias("tbl", "bucket")
+        )
+        .groupBy("tbl", "bucket")
+        .agg(F.collect_list(F.struct("vid", "v")).alias("new_vecs"))
+    )
+    joined = batch_packed.join(base_packed, ["tbl", "bucket"], "left")
+
+    out_schema = StructType(
+        [
+            StructField("node_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("score", DoubleType()),
+            StructField("kind", StringType()),  # 'new' | 'delta'
+        ]
+    )
+
+    def delta_kernel(batches):
+        """Per bucket: score new×(old∪new); emit each NEW node's
+        per-bucket top-K among everyone, and each OLD node's
+        per-bucket top-K among the NEW members only."""
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                new = list(row["new_vecs"])
+                # pandas delivers the array column as np.ndarray (or a
+                # None/NaN scalar when the left join found no postings)
+                # — take an explicit list so truthiness is well-defined
+                bv = row["base_vecs"]
+                old = list(bv) if isinstance(bv, (list, np.ndarray)) else []
+                nids = np.array([x["vid"] for x in new], dtype=np.int64)
+                nmat = np.array([x["v"] for x in new], dtype=np.float64)
+                allids = np.concatenate(
+                    [nids, np.array([x["vid"] for x in old], dtype=np.int64)]
+                )
+                allmat = (
+                    np.vstack([nmat, np.array([x["v"] for x in old])])
+                    if old
+                    else nmat
+                )
+                nn = np.linalg.norm(nmat, axis=1)
+                na = np.linalg.norm(allmat, axis=1)
+                sim = (nmat @ allmat.T) / np.outer(nn, na)
+                sim = np.floor(sim * 10000 + 0.5) / 10000
+                sim[nids[:, None] == allids[None, :]] = -2.0
+                # NEW nodes: top-K among all bucket members
+                kk = min(K, sim.shape[1])
+                if kk > 0 and len(allids) > 1:
+                    order = np.lexsort(
+                        (allids[None, :].repeat(len(nids), 0), -sim), axis=1
+                    )[:, :kk]
+                    sc = np.take_along_axis(sim, order, axis=1).ravel()
+                    keep = sc > -2.0
+                    yield pd.DataFrame(
+                        {
+                            "node_id": np.repeat(nids, kk)[keep],
+                            "neighbor_id": allids[order.ravel()][keep],
+                            "score": sc[keep],
+                            "kind": "new",
+                        }
+                    )
+                # OLD nodes: top-K among the NEW members only
+                if old:
+                    simT = sim[:, len(nids):].T  # (n_old, n_new)
+                    oids = allids[len(nids):]
+                    kko = min(K, simT.shape[1])
+                    order = np.lexsort(
+                        (nids[None, :].repeat(len(oids), 0), -simT), axis=1
+                    )[:, :kko]
+                    sc = np.take_along_axis(simT, order, axis=1).ravel()
+                    keep = sc > -2.0
+                    yield pd.DataFrame(
+                        {
+                            "node_id": np.repeat(oids, kko)[keep],
+                            "neighbor_id": nids[order.ravel()][keep],
+                            "score": sc[keep],
+                            "kind": "delta",
+                        }
+                    )
+
+    emitted_plan = joined.mapInPandas(delta_kernel, out_schema)
+    # structural O(batch) claim: the update's lineage reads raw parquet
+    # exactly ONCE (the batch side); base vectors enter only through
+    # the CHECKPOINTED stored postings (their scan happened at index
+    # build time, not maintenance time)
+    n_scans = (
+        emitted_plan._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .count("FileScan parquet")
+    )
+    emitted = emitted_plan.localCheckpoint()
+    w = Window.partitionBy("node_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    new_edges = (
+        emitted.filter(F.col("kind") == "new")
+        .select("node_id", "neighbor_id", "score")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+    )
+    updated_base = (
+        g_base.unionByName(
+            emitted.filter(F.col("kind") == "delta").select(
+                "node_id", "neighbor_id", "score"
+            )
+        )
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+    )
+    incremental = new_edges.unionByName(updated_base).select(
+        "node_id",
+        "neighbor_id",
+        "score",
+        F.col("rank").cast("bigint").alias("rank"),
+    ).localCheckpoint()
+
+    # --- the attested identity: incremental == full rebuild
+    full = knn_graph_lsh(
+        emb.select(
+            F.col("vec_id").cast("long").alias("vid"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        ),
+        id_col="vid", vec_col="v", k=K, n_planes=P, n_tables=L, seed=SEED,
+    )
+    n_diff = (
+        incremental.exceptAll(full).unionAll(full.exceptAll(incremental)).count()
+    )
+
+    # locality: changed base nodes ⊆ nodes with a batch candidate
+    affected = (
+        emitted.filter(F.col("kind") == "delta").select("node_id").distinct()
+    )
+    inc_base = incremental.join(
+        batch.select(F.col("vid").alias("node_id")), "node_id", "left_anti"
+    ).select("node_id", "neighbor_id", "score")
+    g_base_ranked = (
+        g_base.distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("node_id", "neighbor_id", "score")
+    )
+    changed = (
+        inc_base.exceptAll(g_base_ranked)
+        .unionAll(g_base_ranked.exceptAll(inc_base))
+        .select("node_id")
+        .distinct()
+    )
+    n_changed_unaffected = changed.join(affected, "node_id", "left_anti").count()
+
+    max_deg = (
+        incremental.groupBy("node_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    n_base = base_corp.count()
+    n_batch = batch.count()
+
+    no_rescan = n_scans == 1  # captured pre-checkpoint, above
+
+    return spark.range(1).select(
+        F.lit(n_base).cast("bigint").alias("n_base_nodes"),
+        F.lit(n_batch).cast("bigint").alias("n_batch_nodes"),
+        F.lit(n_base + n_batch).cast("bigint").alias("n_nodes"),
+        F.lit(n_diff == 0).alias("incremental_equals_rebuild_ok"),
+        F.lit(n_changed_unaffected == 0).alias("changed_subset_of_affected_ok"),
+        F.lit(no_rescan).alias("batch_never_rehashes_base_ok"),
+        F.lit(max_deg is not None and max_deg <= K).alias("degree_bounded_ok"),
+    )
