@@ -253,50 +253,26 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "stream_topk_incremental", "embedding_knn_graph_topk",
         "sink_report_stream_python_datasource",
         "embedding_knn_graph_clusters",
+        # --- round 12 green (CORRECTNESS_r12.json: 50/50 hash-match) ---
+        # the 15 round-12 window keys (6 were oracle-text re-attests and
+        # 2 plan-change re-attests already listed above; the 7 first-time
+        # greens are listed here)
+        "embedding_knn_graph_lsh", "tokenizer_wordpiece_merges",
+        "vector_index_incremental", "stream_vector_index_append",
+        "tokenizer_wordpiece_apply", "vector_index_pq_codes",
+        "embedding_knn_graph_incremental",
     }
 )
 
 
 #: Keys whose ATTESTATION must (re-)run through the driver's bounded
-#: 50-key window in the CURRENT round (round 12), so they sort FIRST:
-#: every NEW round-12 key, plus any key whose oracle TEXT or plan
+#: 50-key window in the CURRENT round (round 13), so they sort FIRST:
+#: every NEW round-13 key, plus any key whose oracle TEXT or plan
 #: changed this round (the r8 rule: an oracle edit invalidates the
 #: earlier green; the r9 convention re-attests plan changes too).
 _ADDED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # round-12 window: filled as keys land this round.
-        # ADVICE r11 (low): the oracle TEXT of these six keys changed in
-        # round 11 ('WITH toks AS MATERIALIZED' hint) without a re-attest.
-        # Per the r8 rule an oracle edit invalidates the earlier green even
-        # when semantically neutral — queued for re-attestation here.
-        "array_map_fns", "text_tfidf", "text_bm25", "ngram_topk",
-        "text_unigram_lm_perplexity", "text_bigram_lm_kneser_ney",
-        # VERDICT r11 item 1: FULL-graph kNN via banded sign-LSH
-        # candidates (recall-attested vs the exact stratum edges,
-        # mutual-prune -> star-CC composed on the full graph)
-        "embedding_knn_graph_lsh",
-        # plan-change re-attests: the exact stratum scorer moved from
-        # the interpreted `_dot` HOF cross to a broadcast Arrow matmul
-        # with per-batch partial top-k (101 s -> ~8 s at sf1)
-        "embedding_knn_graph_topk", "embedding_knn_graph_clusters",
-        # VERDICT r11 item 6: WordPiece trainer (likelihood-scored
-        # merges, unrolled DuckDB twin) completes the trainer trio
-        "tokenizer_wordpiece_merges",
-        # VERDICT r11 item 7: persisted IVF index + OCC incremental
-        # maintenance, served-vs-recomputed attested
-        "vector_index_incremental",
-        # streaming maintenance of the persisted index: micro-batch
-        # appends as idempotent OCC commits (manifest-as-txn-record)
-        "stream_vector_index_append",
-        # WordPiece inference (greedy longest-match under the trained
-        # vocab, full value attestation via a recursive-CTE twin)
-        "tokenizer_wordpiece_apply",
-        # PQ codes inside the persisted index: fully value-checked
-        # ADC top-k served from stored shards (codebook frozen at v1)
-        "vector_index_pq_codes",
-        # incremental LSH-kNN-graph maintenance: batch-only hashing vs
-        # stored postings, EXACT equality vs full rebuild attested
-        "embedding_knn_graph_incremental",
+        # round-13 window: filled as keys land this round.
     }
 )
 
