@@ -407,35 +407,128 @@ def embedding_neardup_blocked(
     return block_pairs.mapInPandas(score_blocks, out_schema)
 
 
+def lsh_auto_params(
+    n_rows: int,
+    base_planes: int,
+    base_tables: int,
+    p_ref: float,
+    target_bucket: int = 128,
+) -> tuple[int, int]:
+    """Corpus-size-scaled sign-LSH parameters (planes P, tables L).
+
+    With FIXED plane count, expected bucket size grows linearly with
+    the corpus, so per-bucket candidate pairs grow QUADRATICALLY —
+    the round-12 sf1→sf10 probe measured ~100× candidates on 10× data.
+    The fix is the textbook one: P = max(base, ⌈log₂(n / target)⌉)
+    keeps E[bucket] ≈ target, and L is re-solved so the pairwise miss
+    probability at the reference cosine's per-plane agreement p_ref
+    stays at the base operating point: (1-p^P)^L ≤ (1-p^base_P)^base_L.
+    Candidate volume then scales as L·n·target ∝ n^(1+log₂(1/p_ref))
+    — sub-quadratic (e.g. n^1.33 at p_ref 0.795, n^1.59 at 2/3) —
+    instead of n².
+
+    At every attestation/bench fixture (≤ 2 000 vectors) the formula
+    returns the base parameters unchanged, so attested recall gates
+    and bench numbers are parameter-identical; the scaling engages
+    from ~10⁴ rows upward (sf1 fixtures and beyond).
+    """
+    if n_rows <= target_bucket:
+        return base_planes, base_tables
+    P = max(base_planes, math.ceil(math.log2(n_rows / target_bucket)))
+    if P <= base_planes:
+        return base_planes, base_tables
+    miss = (1.0 - p_ref**base_planes) ** base_tables
+    L = math.ceil(math.log(miss) / math.log(1.0 - p_ref**P))
+    return P, max(base_tables, L)
+
+
+#: Max vectors packed into one scoring row: bounds every per-task
+#: matrix to chunk_cap² scores (~32 MB of float64 at 2048) no matter
+#: how skewed a bucket is — a hot bucket becomes ⌈m/cap⌉² cooperating
+#: tasks instead of one straggler holding an m² matrix.
+LSH_CHUNK_CAP = 2048
+
+
+def _pack_lsh_chunks(hashed: DataFrame, chunk_cap: int) -> DataFrame:
+    """(vid, v, tbl, bucket) → one row per (tbl, bucket, chk) with a
+    bounded vecs list.
+
+    Chunk count is ⌈bucket_size/cap⌉ (a count() over the unordered
+    (tbl, bucket) window — the same hash exchange the pack groupBy
+    needs, so Spark inserts no second shuffle); chunk assignment is a
+    deterministic multiplicative hash of vid, so a vector's chunk is
+    stable across runs and across incremental-maintenance batches.
+    """
+    wb = Window.partitionBy("tbl", "bucket")
+    nch = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.count(F.lit(1)).over(wb) / F.lit(chunk_cap)).cast("long"),
+    )
+    chk = F.pmod(
+        F.pmod(F.col("vid"), F.lit(2147483648)) * F.lit(2654435761), nch
+    ).cast("int")
+    return (
+        hashed.withColumn("chk", chk)
+        .groupBy("tbl", "bucket", "chk")
+        .agg(F.collect_list(F.struct("vid", "v")).alias("vecs"))
+    )
+
+
+def _lsh_chunk_pairs(packed: DataFrame) -> DataFrame:
+    """Self-join chunks within each (tbl, bucket): every unordered
+    chunk pair once (chk_a ≤ chk_b) — an equi-join on the bucket key,
+    hash-partitionable at any scale, never a cartesian product."""
+    pa = packed.select(
+        "tbl",
+        "bucket",
+        F.col("chk").alias("chk_a"),
+        F.col("vecs").alias("vecs_a"),
+    )
+    pb = packed.select(
+        "tbl",
+        "bucket",
+        F.col("chk").alias("chk_b"),
+        F.col("vecs").alias("vecs_b"),
+    )
+    return pa.join(pb, ["tbl", "bucket"]).filter(F.col("chk_a") <= F.col("chk_b"))
+
+
 def embedding_neardup_lsh(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.38,
-    n_planes: int = 5,
-    n_tables: int = 6,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     dim: int = 64,
     seed: int = 7,
+    chunk_cap: int = LSH_CHUNK_CAP,
+    target_bucket: int = 128,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold with a sign-LSH prefilter — the
     100 TB path of `embedding_neardup_blocked`.
 
-    Default 5 planes × 6 tables: for a cosine-0.8 pair the per-plane
+    Base 5 planes × 6 tables: for a cosine-0.8 pair the per-plane
     agreement is p = 1 − arccos(0.8)/π ≈ 0.795, so miss probability is
     (1 − p⁵)⁶ ≈ 0.10 — ~0.9 worst-case recall at the usual dedup
-    thresholds, while candidates still shrink by ~bucket-count per
-    table.
+    thresholds. Pass n_planes/n_tables=None (the default) and both
+    scale with corpus size via `lsh_auto_params` (p_ref 0.795, the
+    recall-reference cosine): expected bucket size stays ≈
+    target_bucket, the operating-point miss probability is preserved
+    by raising table count alongside plane count, and candidate
+    volume grows ~n^1.33 instead of n².
 
-    Candidate pairs must share a bucket in ≥1 of n_tables hash tables
-    (n_planes hyperplanes each); every (table, bucket) group is scored
-    by the same vectorized numpy matmul kernel. Shuffle volume is
-    n_tables × corpus rows keyed by (tbl, bucket) — versus B× for the
-    all-pairs blocked variant — and candidate volume drops from O(n²)
-    to Σ bucket². Recall follows the LSH S-curve (miss probability
-    (1 - p^P)^L for per-plane agreement p); raise n_tables or lower
-    n_planes to trade cost for recall. A pair colliding in several
-    tables scores identically in each (deterministic dround), so the
-    final distinct() is exact, not a heuristic.
+    Candidate pairs must share a bucket in ≥1 of n_tables hash tables;
+    every (table, bucket, chunk-pair) becomes one bounded numpy-matmul
+    task (`_pack_lsh_chunks`: no bucket ever packs more than chunk_cap
+    vectors into one row, so a skewed hot bucket is ⌈m/cap⌉² parallel
+    tasks, not one straggler). Shuffle volume is n_tables × corpus
+    rows keyed by (tbl, bucket); candidate volume is Σ bucket². A pair
+    colliding in several tables/chunk-pairs is collapsed by a
+    (id_a, id_b) groupBy taking max(cosine) — NOT distinct(), so no
+    bitwise-reproducibility assumption on BLAS summation order is
+    needed (collisions score equal up to reassociation; max picks one
+    deterministically).
     """
     import numpy as np
     import pandas as pd
@@ -447,6 +540,13 @@ def embedding_neardup_lsh(
         StructType,
     )
 
+    if n_planes is None or n_tables is None:
+        auto_p, auto_t = lsh_auto_params(
+            emb.count(), 5, 6, p_ref=0.795, target_bucket=target_bucket
+        )
+        n_planes = n_planes if n_planes is not None else auto_p
+        n_tables = n_tables if n_tables is not None else auto_t
+
     base = emb.select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -457,9 +557,7 @@ def embedding_neardup_lsh(
     hashed = base.select(
         "vid", "v", F.posexplode(codes(F.col("v"))).alias("tbl", "bucket")
     )
-    packed = hashed.groupBy("tbl", "bucket").agg(
-        F.collect_list(F.struct("vid", "v")).alias("vecs")
-    )
+    pairs = _lsh_chunk_pairs(_pack_lsh_chunks(hashed, chunk_cap))
 
     out_schema = StructType(
         [
@@ -469,28 +567,42 @@ def embedding_neardup_lsh(
         ]
     )
 
-    def score_buckets(batches):
+    def score_chunk_pairs(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
-                vecs = row["vecs"]
-                if len(vecs) < 2:
-                    continue
-                ids = np.array([x["vid"] for x in vecs], dtype=np.int64)
-                mat = np.array([x["v"] for x in vecs], dtype=np.float64)
-                nrm = np.linalg.norm(mat, axis=1)
-                sim = (mat @ mat.T) / np.outer(nrm, nrm)
+                same = row["chk_a"] == row["chk_b"]
+                va = row["vecs_a"]
+                ids_a = np.array([x["vid"] for x in va], dtype=np.int64)
+                mat_a = np.array([x["v"] for x in va], dtype=np.float64)
+                if same:
+                    if len(va) < 2:
+                        continue
+                    ids_b, mat_b = ids_a, mat_a
+                else:
+                    vb = row["vecs_b"]
+                    ids_b = np.array([x["vid"] for x in vb], dtype=np.int64)
+                    mat_b = np.array([x["v"] for x in vb], dtype=np.float64)
+                na = np.linalg.norm(mat_a, axis=1)
+                nb = np.linalg.norm(mat_b, axis=1)
+                sim = (mat_a @ mat_b.T) / np.outer(na, nb)
                 sim = np.floor(sim * 10000 + 0.5) / 10000  # dround(4)
                 ia, ib = np.nonzero(sim >= threshold)
-                keep = ids[ia] < ids[ib]  # ordered half, no diagonal
-                yield pd.DataFrame(
-                    {
-                        "id_a": ids[ia][keep],
-                        "id_b": ids[ib][keep],
-                        "cosine": sim[ia, ib][keep],
-                    }
-                )
+                lhs, rhs = ids_a[ia], ids_b[ib]
+                if same:
+                    keep = lhs < rhs  # ordered half, no diagonal
+                    lo, hi, sc = lhs[keep], rhs[keep], sim[ia, ib][keep]
+                else:
+                    # disjoint chunks: each pair once; normalize order
+                    lo = np.minimum(lhs, rhs)
+                    hi = np.maximum(lhs, rhs)
+                    sc = sim[ia, ib]
+                yield pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sc})
 
-    return packed.mapInPandas(score_buckets, out_schema).distinct()
+    return (
+        pairs.mapInPandas(score_chunk_pairs, out_schema)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
 
 
 def knn_graph_lsh(
@@ -498,10 +610,12 @@ def knn_graph_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    n_planes: int = 4,
-    n_tables: int = 12,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     dim: int = 64,
     seed: int = 7,
+    chunk_cap: int = LSH_CHUNK_CAP,
+    target_bucket: int = 128,
 ) -> DataFrame:
     """Approximate kNN graph for EVERY corpus node via banded sign-LSH
     candidates — the full-graph materialization of
@@ -520,23 +634,37 @@ def knn_graph_lsh(
       (`signlsh_codes_udf`); vectors never cross to Python row-wise;
     - shuffle volume is n_tables × corpus keyed by (tbl, bucket) —
       never all-pairs;
-    - each bucket emits AT MOST k edges per member (map-side partial
-      top-k inside the matmul kernel): global top-k over a node's
-      candidate-set union equals top-k over the union of its
-      per-bucket top-k lists (a candidate's rank within any shared
-      bucket lower-bounds its rank in the union — the standard
-      distributive-top-k argument), so the edge shuffle is
-      ≤ n_tables·k rows per node, LINEAR in the corpus;
-    - a pair colliding in several tables scores identically in each
-      (deterministic dround), so the distinct() is exact;
+    - each chunk-pair emits AT MOST k edges per member (map-side
+      partial top-k inside the matmul kernel): global top-k over a
+      node's candidate-set union equals top-k over the union of its
+      per-chunk-pair top-k lists (a candidate's rank within any
+      shared chunk-pair lower-bounds its rank in the union — the
+      standard distributive-top-k argument), so the edge shuffle is
+      ≤ n_tables·⌈bucket/chunk_cap⌉·k rows per node — linear in the
+      corpus while buckets hold the `lsh_auto_params` target;
+    - collisions across tables/chunk-pairs are collapsed by a
+      (node_id, neighbor_id) groupBy taking max(score) — NOT
+      distinct(), so no bitwise-reproducibility assumption on BLAS
+      summation order is needed;
     - the final per-node top-k is one hash-partitioned window over
       that linear edge relation.
 
-    Default 4 planes × 12 tables: measured pooled recall@3 vs the
-    exact stratum edges is 0.85–0.89 on every fixture SF (all
-    strong edges ≥ 0.5 cosine found, coverage 1.0); lower n_planes /
-    raise n_tables to trade candidate volume for recall, as with
-    `embedding_neardup_lsh`.
+    Base 4 planes × 12 tables: measured pooled recall@3 vs the exact
+    stratum edges is 0.85–0.89 on every fixture SF (all strong edges
+    ≥ 0.5 cosine found, coverage 1.0). Pass n_planes/n_tables=None
+    (the default) and both scale with corpus size via
+    `lsh_auto_params` (p_ref = 1 − arccos(0.5)/π = 2/3, the
+    strong-edge cosine): bucket size stays bounded, the strong-edge
+    miss probability holds at the base operating point, and candidate
+    volume grows ~n^1.59 instead of n². Per-bucket work is chunked
+    (`_pack_lsh_chunks`) so a skewed hot bucket parallelizes instead
+    of becoming one straggler task; the per-chunk-pair partial top-k
+    keeps the distributive argument (rank within a chunk-pair
+    lower-bounds rank within the bucket, which lower-bounds rank in
+    the candidate union). Scores use round-half-away-from-zero
+    (`np_dround`) — the knn-family oracles say round(expr, 4), and a
+    negative cosine on a half-grid point must round identically
+    cross-engine or a top-k tie flips.
     """
     import numpy as np
     import pandas as pd
@@ -548,6 +676,15 @@ def knn_graph_lsh(
         StructType,
     )
 
+    from ..functions.rounding import np_dround
+
+    if n_planes is None or n_tables is None:
+        auto_p, auto_t = lsh_auto_params(
+            emb.count(), 4, 12, p_ref=2.0 / 3.0, target_bucket=target_bucket
+        )
+        n_planes = n_planes if n_planes is not None else auto_p
+        n_tables = n_tables if n_tables is not None else auto_t
+
     base = emb.select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -556,9 +693,7 @@ def knn_graph_lsh(
     hashed = base.select(
         "vid", "v", F.posexplode(codes(F.col("v"))).alias("tbl", "bucket")
     )
-    packed = hashed.groupBy("tbl", "bucket").agg(
-        F.collect_list(F.struct("vid", "v")).alias("vecs")
-    )
+    pairs = _lsh_chunk_pairs(_pack_lsh_chunks(hashed, chunk_cap))
 
     out_schema = StructType(
         [
@@ -568,37 +703,55 @@ def knn_graph_lsh(
         ]
     )
 
-    def bucket_topk(batches):
+    def _rows_topk(row_ids, col_ids, sim, kk):
+        """Per-row top-kk by (score desc, id asc) over one score
+        matrix; -2.0 sentinel rows (self/padding) are dropped."""
+        order = np.lexsort(
+            (col_ids[None, :].repeat(len(row_ids), 0), -sim), axis=1
+        )[:, :kk]
+        sc = np.take_along_axis(sim, order, axis=1).ravel()
+        keep = sc > -2.0
+        return pd.DataFrame(
+            {
+                "node_id": np.repeat(row_ids, kk)[keep],
+                "neighbor_id": col_ids[order.ravel()][keep],
+                "score": sc[keep],
+            }
+        )
+
+    def chunk_pair_topk(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
-                vecs = row["vecs"]
-                if len(vecs) < 2:
-                    continue
-                ids = np.array([x["vid"] for x in vecs], dtype=np.int64)
-                mat = np.array([x["v"] for x in vecs], dtype=np.float64)
-                nrm = np.linalg.norm(mat, axis=1)
-                sim = (mat @ mat.T) / np.outer(nrm, nrm)
-                sim = np.floor(sim * 10000 + 0.5) / 10000  # dround(4)
-                np.fill_diagonal(sim, -2.0)  # exclude self
-                m = len(ids)
-                kk = min(k, m - 1)
-                # per-row top-kk by (score desc, id asc): lexsort on
-                # (-score, id) gives each row's candidate order
-                order = np.lexsort((ids[None, :].repeat(m, 0), -sim), axis=1)
-                top = order[:, :kk]  # (m, kk) column indices
-                src = np.repeat(ids, kk)
-                dst = ids[top.ravel()]
-                sc = np.take_along_axis(sim, top, axis=1).ravel()
-                keep = sc > -2.0  # drop the self-sentinel padding rows
-                yield pd.DataFrame(
-                    {
-                        "node_id": src[keep],
-                        "neighbor_id": dst[keep],
-                        "score": sc[keep],
-                    }
-                )
+                same = row["chk_a"] == row["chk_b"]
+                va = row["vecs_a"]
+                ids_a = np.array([x["vid"] for x in va], dtype=np.int64)
+                mat_a = np.array([x["v"] for x in va], dtype=np.float64)
+                if same:
+                    if len(va) < 2:
+                        continue
+                    na = np.linalg.norm(mat_a, axis=1)
+                    sim = (mat_a @ mat_a.T) / np.outer(na, na)
+                    sim = np_dround(sim, 4)
+                    np.fill_diagonal(sim, -2.0)  # exclude self
+                    kk = min(k, len(ids_a) - 1)
+                    yield _rows_topk(ids_a, ids_a, sim, kk)
+                else:
+                    vb = row["vecs_b"]
+                    ids_b = np.array([x["vid"] for x in vb], dtype=np.int64)
+                    mat_b = np.array([x["v"] for x in vb], dtype=np.float64)
+                    na = np.linalg.norm(mat_a, axis=1)
+                    nb = np.linalg.norm(mat_b, axis=1)
+                    sim = (mat_a @ mat_b.T) / np.outer(na, nb)
+                    sim = np_dround(sim, 4)
+                    # disjoint chunks: no diagonal; emit BOTH directions
+                    yield _rows_topk(ids_a, ids_b, sim, min(k, len(ids_b)))
+                    yield _rows_topk(ids_b, ids_a, sim.T, min(k, len(ids_a)))
 
-    edges = packed.mapInPandas(bucket_topk, out_schema).distinct()
+    edges = (
+        pairs.mapInPandas(chunk_pair_topk, out_schema)
+        .groupBy("node_id", "neighbor_id")
+        .agg(F.max("score").alias("score"))
+    )
     w = Window.partitionBy("node_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )

@@ -273,6 +273,23 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
 _ADDED_THIS_ROUND: frozenset[str] = frozenset(
     {
         # round-13 window: filled as keys land this round.
+        # VERDICT r12 item 1 + ADVICE r12: the sign-LSH family got
+        # bucket-size discipline (lsh_auto_params corpus-scaled
+        # planes/tables + chunked per-bucket scoring), groupBy-max
+        # collision collapse instead of distinct(), and the knn-family
+        # kernels moved to round-half-away-from-zero (np_dround,
+        # matching the oracles' round(expr,4)) — plan-change
+        # re-attests per the r9 convention:
+        "embedding_neardup_lsh",
+        "embedding_knn_graph_lsh",
+        "embedding_knn_graph_topk",
+        "embedding_knn_graph_clusters",
+        "embedding_knn_graph_incremental",
+        # ADVICE r12 (medium): shard writes now mode("overwrite"); the
+        # pre-commit crash window is attested via a planted orphan
+        # shard (new precommit_crash_recovered_ok column — oracle TEXT
+        # changed, so the r8 rule applies too)
+        "stream_vector_index_append",
     }
 )
 

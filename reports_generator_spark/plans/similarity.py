@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import dround
+from ..functions.rounding import dround, np_dround
 from ..operators.similarity import cosine_topk, cosine_topk_lsh, embedding_neardup
 from ..sources import load_table
 from .registry import query
@@ -1376,7 +1376,11 @@ def _knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             mat = np.array(pdf["v"].tolist(), dtype=np.float64)
             nrm = np.linalg.norm(mat, axis=1)
             sim = (qmat @ mat.T) / np.outer(qnrm, nrm)  # (Q, B)
-            sim = np.floor(sim * 10000 + 0.5) / 10000  # dround(4)
+            # round-half-away-from-zero: the oracle says round(expr, 4)
+            # (DuckDB std::round), and floor(x·1e4+0.5) would send a
+            # negative exact half toward +inf instead — a cross-engine
+            # tie-flip on any half-grid cosine (functions.rounding)
+            sim = np_dround(sim, 4)
             sim[qids[:, None] == ids[None, :]] = -2.0  # exclude self
             kk = min(k, sim.shape[1])
             order = np.lexsort(
@@ -2013,6 +2017,7 @@ def vector_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS index_content_matches_recompute_ok,
            TRUE AS served_equals_recompute_ok,
            TRUE AS replay_suppressed_ok,
+           TRUE AS precommit_crash_recovered_ok,
            TRUE AS occ_versions_ok,
            TRUE AS recall_ok
     FROM exact
@@ -2045,6 +2050,11 @@ def stream_vector_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
       the same plan over the fresh assignment;
     - replay_suppressed_ok: re-delivering epoch 1 leaves the version
       count unchanged (and no duplicate postings exist);
+    - precommit_crash_recovered_ok: the OTHER crash window — shards
+      staged, commit never happened — is driven by planting a
+      truncated orphan vec_e0/idx_e0 before the stream starts; the
+      retried micro-batch re-stages over it (mode overwrite) and the
+      final shard holds exactly the slice-0 rows;
     - occ_versions_ok: log is exactly v1..v4, head = v1 + the six
       streamed shards;
     - recall_ok: served top-k vs exact ≥ 0.2 (the ANN floor)."""
@@ -2109,10 +2119,17 @@ def stream_vector_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         latest = _log_versions(base)[-1]
         if f"idx_e{batch_id}" in set(_log_read(base, latest)):
             return  # replay: this epoch's shards are already committed
-        batch_df.write.parquet(os.path.join(data, f"vec_e{batch_id}"))
+        # mode("overwrite"): a crash BETWEEN the shard write and the
+        # OCC commit leaves orphan dirs no manifest references; the
+        # at-least-once retry must re-stage over them, not die on
+        # 'path already exists' (the r12 advice — the staged epoch-0
+        # orphan below drives exactly that window)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(data, f"vec_e{batch_id}")
+        )
         _vix_assign(
             spark.read.parquet(os.path.join(data, f"vec_e{batch_id}")), cents
-        ).write.parquet(os.path.join(data, f"idx_e{batch_id}"))
+        ).write.mode("overwrite").parquet(os.path.join(data, f"idx_e{batch_id}"))
         commit_with_conflict_detection(
             base,
             latest,
@@ -2120,6 +2137,17 @@ def stream_vector_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             remove=[],
             read_set={"centroids_v1"},
         )
+
+    # PRE-COMMIT CRASH WINDOW: stage a TRUNCATED orphan for epoch 0 —
+    # shard dirs written, no manifest entry (a crash between the shard
+    # write and the commit). The stream's epoch-0 delivery is then a
+    # retry into dirty dirs: errorifexists would abort the whole query
+    # here; mode("overwrite") re-stages cleanly, and the content
+    # checks below prove the orphan bytes are gone (a truncated shard
+    # surviving would fail index_content_matches_recompute_ok too).
+    orphan = s.read.parquet(os.path.join(src, "slice-0.parquet")).limit(1)
+    orphan.write.parquet(os.path.join(data, "vec_e0"))
+    _vix_assign(orphan, cents).write.parquet(os.path.join(data, "idx_e0"))
 
     schema = s.read.parquet(src).schema
     q = (
@@ -2133,6 +2161,10 @@ def stream_vector_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     versions_before_replay = _log_versions(base)
+    # the staged orphan was fully replaced by the retried micro-batch
+    n_e0 = spark.read.parquet(os.path.join(data, "vec_e0")).count()
+    n_slice0 = s.read.parquet(os.path.join(src, "slice-0.parquet")).count()
+    precommit_ok = n_e0 == n_slice0 and n_slice0 > 1
 
     # THE REPLAY: re-deliver epoch 1 (crash-before-checkpoint-ack path)
     append_epoch(s.read.parquet(os.path.join(src, "slice-1.parquet")), 1)
@@ -2186,6 +2218,7 @@ def stream_vector_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(idx_diff == 0).alias("index_content_matches_recompute_ok"),
         F.lit(n_serve_diff == 0).alias("served_equals_recompute_ok"),
         F.lit(replay_ok).alias("replay_suppressed_ok"),
+        F.lit(precommit_ok).alias("precommit_crash_recovered_ok"),
         F.lit(occ_ok).alias("occ_versions_ok"),
         F.lit(m.n_found >= 0.2 * m.n_exact).alias("recall_ok"),
     )
@@ -2473,9 +2506,17 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         StructType,
     )
 
-    from ..operators.similarity import knn_graph_lsh, signlsh_codes_udf
+    from ..operators.similarity import (
+        LSH_CHUNK_CAP,
+        _pack_lsh_chunks,
+        knn_graph_lsh,
+        signlsh_codes_udf,
+    )
 
-    P, L, SEED, K = 4, 12, 7, _KNN_GRAPH_K  # the knn_graph_lsh defaults
+    P, L, SEED, K = 4, 12, 7, _KNN_GRAPH_K  # the knn_graph_lsh base params
+    # (pinned, not auto-scaled: plane count is part of the PERSISTED
+    # index — a maintenance pass must hash with the planes the stored
+    # postings were built with; re-planing is the rebuild key's job)
     emb = load_table(spark, sf_dir, "embeddings")
     base_corp = emb.filter(F.col("vec_id") % 4 != 0).select(
         F.col("vec_id").cast("long").alias("vid"),
@@ -2490,12 +2531,18 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     # --- the STORED state (in production: parquet shards of the index
     # table, the vector_index_incremental pattern; here checkpointed
     # relations so base lineage is provably severed from the update)
+    # stored postings are CHUNKED exactly like the batch builder
+    # (_pack_lsh_chunks): no bucket ever persists more than chunk_cap
+    # vectors in one posting row, so a hot bucket's maintenance scoring
+    # parallelizes across chunk rows instead of one straggler task
     base_packed = (
-        base_corp.select(
-            "vid", "v", F.posexplode(codes(F.col("v"))).alias("tbl", "bucket")
+        _pack_lsh_chunks(
+            base_corp.select(
+                "vid", "v", F.posexplode(codes(F.col("v"))).alias("tbl", "bucket")
+            ),
+            LSH_CHUNK_CAP,
         )
-        .groupBy("tbl", "bucket")
-        .agg(F.collect_list(F.struct("vid", "v")).alias("base_vecs"))
+        .withColumnRenamed("vecs", "base_vecs")
         .localCheckpoint()
     )
     g_base = (
@@ -2515,7 +2562,17 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("tbl", "bucket")
         .agg(F.collect_list(F.struct("vid", "v")).alias("new_vecs"))
     )
-    joined = batch_packed.join(base_packed, ["tbl", "bucket"], "left")
+    # one row per (bucket × stored posting chunk); exactly ONE row per
+    # bucket (the lowest chunk, or the postings-less row) additionally
+    # scores the batch against itself — new×new pairs once, not per
+    # chunk row
+    w_self = Window.partitionBy("tbl", "bucket").orderBy(
+        F.col("chk").asc_nulls_first()
+    )
+    joined = (
+        batch_packed.join(base_packed, ["tbl", "bucket"], "left")
+        .withColumn("self_row", F.row_number().over(w_self) == 1)
+    )
 
     out_schema = StructType(
         [
@@ -2526,10 +2583,31 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         ]
     )
 
+    def _rows_topk(row_ids, col_ids, sim, kk, kind):
+        order = np.lexsort(
+            (col_ids[None, :].repeat(len(row_ids), 0), -sim), axis=1
+        )[:, :kk]
+        sc = np.take_along_axis(sim, order, axis=1).ravel()
+        keep = sc > -2.0
+        return pd.DataFrame(
+            {
+                "node_id": np.repeat(row_ids, kk)[keep],
+                "neighbor_id": col_ids[order.ravel()][keep],
+                "score": sc[keep],
+                "kind": kind,
+            }
+        )
+
     def delta_kernel(batches):
-        """Per bucket: score new×(old∪new); emit each NEW node's
-        per-bucket top-K among everyone, and each OLD node's
-        per-bucket top-K among the NEW members only."""
+        """Per (bucket × posting chunk) row: score new×old_chunk both
+        directions (NEW nodes collect per-chunk top-K candidates, OLD
+        nodes their top-K among the NEW members); the bucket's single
+        self_row additionally scores new×new once. The downstream
+        (node, neighbor) groupBy + rank window merges the per-row
+        partial top-K lists — exact by the distributive-top-k
+        identity. Scores are round-half-away-from-zero (np_dround):
+        the rebuild twin and the exact-key oracles use round(expr, 4).
+        """
         for pdf in batches:
             for _, row in pdf.iterrows():
                 new = list(row["new_vecs"])
@@ -2540,52 +2618,25 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
                 old = list(bv) if isinstance(bv, (list, np.ndarray)) else []
                 nids = np.array([x["vid"] for x in new], dtype=np.int64)
                 nmat = np.array([x["v"] for x in new], dtype=np.float64)
-                allids = np.concatenate(
-                    [nids, np.array([x["vid"] for x in old], dtype=np.int64)]
-                )
-                allmat = (
-                    np.vstack([nmat, np.array([x["v"] for x in old])])
-                    if old
-                    else nmat
-                )
                 nn = np.linalg.norm(nmat, axis=1)
-                na = np.linalg.norm(allmat, axis=1)
-                sim = (nmat @ allmat.T) / np.outer(nn, na)
-                sim = np.floor(sim * 10000 + 0.5) / 10000
-                sim[nids[:, None] == allids[None, :]] = -2.0
-                # NEW nodes: top-K among all bucket members
-                kk = min(K, sim.shape[1])
-                if kk > 0 and len(allids) > 1:
-                    order = np.lexsort(
-                        (allids[None, :].repeat(len(nids), 0), -sim), axis=1
-                    )[:, :kk]
-                    sc = np.take_along_axis(sim, order, axis=1).ravel()
-                    keep = sc > -2.0
-                    yield pd.DataFrame(
-                        {
-                            "node_id": np.repeat(nids, kk)[keep],
-                            "neighbor_id": allids[order.ravel()][keep],
-                            "score": sc[keep],
-                            "kind": "new",
-                        }
+                if row["self_row"] and len(new) > 1:
+                    sim = (nmat @ nmat.T) / np.outer(nn, nn)
+                    sim = np_dround(sim, 4)
+                    np.fill_diagonal(sim, -2.0)
+                    yield _rows_topk(
+                        nids, nids, sim, min(K, len(nids) - 1), "new"
                     )
-                # OLD nodes: top-K among the NEW members only
                 if old:
-                    simT = sim[:, len(nids):].T  # (n_old, n_new)
-                    oids = allids[len(nids):]
-                    kko = min(K, simT.shape[1])
-                    order = np.lexsort(
-                        (nids[None, :].repeat(len(oids), 0), -simT), axis=1
-                    )[:, :kko]
-                    sc = np.take_along_axis(simT, order, axis=1).ravel()
-                    keep = sc > -2.0
-                    yield pd.DataFrame(
-                        {
-                            "node_id": np.repeat(oids, kko)[keep],
-                            "neighbor_id": nids[order.ravel()][keep],
-                            "score": sc[keep],
-                            "kind": "delta",
-                        }
+                    oids = np.array([x["vid"] for x in old], dtype=np.int64)
+                    omat = np.array([x["v"] for x in old], dtype=np.float64)
+                    on = np.linalg.norm(omat, axis=1)
+                    sim = (nmat @ omat.T) / np.outer(nn, on)
+                    sim = np_dround(sim, 4)  # base∩batch = ∅: no diagonal
+                    # NEW nodes: top-K among this posting chunk
+                    yield _rows_topk(nids, oids, sim, min(K, len(oids)), "new")
+                    # OLD nodes: top-K among the NEW members only
+                    yield _rows_topk(
+                        oids, nids, sim.T, min(K, len(nids)), "delta"
                     )
 
     emitted_plan = joined.mapInPandas(delta_kernel, out_schema)
@@ -2603,10 +2654,14 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     w = Window.partitionBy("node_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
+    # collisions across tables/chunk rows collapse via max(score), not
+    # distinct(): per-chunk gemms may reassociate differently, so equal
+    # pairs are only guaranteed equal up to dround — max picks one
+    # deterministically (the r12 advice)
     new_edges = (
         emitted.filter(F.col("kind") == "new")
-        .select("node_id", "neighbor_id", "score")
-        .distinct()
+        .groupBy("node_id", "neighbor_id")
+        .agg(F.max("score").alias("score"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= K)
     )
@@ -2616,7 +2671,8 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
                 "node_id", "neighbor_id", "score"
             )
         )
-        .distinct()
+        .groupBy("node_id", "neighbor_id")
+        .agg(F.max("score").alias("score"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= K)
     )

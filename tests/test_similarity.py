@@ -283,11 +283,13 @@ def test_knn_graph_lsh_bucket_topk_is_distributive(spark):
     # brute-force reference: full candidate sets, then global top-k.
     # float32 round-trip matches the array<float> column the operator
     # reads (cast to double happens after storage truncation).
+    from reports_generator_spark.functions.rounding import np_dround
+
     ids = np.array([r[0] for r in rows])
     mat = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
     nrm = np.linalg.norm(mat, axis=1)
     sim = (mat @ mat.T) / np.outer(nrm, nrm)
-    sim = np.floor(sim * 10000 + 0.5) / 10000
+    sim = np_dround(sim, 4)  # the kernel's half-away-from-zero rule
     cands = [set() for _ in range(len(ids))]
     for t in range(L):
         H = np.array(random_hyperplanes(64, P, SEED + 1000 * t))
@@ -372,3 +374,117 @@ def test_vector_index_append_conflicts_with_requantization(spark, tmp_path):
         ["vec_base", "centroids_v1", "idx_base",
          "vec_other", "idx_other", "vec_batch", "idx_batch"]
     )
+
+
+def test_lsh_auto_params_bound_bucket_and_preserve_fixtures():
+    """The corpus-size scaling rule (lsh_auto_params): fixture sizes
+    keep the attested base parameters bit-identical; from sf1 sizes
+    upward the plane count steps so E[bucket] ≈ target, the table
+    count re-solves the base miss probability, and the implied
+    candidate volume (L·n²/2^P) grows SUB-QUADRATICALLY — the round-12
+    probe's ~100× candidates on 10× data is the defect this pins."""
+    from reports_generator_spark.operators.similarity import lsh_auto_params
+
+    # attested fixtures (500 / 2000 embeddings): parameters unchanged
+    for n in (500, 2000):
+        assert lsh_auto_params(n, 4, 12, p_ref=2 / 3) == (4, 12)
+        assert lsh_auto_params(n, 5, 6, p_ref=0.795) == (5, 6)
+
+    def cand(n, base_p, base_l, p_ref):
+        P, L = lsh_auto_params(n, base_p, base_l, p_ref)
+        return L * n * n / 2**P, P, L
+
+    # sf1 -> sf10 (the probe decade): candidate growth well below 100x
+    c1, p1, l1 = cand(20_000, 4, 12, 2 / 3)
+    c10, p10, l10 = cand(200_000, 4, 12, 2 / 3)
+    assert p10 > p1 >= 4  # planes actually scale
+    # ~n^1.585 (log2(1/p_ref)=0.585) plus ceil effects ≈ 42x; fixed-P
+    # would be 100x — the defect this pins
+    assert c10 / c1 < 50, (c1, c10)
+
+    # miss probability at the reference cosine never regresses
+    import math as _m
+
+    for n in (20_000, 200_000, 2_000_000):
+        P, L = lsh_auto_params(n, 4, 12, p_ref=2 / 3)
+        base_miss = (1 - (2 / 3) ** 4) ** 12
+        assert (1 - (2 / 3) ** P) ** L <= base_miss + 1e-12
+        # expected bucket size stays within 2x of target
+        assert n / 2**P <= 2 * 128
+
+
+def test_pack_lsh_chunks_bounds_rows_per_task(spark):
+    """No scoring row ever packs more than chunk_cap vectors — even a
+    pathological single hot bucket (every vector identical => every
+    vector in one bucket per table) splits into ⌈m/cap⌉ chunks, and
+    the chunk-pair join still covers every unordered chunk pair."""
+    from pyspark.sql import functions as F
+
+    from reports_generator_spark.operators.similarity import (
+        _lsh_chunk_pairs,
+        _pack_lsh_chunks,
+        knn_graph_lsh,
+    )
+
+    n, cap = 300, 64
+    hashed = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vid"),
+            F.array(F.lit(1.0), F.lit(0.0)).alias("v"),
+            F.lit(0).alias("tbl"),
+            F.lit(7).alias("bucket"),
+        )
+    )
+    packed = _pack_lsh_chunks(hashed, cap)
+    sizes = [r["sz"] for r in packed.select(F.size("vecs").alias("sz")).collect()]
+    assert max(sizes) <= cap, sizes
+    assert sum(sizes) == n
+    n_chunks = len(sizes)
+    assert n_chunks >= -(-n // cap)  # at least ceil(n/cap) chunks
+    n_pairs = _lsh_chunk_pairs(packed).count()
+    assert n_pairs == n_chunks * (n_chunks + 1) // 2
+
+    # end-to-end on the hot-bucket corpus: a tiny chunk_cap still
+    # yields exactly the same graph as unchunked scoring
+    import random as _r
+
+    rng = _r.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(150)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    big = knn_graph_lsh(emb, k=3, n_planes=2, n_tables=2, chunk_cap=10_000)
+    small = knn_graph_lsh(emb, k=3, n_planes=2, n_tables=2, chunk_cap=16)
+    assert sorted(map(tuple, big.collect())) == sorted(map(tuple, small.collect()))
+
+
+def test_topk_merge_rule_distributive_under_ties():
+    """Property fuzz (VERDICT r12 item 7): the incremental-maintenance
+    family rests on topk(A ∪ B) = topk(topk(A) ∪ B) under the
+    (score desc, id asc) comparator. Random candidate sets with
+    DELIBERATE dround(4)-equal score ties across the A/B boundary —
+    the edge a fixture may never cover — must satisfy the identity
+    exactly, because the tiebreak is total (no equal (score, id)
+    keys can disagree)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    grid = st.integers(min_value=-10, max_value=10)  # score = g/1e1
+
+    def topk(pairs, k):
+        # (score desc, id asc); ids unique within a candidate set
+        return sorted(pairs, key=lambda p: (-p[1], p[0]))[:k]
+
+    @given(
+        a=st.dictionaries(st.integers(0, 40), grid, max_size=25),
+        b=st.dictionaries(st.integers(41, 80), grid, max_size=25),
+        k=st.integers(1, 6),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(a, b, k):
+        A = [(i, g / 10.0) for i, g in a.items()]
+        B = [(i, g / 10.0) for i, g in b.items()]
+        full = topk(A + B, k)
+        merged = topk(topk(A, k) + B, k)
+        assert full == merged
+
+    check()
