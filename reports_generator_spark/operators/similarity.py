@@ -450,14 +450,24 @@ LSH_CHUNK_CAP = 2048
 
 
 def _pack_lsh_chunks(hashed: DataFrame, chunk_cap: int) -> DataFrame:
-    """(vid, v, tbl, bucket) → one row per (tbl, bucket, chk) with a
-    bounded vecs list.
+    """(vid, v, tbl, bucket) → one row per (tbl, bucket, chk) with
+    bounded, kernel-ready arrays: `vids` (array<long>) and `flat`
+    (the chunk's vectors flattened to ONE array<double>).
 
     Chunk count is ⌈bucket_size/cap⌉ (a count() over the unordered
     (tbl, bucket) window — the same hash exchange the pack groupBy
     needs, so Spark inserts no second shuffle); chunk assignment is a
     deterministic multiplicative hash of vid, so a vector's chunk is
     stable across runs and across incremental-maintenance batches.
+
+    The flat layout is a measured ~10× kernel constant: Arrow hands
+    the Python side ONE contiguous double array per chunk
+    (np.asarray + reshape, no per-struct dict access over m·dim
+    elements — at sf10 that access pattern, not BLAS, dominated the
+    kernel). vid↔row correspondence is guaranteed by extracting both
+    from the SAME collect_list(struct) — field extraction and
+    flatten are JVM-side transforms of one array, not two separately
+    ordered aggregates.
     """
     wb = Window.partitionBy("tbl", "bucket")
     nch = F.greatest(
@@ -471,6 +481,60 @@ def _pack_lsh_chunks(hashed: DataFrame, chunk_cap: int) -> DataFrame:
         hashed.withColumn("chk", chk)
         .groupBy("tbl", "bucket", "chk")
         .agg(F.collect_list(F.struct("vid", "v")).alias("vecs"))
+        .select(
+            "tbl",
+            "bucket",
+            "chk",
+            F.col("vecs.vid").alias("vids"),
+            F.flatten(F.col("vecs.v")).alias("flat"),
+        )
+    )
+
+
+def _decode_chunk(vids, flat):
+    """Decode one packed chunk: (ids int64[m], mat float64[m, dim]),
+    sorted by id — `_topk_select`'s integer tie key needs ascending
+    column ids."""
+    ids = np.asarray(vids, dtype=np.int64)
+    mat = np.asarray(flat, dtype=np.float64).reshape(len(ids), -1)
+    o = np.argsort(ids)
+    return ids[o], mat[o]
+
+
+def _topk_select(sim_r, kk):
+    """Per-row top-kk column indices by (score desc, id asc) in
+    O(m·n) selection time — NOT an O(m·n log n) full lexsort, which
+    measurably dominated the sf10 kernel over the actual gemm.
+
+    sim_r must already be dround(4)-rounded and its columns sorted by
+    ascending id: scores then live on the 1e-4 integer grid, so
+    key = score_int·(n+1) − col gives the EXACT total order of the
+    ranking comparator in one int64 (|score_int| ≤ 20001, n ≤
+    chunk_cap ⇒ no overflow), and argpartition's arbitrary tie
+    handling can never reorder equal keys — there are none."""
+    n = sim_r.shape[1]
+    key = np.rint(sim_r * 10000.0).astype(np.int64) * (n + 1) - np.arange(
+        n, dtype=np.int64
+    )
+    if kk < n:
+        part = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+    else:
+        part = np.broadcast_to(np.arange(n), sim_r.shape).copy()
+    pk = np.take_along_axis(key, part, axis=1)
+    order = np.argsort(-pk, axis=1)
+    return np.take_along_axis(part, order, axis=1)
+
+
+def _topk_arrays(row_ids, col_ids, sim_r, kk):
+    """(node_id, neighbor_id, score) arrays of each row's top-kk;
+    -2.0 sentinel entries (self-pairs / padding) are dropped."""
+    top = _topk_select(sim_r, kk)
+    sc = np.take_along_axis(sim_r, top, axis=1).ravel()
+    keep = sc > -2.0
+    return (
+        np.repeat(row_ids, top.shape[1])[keep],
+        col_ids[top.ravel()][keep],
+        sc[keep],
     )
 
 
@@ -482,13 +546,15 @@ def _lsh_chunk_pairs(packed: DataFrame) -> DataFrame:
         "tbl",
         "bucket",
         F.col("chk").alias("chk_a"),
-        F.col("vecs").alias("vecs_a"),
+        F.col("vids").alias("vids_a"),
+        F.col("flat").alias("flat_a"),
     )
     pb = packed.select(
         "tbl",
         "bucket",
         F.col("chk").alias("chk_b"),
-        F.col("vecs").alias("vecs_b"),
+        F.col("vids").alias("vids_b"),
+        F.col("flat").alias("flat_b"),
     )
     return pa.join(pb, ["tbl", "bucket"]).filter(F.col("chk_a") <= F.col("chk_b"))
 
@@ -568,20 +634,27 @@ def embedding_neardup_lsh(
     )
 
     def score_chunk_pairs(batches):
+        # zip over columns (iterrows builds a Series per row) and emit
+        # ONE DataFrame per Arrow batch (one per chunk-pair row would
+        # mean hundreds of thousands of tiny frames at sf10)
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                same = row["chk_a"] == row["chk_b"]
-                va = row["vecs_a"]
-                ids_a = np.array([x["vid"] for x in va], dtype=np.int64)
-                mat_a = np.array([x["v"] for x in va], dtype=np.float64)
+            outs = []
+            for ca, cb, va, fa, vb, fb in zip(
+                pdf["chk_a"],
+                pdf["chk_b"],
+                pdf["vids_a"],
+                pdf["flat_a"],
+                pdf["vids_b"],
+                pdf["flat_b"],
+            ):
+                same = ca == cb
+                ids_a, mat_a = _decode_chunk(va, fa)
                 if same:
-                    if len(va) < 2:
+                    if len(ids_a) < 2:
                         continue
                     ids_b, mat_b = ids_a, mat_a
                 else:
-                    vb = row["vecs_b"]
-                    ids_b = np.array([x["vid"] for x in vb], dtype=np.int64)
-                    mat_b = np.array([x["v"] for x in vb], dtype=np.float64)
+                    ids_b, mat_b = _decode_chunk(vb, fb)
                 na = np.linalg.norm(mat_a, axis=1)
                 nb = np.linalg.norm(mat_b, axis=1)
                 sim = (mat_a @ mat_b.T) / np.outer(na, nb)
@@ -590,13 +663,24 @@ def embedding_neardup_lsh(
                 lhs, rhs = ids_a[ia], ids_b[ib]
                 if same:
                     keep = lhs < rhs  # ordered half, no diagonal
-                    lo, hi, sc = lhs[keep], rhs[keep], sim[ia, ib][keep]
+                    outs.append((lhs[keep], rhs[keep], sim[ia, ib][keep]))
                 else:
                     # disjoint chunks: each pair once; normalize order
-                    lo = np.minimum(lhs, rhs)
-                    hi = np.maximum(lhs, rhs)
-                    sc = sim[ia, ib]
-                yield pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sc})
+                    outs.append(
+                        (
+                            np.minimum(lhs, rhs),
+                            np.maximum(lhs, rhs),
+                            sim[ia, ib],
+                        )
+                    )
+            if outs:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate([o[0] for o in outs]),
+                        "id_b": np.concatenate([o[1] for o in outs]),
+                        "cosine": np.concatenate([o[2] for o in outs]),
+                    }
+                )
 
     return (
         pairs.mapInPandas(score_chunk_pairs, out_schema)
@@ -703,49 +787,53 @@ def knn_graph_lsh(
         ]
     )
 
-    def _rows_topk(row_ids, col_ids, sim, kk):
-        """Per-row top-kk by (score desc, id asc) over one score
-        matrix; -2.0 sentinel rows (self/padding) are dropped."""
-        order = np.lexsort(
-            (col_ids[None, :].repeat(len(row_ids), 0), -sim), axis=1
-        )[:, :kk]
-        sc = np.take_along_axis(sim, order, axis=1).ravel()
-        keep = sc > -2.0
-        return pd.DataFrame(
-            {
-                "node_id": np.repeat(row_ids, kk)[keep],
-                "neighbor_id": col_ids[order.ravel()][keep],
-                "score": sc[keep],
-            }
-        )
-
     def chunk_pair_topk(batches):
+        # zip over columns + one DataFrame per Arrow batch + O(m·n)
+        # integer-key selection (_topk_select): at sf10 the iterrows /
+        # per-bucket-DataFrame / full-lexsort overheads dominated the
+        # actual gemm several-fold
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                same = row["chk_a"] == row["chk_b"]
-                va = row["vecs_a"]
-                ids_a = np.array([x["vid"] for x in va], dtype=np.int64)
-                mat_a = np.array([x["v"] for x in va], dtype=np.float64)
+            outs = []
+            for ca, cb, va, fa, vb, fb in zip(
+                pdf["chk_a"],
+                pdf["chk_b"],
+                pdf["vids_a"],
+                pdf["flat_a"],
+                pdf["vids_b"],
+                pdf["flat_b"],
+            ):
+                same = ca == cb
+                ids_a, mat_a = _decode_chunk(va, fa)
                 if same:
-                    if len(va) < 2:
+                    if len(ids_a) < 2:
                         continue
                     na = np.linalg.norm(mat_a, axis=1)
                     sim = (mat_a @ mat_a.T) / np.outer(na, na)
                     sim = np_dround(sim, 4)
                     np.fill_diagonal(sim, -2.0)  # exclude self
                     kk = min(k, len(ids_a) - 1)
-                    yield _rows_topk(ids_a, ids_a, sim, kk)
+                    outs.append(_topk_arrays(ids_a, ids_a, sim, kk))
                 else:
-                    vb = row["vecs_b"]
-                    ids_b = np.array([x["vid"] for x in vb], dtype=np.int64)
-                    mat_b = np.array([x["v"] for x in vb], dtype=np.float64)
+                    ids_b, mat_b = _decode_chunk(vb, fb)
                     na = np.linalg.norm(mat_a, axis=1)
                     nb = np.linalg.norm(mat_b, axis=1)
                     sim = (mat_a @ mat_b.T) / np.outer(na, nb)
                     sim = np_dround(sim, 4)
                     # disjoint chunks: no diagonal; emit BOTH directions
-                    yield _rows_topk(ids_a, ids_b, sim, min(k, len(ids_b)))
-                    yield _rows_topk(ids_b, ids_a, sim.T, min(k, len(ids_a)))
+                    outs.append(
+                        _topk_arrays(ids_a, ids_b, sim, min(k, len(ids_b)))
+                    )
+                    outs.append(
+                        _topk_arrays(ids_b, ids_a, sim.T, min(k, len(ids_a)))
+                    )
+            if outs:
+                yield pd.DataFrame(
+                    {
+                        "node_id": np.concatenate([o[0] for o in outs]),
+                        "neighbor_id": np.concatenate([o[1] for o in outs]),
+                        "score": np.concatenate([o[2] for o in outs]),
+                    }
+                )
 
     edges = (
         pairs.mapInPandas(chunk_pair_topk, out_schema)

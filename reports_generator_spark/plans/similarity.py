@@ -2508,7 +2508,9 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
 
     from ..operators.similarity import (
         LSH_CHUNK_CAP,
+        _decode_chunk,
         _pack_lsh_chunks,
+        _topk_arrays,
         knn_graph_lsh,
         signlsh_codes_udf,
     )
@@ -2542,7 +2544,8 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
             ),
             LSH_CHUNK_CAP,
         )
-        .withColumnRenamed("vecs", "base_vecs")
+        .withColumnRenamed("vids", "base_vids")
+        .withColumnRenamed("flat", "base_flat")
         .localCheckpoint()
     )
     g_base = (
@@ -2561,6 +2564,12 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .groupBy("tbl", "bucket")
         .agg(F.collect_list(F.struct("vid", "v")).alias("new_vecs"))
+        .select(
+            "tbl",
+            "bucket",
+            F.col("new_vecs.vid").alias("new_vids"),
+            F.flatten(F.col("new_vecs.v")).alias("new_flat"),
+        )
     )
     # one row per (bucket × stored posting chunk); exactly ONE row per
     # bucket (the lowest chunk, or the postings-less row) additionally
@@ -2583,21 +2592,6 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         ]
     )
 
-    def _rows_topk(row_ids, col_ids, sim, kk, kind):
-        order = np.lexsort(
-            (col_ids[None, :].repeat(len(row_ids), 0), -sim), axis=1
-        )[:, :kk]
-        sc = np.take_along_axis(sim, order, axis=1).ravel()
-        keep = sc > -2.0
-        return pd.DataFrame(
-            {
-                "node_id": np.repeat(row_ids, kk)[keep],
-                "neighbor_id": col_ids[order.ravel()][keep],
-                "score": sc[keep],
-                "kind": kind,
-            }
-        )
-
     def delta_kernel(batches):
         """Per (bucket × posting chunk) row: score new×old_chunk both
         directions (NEW nodes collect per-chunk top-K candidates, OLD
@@ -2607,37 +2601,56 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         partial top-K lists — exact by the distributive-top-k
         identity. Scores are round-half-away-from-zero (np_dround):
         the rebuild twin and the exact-key oracles use round(expr, 4).
+        Selection is the rebuild kernel's O(m·n) integer-key
+        `_topk_select` (via `_topk_arrays`); emission is one
+        DataFrame per Arrow batch.
         """
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                new = list(row["new_vecs"])
-                # pandas delivers the array column as np.ndarray (or a
-                # None/NaN scalar when the left join found no postings)
-                # — take an explicit list so truthiness is well-defined
-                bv = row["base_vecs"]
-                old = list(bv) if isinstance(bv, (list, np.ndarray)) else []
-                nids = np.array([x["vid"] for x in new], dtype=np.int64)
-                nmat = np.array([x["v"] for x in new], dtype=np.float64)
+            outs = []
+
+            def emit(arrs, kind):
+                outs.append((*arrs, np.full(len(arrs[0]), kind, dtype=object)))
+
+            for nv, nf, bv, bf, selfrow in zip(
+                pdf["new_vids"],
+                pdf["new_flat"],
+                pdf["base_vids"],
+                pdf["base_flat"],
+                pdf["self_row"],
+            ):
+                nids, nmat = _decode_chunk(nv, nf)
+                # the left join delivers None/NaN when no postings exist
+                has_old = isinstance(bv, (list, np.ndarray)) and len(bv) > 0
                 nn = np.linalg.norm(nmat, axis=1)
-                if row["self_row"] and len(new) > 1:
+                if selfrow and len(nids) > 1:
                     sim = (nmat @ nmat.T) / np.outer(nn, nn)
                     sim = np_dround(sim, 4)
                     np.fill_diagonal(sim, -2.0)
-                    yield _rows_topk(
-                        nids, nids, sim, min(K, len(nids) - 1), "new"
+                    emit(
+                        _topk_arrays(nids, nids, sim, min(K, len(nids) - 1)),
+                        "new",
                     )
-                if old:
-                    oids = np.array([x["vid"] for x in old], dtype=np.int64)
-                    omat = np.array([x["v"] for x in old], dtype=np.float64)
+                if has_old:
+                    oids, omat = _decode_chunk(bv, bf)
                     on = np.linalg.norm(omat, axis=1)
                     sim = (nmat @ omat.T) / np.outer(nn, on)
                     sim = np_dround(sim, 4)  # base∩batch = ∅: no diagonal
                     # NEW nodes: top-K among this posting chunk
-                    yield _rows_topk(nids, oids, sim, min(K, len(oids)), "new")
+                    emit(_topk_arrays(nids, oids, sim, min(K, len(oids))), "new")
                     # OLD nodes: top-K among the NEW members only
-                    yield _rows_topk(
-                        oids, nids, sim.T, min(K, len(nids)), "delta"
+                    emit(
+                        _topk_arrays(oids, nids, sim.T, min(K, len(nids))),
+                        "delta",
                     )
+            if outs:
+                yield pd.DataFrame(
+                    {
+                        "node_id": np.concatenate([o[0] for o in outs]),
+                        "neighbor_id": np.concatenate([o[1] for o in outs]),
+                        "score": np.concatenate([o[2] for o in outs]),
+                        "kind": np.concatenate([o[3] for o in outs]),
+                    }
+                )
 
     emitted_plan = joined.mapInPandas(delta_kernel, out_schema)
     # structural O(batch) claim: the update's lineage reads raw parquet

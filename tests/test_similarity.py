@@ -437,7 +437,7 @@ def test_pack_lsh_chunks_bounds_rows_per_task(spark):
         )
     )
     packed = _pack_lsh_chunks(hashed, cap)
-    sizes = [r["sz"] for r in packed.select(F.size("vecs").alias("sz")).collect()]
+    sizes = [r["sz"] for r in packed.select(F.size("vids").alias("sz")).collect()]
     assert max(sizes) <= cap, sizes
     assert sum(sizes) == n
     n_chunks = len(sizes)
