@@ -290,6 +290,13 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # shard (new precommit_crash_recovered_ok column — oracle TEXT
         # changed, so the r8 rule applies too)
         "stream_vector_index_append",
+        # VERDICT r12 item 3: the tokenizer trainer↔inference matrix
+        # completed — BPE apply (trained merges as chained JVM
+        # replaces) and unigram-LM apply (Viterbi over the FULL corpus
+        # word table under the EM vocab), both with unrolled trainer-
+        # chain-embedding DuckDB twins
+        "tokenizer_bpe_apply",
+        "tokenizer_unigram_apply",
     }
 )
 

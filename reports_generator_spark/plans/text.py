@@ -1978,67 +1978,80 @@ def _uni_words_and_seed(spark: SparkSession, sf_dir: str):
     return words, chars, vocab1
 
 
+def _uni_dp_ctes(r: int, vocab: str, src: str = "uwords") -> str:
+    """One unrolled Viterbi DP over the `src` word relation (module
+    level so the APPLY key's oracle can run the identical DP over the
+    full corpus word table; src='uwords' reproduces the trainer's
+    text byte-for-byte)."""
+    W, P = _UNI_MAX_WLEN, _UNI_MAX_PLEN
+    out = [
+        f"dp{r}_0 AS MATERIALIZED (SELECT word, freq, wlen, 0 AS np,"
+        f" CAST(0 AS BIGINT) AS tw, 0 AS kc FROM {src})"
+    ]
+    for i in range(1, W + 1):
+        cands = []
+        for k in range(1, min(P, i) + 1):
+            cands.append(
+                f"SELECT d.word, d.freq, d.wlen, d.np + 1 AS np,"
+                f" d.tw + v.w AS tw, {k} AS kc"
+                f" FROM dp{r}_{i - k} d JOIN {vocab} v"
+                f" ON v.piece = substr(d.word, {i - k + 1}, {k})"
+                f" WHERE d.wlen >= {i}"
+            )
+        u = " UNION ALL ".join(cands)
+        out.append(
+            f"dp{r}_{i} AS MATERIALIZED (SELECT word, freq, wlen, np, tw, kc FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY word"
+            f" ORDER BY np ASC, tw DESC, kc DESC) AS rn FROM ({u})"
+            f") WHERE rn = 1)"
+        )
+    out.append(
+        f"dpall{r} AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT word, {i} AS i, kc FROM dp{r}_{i}"
+            for i in range(1, W + 1)
+        )
+        + ")"
+    )
+    return ",\n".join(out)
+
+
+def _uni_walk_ctes(r: int, src: str = "uwords") -> str:
+    """The matching unrolled backwalk + usage aggregation (see
+    `_uni_dp_ctes`)."""
+    W = _UNI_MAX_WLEN
+    out = [
+        f"walk{r}_0 AS MATERIALIZED (SELECT word, freq, wlen AS p FROM {src})"
+    ]
+    for s in range(1, W + 1):
+        out.append(
+            f"emit{r}_{s} AS MATERIALIZED (SELECT w.word, w.freq,"
+            f" substr(w.word, w.p - d.kc + 1, d.kc) AS piece,"
+            f" w.p - d.kc AS p FROM walk{r}_{s - 1} w"
+            f" JOIN dpall{r} d ON d.word = w.word AND d.i = w.p"
+            f" WHERE w.p > 0)"
+        )
+        out.append(
+            f"walk{r}_{s} AS MATERIALIZED (SELECT word, freq, p FROM emit{r}_{s}"
+            f" WHERE p > 0)"
+        )
+    u = " UNION ALL ".join(
+        f"SELECT piece, freq FROM emit{r}_{s}" for s in range(1, W + 1)
+    )
+    out.append(
+        f"usage{r} AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS n_uses"
+        f" FROM ({u}) GROUP BY piece)"
+    )
+    return ",\n".join(out)
+
+
 def _unigram_oracle() -> str:
     """Generate the unrolled DuckDB twin: the same word/seed
     aggregations, then BOTH hard-EM rounds' Viterbi DPs and backwalks
     unrolled position-by-position (no recursion — the max word length
     bounds the unroll), with the identical integer tie rule."""
     W, P = _UNI_MAX_WLEN, _UNI_MAX_PLEN
-
-    def dp_ctes(r: int, vocab: str) -> str:
-        out = [
-            f"dp{r}_0 AS MATERIALIZED (SELECT word, freq, wlen, 0 AS np,"
-            f" CAST(0 AS BIGINT) AS tw, 0 AS kc FROM uwords)"
-        ]
-        for i in range(1, W + 1):
-            cands = []
-            for k in range(1, min(P, i) + 1):
-                cands.append(
-                    f"SELECT d.word, d.freq, d.wlen, d.np + 1 AS np,"
-                    f" d.tw + v.w AS tw, {k} AS kc"
-                    f" FROM dp{r}_{i - k} d JOIN {vocab} v"
-                    f" ON v.piece = substr(d.word, {i - k + 1}, {k})"
-                    f" WHERE d.wlen >= {i}"
-                )
-            u = " UNION ALL ".join(cands)
-            out.append(
-                f"dp{r}_{i} AS MATERIALIZED (SELECT word, freq, wlen, np, tw, kc FROM ("
-                f"SELECT *, row_number() OVER (PARTITION BY word"
-                f" ORDER BY np ASC, tw DESC, kc DESC) AS rn FROM ({u})"
-                f") WHERE rn = 1)"
-            )
-        out.append(
-            f"dpall{r} AS MATERIALIZED ("
-            + " UNION ALL ".join(
-                f"SELECT word, {i} AS i, kc FROM dp{r}_{i}"
-                for i in range(1, W + 1)
-            )
-            + ")"
-        )
-        return ",\n".join(out)
-
-    def walk_ctes(r: int) -> str:
-        out = [f"walk{r}_0 AS MATERIALIZED (SELECT word, freq, wlen AS p FROM uwords)"]
-        for s in range(1, W + 1):
-            out.append(
-                f"emit{r}_{s} AS MATERIALIZED (SELECT w.word, w.freq,"
-                f" substr(w.word, w.p - d.kc + 1, d.kc) AS piece,"
-                f" w.p - d.kc AS p FROM walk{r}_{s - 1} w"
-                f" JOIN dpall{r} d ON d.word = w.word AND d.i = w.p"
-                f" WHERE w.p > 0)"
-            )
-            out.append(
-                f"walk{r}_{s} AS MATERIALIZED (SELECT word, freq, p FROM emit{r}_{s}"
-                f" WHERE p > 0)"
-            )
-        u = " UNION ALL ".join(
-            f"SELECT piece, freq FROM emit{r}_{s}" for s in range(1, W + 1)
-        )
-        out.append(
-            f"usage{r} AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS n_uses"
-            f" FROM ({u}) GROUP BY piece)"
-        )
-        return ",\n".join(out)
+    dp_ctes, walk_ctes = _uni_dp_ctes, _uni_walk_ctes
 
     return f"""
     WITH toks AS MATERIALIZED (
@@ -2099,6 +2112,15 @@ def tokenizer_unigram_lm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly ONE partial-aggregable pass (word + substring counts);
     the EM loop is per-word-parallel joins over vocab-bounded state,
     independent of corpus size."""
+    words, _chars, vocab2 = _uni_trained_state(spark, sf_dir)
+    return _uni_viterbi_usage(words, vocab2)
+
+
+def _uni_trained_state(spark: SparkSession, sf_dir: str):
+    """Run the unigram-LM EM training (round-1 E/M step) and return
+    (trainer words, char vocab, the round-2 vocab) — shared by the
+    trainer key and the APPLY key, building the identical plan the
+    trainer always built."""
     words, chars, vocab1 = _uni_words_and_seed(spark, sf_dir)
     usage1 = _uni_viterbi_usage(words, vocab1)
 
@@ -2114,8 +2136,7 @@ def tokenizer_unigram_lm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_UNI_KEEP_MULTI)
     )
     vocab2 = chars2.unionByName(multi2).localCheckpoint()
-
-    return _uni_viterbi_usage(words, vocab2)
+    return words, chars, vocab2
 
 
 # --------------------------------------------------------------------------
@@ -2502,3 +2523,174 @@ def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0][0]
     assert consumed == total, "wordpiece walk lost characters"
     return out
+
+
+def _bpe_symframe_ctes() -> str:
+    """The trainer's full CTE chain (verbatim, so the merge list is
+    re-derived cross-engine, never copied) cut before its final
+    SELECT: ends with w{_BPE_ROUNDS}, the word-freq frame whose `sym`
+    carries all trained merges applied."""
+    trainer = _bpe_oracle()
+    head, _sep, _tail = trainer.rpartition("\n    SELECT")
+    return head
+
+
+@query(
+    "tokenizer_bpe_apply",
+    oracle=f"""{_bpe_symframe_ctes()}
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS n_uses
+    FROM (
+      SELECT freq,
+             unnest(list_filter(string_split(trim(sym), ' '),
+                                x -> x <> '')) AS piece
+      FROM w{_BPE_ROUNDS}
+    )
+    GROUP BY piece
+    """,
+)
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE INFERENCE — apply the trained merge list (VERDICT r12
+    item 3: the distributed apply path that makes the trainer usable;
+    tokenizing is the single most-run LLM-pipeline operator at
+    100 TB). Greedy merge application in TRAINED ORDER under the same
+    literal space-delimited leftmost-non-overlapping replace rule the
+    trainer's rewrite step uses — so a word tokenizes exactly as the
+    trainer left it, and the merge trajectory needs no re-scoring at
+    apply time. Returns per-piece usage counts (piece, n_uses) over
+    the corpus word-freq table, the same contract as
+    `tokenizer_wordpiece_apply`.
+
+    Cross-engine: the oracle embeds the trainer's full 3-round CTE
+    chain (merge list re-derived, not copied) and reads the final
+    symbol frame — full value attestation of the applied
+    tokenization.
+
+    Scale shape: ONE corpus scan builds the word-freq table; the
+    apply itself is {_BPE_ROUNDS} chained JVM `replace` expressions
+    over the VOCAB-SIZED word table (no Python at all — BPE apply
+    under a trained merge list is pure string rewriting, unlike
+    WordPiece's longest-match walk), then one explode + one
+    partial-aggregable groupBy. At 100 TB: corpus pass → vocab-sized
+    state → merges applied map-side; per-word cost is O(merges),
+    independent of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "sym",
+            F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")),
+        )
+    )
+
+    # the trained merge list, in order (vocab-sized work; the collect
+    # is the trainer's own scalar-argmax protocol)
+    merges = tokenizer_bpe_merges(spark, sf_dir).orderBy("round").collect()
+    sym = F.col("sym")
+    for m in merges:
+        pair = m["merged_pair"]
+        sym = F.call_function(
+            "replace",
+            sym,
+            F.lit(f" {pair} "),
+            F.lit(f" {pair.replace(' ', '')} "),
+        )
+
+    pieces = (
+        words.select("freq", F.split(F.trim(sym), " ").alias("a"))
+        .select("freq", F.explode("a").alias("piece"))
+        .filter(F.col("piece") != "")
+    )
+    return pieces.groupBy("piece").agg(
+        F.sum("freq").cast("bigint").alias("n_uses")
+    )
+
+
+def _unigram_apply_oracle() -> str:
+    """APPLY-key twin: the trainer's full CTE chain verbatim (vocab
+    re-derived, not copied), then the SAME unrolled Viterbi DP +
+    backwalk (round label 3) over the FULL corpus word relation —
+    restricted to words whose every char the trainer saw (the char
+    vocab is derived from trainer words; a word with an unseen char
+    has no segmentation under the model on either engine)."""
+    trainer = _unigram_oracle()
+    head, _sep, _tail = trainer.rpartition("\n    SELECT")
+    W = _UNI_MAX_WLEN
+    return (
+        head
+        + f""",
+    awords AS MATERIALIZED (
+      SELECT word, count(*) AS freq, len(word) AS wlen FROM toks
+      WHERE regexp_full_match(word, '[a-z]+') AND len(word) <= {W}
+      GROUP BY word
+    ),
+    wc AS (
+      SELECT word, unnest(list_transform(range(1, len(word) + 1),
+                                         i -> substr(word, i, 1))) AS c
+      FROM awords
+    ),
+    covered AS (
+      SELECT wc.word FROM wc LEFT JOIN uchars u ON u.piece = wc.c
+      GROUP BY wc.word
+      HAVING count(*) FILTER (WHERE u.piece IS NULL) = 0
+    ),
+    aw2 AS MATERIALIZED (
+      SELECT a.* FROM awords a JOIN covered c ON c.word = a.word
+    ),
+    {_uni_dp_ctes(3, "vocab2f", src="aw2")},
+    {_uni_walk_ctes(3, src="aw2")}
+    SELECT piece, n_uses FROM usage3
+    """
+    )
+
+
+@query("tokenizer_unigram_apply", oracle=_unigram_apply_oracle())
+def tokenizer_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM INFERENCE — Viterbi segmentation of the FULL corpus
+    word table under the EM-trained vocabulary (VERDICT r12 item 3:
+    the distributed apply path; the trainer's E-step only ever touched
+    its top-{_UNI_WORDS} trainer words). Returns per-piece usage
+    counts (piece, n_uses), the tokenizer-apply contract shared with
+    `tokenizer_bpe_apply` / `tokenizer_wordpiece_apply`.
+
+    Same integer Viterbi objective as training (np ASC, tw DESC, kc
+    DESC — fewest pieces, highest total weight, ties to the longer
+    piece), so both engines walk bit-identical segmentations. Words
+    containing a character the trainer never saw are out of model
+    scope (no segmentation exists) and are excluded by an exploded
+    char anti-join on BOTH engines — a deterministic, value-checked
+    coverage rule, not a silent drop.
+
+    Scale shape: ONE corpus scan builds the word-freq table; the
+    trained vocab is bounded (≤ 26 chars + {_UNI_KEEP_MULTI} pieces)
+    and ships inside the Arrow-batched segmenter exactly as the
+    E-step does (model broadcast, corpus partitioned — the
+    SentencePiece deployment shape); usage is one partial-aggregable
+    groupBy. Per-word cost is O(wlen·{_UNI_MAX_PLEN}); corpus size
+    only widens the embarrassingly parallel map stage."""
+    _words, chars, vocab2 = _uni_trained_state(spark, sf_dir)
+
+    docs = load_table(spark, sf_dir, "documents")
+    all_words = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .filter(F.length("word") <= _UNI_MAX_WLEN)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wchars = all_words.select(
+        "word",
+        F.explode(
+            F.expr("transform(sequence(1, length(word)),"
+                   " i -> substring(word, i, 1))")
+        ).alias("c"),
+    )
+    uncovered = (
+        wchars.join(chars.select(F.col("piece").alias("c")), "c", "left_anti")
+        .select("word")
+        .distinct()
+    )
+    segmentable = all_words.join(uncovered, "word", "left_anti")
+    return _uni_viterbi_usage(segmentable, vocab2)
