@@ -297,6 +297,10 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # chain-embedding DuckDB twins
         "tokenizer_bpe_apply",
         "tokenizer_unigram_apply",
+        # VERDICT r12 item 4: requantization as ONE OCC rewrite (new
+        # quantizer + postings rewrite + PQ codebook v2), stale append
+        # aborts then rebases, postings compaction — all attested
+        "vector_index_rebuild",
     }
 )
 

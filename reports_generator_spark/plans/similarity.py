@@ -2746,3 +2746,328 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         F.lit(no_rescan).alias("batch_never_rehashes_base_ok"),
         F.lit(max_deg is not None and max_deg <= K).alias("degree_bounded_ok"),
     )
+
+
+_VIX_CELLS_V2 = 24  # the requantized cell count (corpus grew; √N rule)
+
+
+@query(
+    "vector_index_rebuild",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+          WHERE vec_id IN ({", ".join(map(str, _VIX_QUERY_IDS))})),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qv, c.v)
+                                / (q.qn * c.nrm), 4) DESC,
+                          c.vec_id ASC) AS rank
+        FROM q CROSS JOIN n c
+        WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= {_VIX_K}
+    )
+    SELECT (SELECT count(*) FROM n) AS n_corpus,
+           (SELECT count(*) FROM n WHERE vec_id % 4 = 0) AS n_batch_rebased,
+           CAST(sum(neighbor_id) AS BIGINT) AS exact_topk_id_sum,
+           TRUE AS rebuild_atomic_ok,
+           TRUE AS stale_append_aborts_ok,
+           TRUE AS rebase_append_ok,
+           TRUE AS index_content_matches_recompute_ok,
+           TRUE AS compaction_preserves_ok,
+           TRUE AS pq_codebook_v2_ok,
+           TRUE AS served_across_rebuild_ok,
+           TRUE AS occ_versions_ok,
+           TRUE AS recall_ok
+    FROM exact
+    """,
+)
+def vector_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index REQUANTIZATION (VERDICT r12 item 4 — the rewrite
+    whose mere POSSIBILITY the incremental key's OCC conflict test
+    pins): the full re-clustering registered as ONE OCC rewrite —
+    new quantizer version (centroids_v2, {_VIX_CELLS_V2} cells from
+    the owned corpus), full postings rewrite (idx_rebuilt), and a PQ
+    codebook v2 with its code shard — adding all v2 artifacts and
+    REMOVING every v1 artifact in a single conflict-detected commit.
+    An append staged against the v1 quantizer and committing AFTER
+    the rebuild ABORTS (its read_set names centroids_v1, which v2
+    removed — the lost-update OCC exists to catch); the append then
+    REBASES: reassigns + re-encodes under the v2 artifacts and
+    commits cleanly. Finally the two postings shards COMPACT into one
+    (the compact_merge_deletion_vectors pattern: content-preserving
+    shard rewrite as its own commit).
+
+    Attestation (the vector_index_incremental oracle shape — the
+    quantizer isn't SQL-reproducible, so DuckDB recomputes the exact
+    side on real data and pins the protocol gates TRUE):
+    - n_corpus / n_batch_rebased / exact_topk_id_sum: cross-engine;
+    - rebuild_atomic_ok: v2's manifest holds exactly the v2 artifacts
+      + vec_base — NO v1 quantizer or postings survive the rewrite
+      (one commit, not a remove-then-add window);
+    - stale_append_aborts_ok: the v1-based append raises
+      CommitConflict (caught and asserted, never published);
+    - rebase_append_ok: the rebased batch postings/codes equal a
+      fresh assignment/encode of the batch under the v2 artifacts;
+    - index_content_matches_recompute_ok: head postings ≡ one fresh
+      full assignment of every vector under centroids_v2;
+    - compaction_preserves_ok: the compacted shard is row-identical
+      to the union of the two shards it replaced, and the head
+      references ONLY the compacted shard;
+    - pq_codebook_v2_ok: stored v2 code shards (rebuild ∪ rebase) ≡
+      a fresh encode of every vector under the stored v2 codebook;
+    - served_across_rebuild_ok: top-k served from the FINAL stored
+      index ≡ the same serving plan over the fresh assignment — the
+      served-≡-recomputed contract ACROSS the version boundary;
+    - occ_versions_ok: log is exactly v1..v4 (build, rebuild, rebase,
+      compaction);
+    - recall_ok: served vs exact ≥ 0.2 (the ANN floor).
+
+    Scale shape: the rebuild is the O(corpus) pass it must be (that
+    is WHY it is a separate OCC rewrite and not maintenance), but it
+    runs as ONE broadcast-assignment map stage + one commit — readers
+    serve v1 until the commit lands, then v2 atomically; the rebased
+    append stays O(batch)."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import with_norm
+    from .scale_joins import (
+        CommitConflict,
+        atomic_claim,
+        commit_with_conflict_detection,
+        fixture_base,
+        _log_read,
+        _log_versions,
+    )
+
+    base = fixture_base(spark, sf_dir, "vixrb")
+    # the conflicting-commit protocol IS the operator — rebuild per run
+    shutil.rmtree(base, ignore_errors=True)
+    data = os.path.join(base, "data")
+    os.makedirs(data)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb.filter(F.col("vec_id") % 4 != 0).write.parquet(
+        os.path.join(data, "vec_base")
+    )
+    v1_vecs = spark.read.parquet(os.path.join(data, "vec_base"))
+    hkey = ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
+        1000003
+    )
+
+    def make_centroids(vecs: DataFrame, n_cells: int, dest: str) -> DataFrame:
+        w_cent = Window.orderBy(hkey.asc(), F.col("vec_id").asc())
+        with_norm(vecs, "embedding").orderBy(
+            hkey.asc(), F.col("vec_id").asc()
+        ).limit(n_cells).select(
+            (F.row_number().over(w_cent) - 1).cast("int").alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("v_norm").alias("cnrm"),
+        ).coalesce(1).write.parquet(os.path.join(data, dest))
+        return spark.read.parquet(os.path.join(data, dest)).localCheckpoint()
+
+    cents_v1 = make_centroids(v1_vecs, _VIX_CELLS, "centroids_v1")
+    _vix_assign(v1_vecs, cents_v1).write.parquet(os.path.join(data, "idx_base"))
+    assert atomic_claim(
+        os.path.join(base, "manifest-v1.txt"),
+        "\n".join(["vec_base", "centroids_v1", "idx_base"]),
+    )
+
+    # --- the IN-FLIGHT append: staged under the v1 quantizer
+    batch = emb.filter(F.col("vec_id") % 4 == 0).localCheckpoint()
+    _vix_assign(batch, cents_v1).write.parquet(
+        os.path.join(data, "idx_batch_stale")
+    )
+    batch.write.parquet(os.path.join(data, "vec_batch"))
+
+    # --- THE REBUILD: one OCC rewrite (new quantizer + postings + PQ)
+    M, DSUB, K = _PQ_M, _PQ_DSUB, _PQ_K
+    cents_v2 = make_centroids(v1_vecs, _VIX_CELLS_V2, "centroids_v2")
+    _vix_assign(v1_vecs, cents_v2).write.parquet(
+        os.path.join(data, "idx_rebuilt")
+    )
+    # PQ codebook v2: first-K Knuth-hash vectors of the owned corpus,
+    # persisted as an index artifact (a codebook IS part of the index)
+    seeds = (
+        v1_vecs.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .orderBy(F.expr(_PQ_ORD).asc(), F.col("vec_id").asc())
+        .limit(K)
+    )
+    seeds.coalesce(1).write.parquet(os.path.join(data, "pq_codebook_v2"))
+    C = np.array(
+        [
+            list(s["v"])
+            for s in spark.read.parquet(
+                os.path.join(data, "pq_codebook_v2")
+            )
+            .orderBy(F.expr(_PQ_ORD).asc(), F.col("vec_id").asc())
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+
+    def d2_int(X: "np.ndarray", m: int) -> "np.ndarray":
+        D = np.zeros((len(X), K), dtype=np.float64)
+        for i in range(DSUB):
+            D += (X[:, m * DSUB + i, None] - C[None, :, m * DSUB + i]) ** 2
+        return np.floor(D * 10000 + 0.5).astype(np.int64)
+
+    def encode(batches):
+        for pdf in batches:
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            codes = np.empty((len(X), M), dtype=np.int32)
+            for m in range(M):
+                codes[:, m] = np.argmin(d2_int(X, m), axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(map(list, codes))}
+            )
+
+    def pq_encode(vecs: DataFrame) -> DataFrame:
+        return vecs.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        ).mapInPandas(encode, "vec_id long, codes array<int>")
+
+    pq_encode(v1_vecs).write.parquet(os.path.join(data, "pq_codes_v2"))
+    commit_with_conflict_detection(
+        base,
+        1,
+        add=["centroids_v2", "idx_rebuilt", "pq_codebook_v2", "pq_codes_v2"],
+        remove=["centroids_v1", "idx_base"],
+        read_set={"vec_base"},
+    )
+
+    # --- the stale append tries to publish: MUST abort
+    stale_aborted = False
+    try:
+        commit_with_conflict_detection(
+            base,
+            1,
+            add=["vec_batch", "idx_batch_stale"],
+            remove=[],
+            read_set={"centroids_v1"},
+        )
+    except CommitConflict:
+        stale_aborted = True
+
+    # --- REBASE: reassign + re-encode under the v2 artifacts
+    _vix_assign(batch, cents_v2).write.parquet(
+        os.path.join(data, "idx_batch_v2")
+    )
+    pq_encode(batch).write.parquet(os.path.join(data, "pq_codes_batch_v2"))
+    commit_with_conflict_detection(
+        base,
+        2,
+        add=["vec_batch", "idx_batch_v2", "pq_codes_batch_v2"],
+        remove=[],
+        read_set={"centroids_v2", "pq_codebook_v2"},
+    )
+    rebase_diff = (
+        spark.read.parquet(os.path.join(data, "idx_batch_v2"))
+        .exceptAll(_vix_assign(batch, cents_v2))
+        .count()
+    )
+
+    # --- COMPACTION: two postings shards -> one, content-preserving
+    pre_compact = spark.read.parquet(
+        os.path.join(data, "idx_rebuilt"), os.path.join(data, "idx_batch_v2")
+    ).localCheckpoint()
+    pre_compact.coalesce(1).write.parquet(os.path.join(data, "idx_compacted"))
+    commit_with_conflict_detection(
+        base,
+        3,
+        add=["idx_compacted"],
+        remove=["idx_rebuilt", "idx_batch_v2"],
+        read_set={"idx_rebuilt", "idx_batch_v2"},
+    )
+
+    # --- attestation twins over the FINAL stored state
+    versions = _log_versions(base)
+    head = set(_log_read(base, versions[-1]))
+    v2_set = set(_log_read(base, 2))
+    all_vecs = spark.read.parquet(
+        os.path.join(data, "vec_base"), os.path.join(data, "vec_batch")
+    ).localCheckpoint()
+    fresh_idx = _vix_assign(all_vecs, cents_v2).localCheckpoint()
+    stored_idx = spark.read.parquet(os.path.join(data, "idx_compacted"))
+    idx_diff = (
+        stored_idx.exceptAll(fresh_idx).unionAll(fresh_idx.exceptAll(stored_idx))
+        .count()
+    )
+    compact_diff = (
+        stored_idx.exceptAll(pre_compact).unionAll(
+            pre_compact.exceptAll(stored_idx)
+        )
+        .count()
+    )
+    stored_codes = spark.read.parquet(
+        os.path.join(data, "pq_codes_v2"),
+        os.path.join(data, "pq_codes_batch_v2"),
+    )
+    fresh_codes = pq_encode(all_vecs)
+    pq_diff = (
+        stored_codes.exceptAll(fresh_codes)
+        .unionAll(fresh_codes.exceptAll(stored_codes))
+        .count()
+    )
+
+    served = _vix_served_topk(spark, all_vecs, stored_idx, cents_v2).localCheckpoint()
+    recomputed = _vix_served_topk(spark, all_vecs, fresh_idx, cents_v2)
+    serve_diff = (
+        served.exceptAll(recomputed).unionAll(recomputed.exceptAll(served)).count()
+    )
+
+    exact = cosine_topk(all_vecs, _VIX_QUERY_IDS, k=_VIX_K).select(
+        "query_id", "neighbor_id"
+    )
+    ex = exact.withColumn("_x", F.lit(1))
+    sv = served.select("query_id", "neighbor_id").withColumn("_f", F.lit(1))
+    m = ex.join(sv, ["query_id", "neighbor_id"], "full_outer").agg(
+        F.count("_x").alias("n_exact"),
+        F.sum(F.when(F.col("_x").isNotNull(), F.col("neighbor_id"))).alias(
+            "exact_id_sum"
+        ),
+        F.count(F.when(F.col("_x").isNotNull() & F.col("_f").isNotNull(), 1)).alias(
+            "n_found"
+        ),
+    ).collect()[0]
+
+    rebuild_atomic = v2_set == {
+        "vec_base", "centroids_v2", "idx_rebuilt", "pq_codebook_v2",
+        "pq_codes_v2",
+    }
+    head_expected = {
+        "vec_base", "vec_batch", "centroids_v2", "pq_codebook_v2",
+        "pq_codes_v2", "pq_codes_batch_v2", "idx_compacted",
+    }
+    occ_ok = versions == [1, 2, 3, 4] and head == head_expected
+    n_corpus = all_vecs.count()
+    n_batch = batch.count()
+
+    return spark.range(1).select(
+        F.lit(n_corpus).cast("bigint").alias("n_corpus"),
+        F.lit(n_batch).cast("bigint").alias("n_batch_rebased"),
+        F.lit(m.exact_id_sum).cast("bigint").alias("exact_topk_id_sum"),
+        F.lit(rebuild_atomic).alias("rebuild_atomic_ok"),
+        F.lit(stale_aborted).alias("stale_append_aborts_ok"),
+        F.lit(rebase_diff == 0).alias("rebase_append_ok"),
+        F.lit(idx_diff == 0).alias("index_content_matches_recompute_ok"),
+        F.lit(compact_diff == 0).alias("compaction_preserves_ok"),
+        F.lit(pq_diff == 0).alias("pq_codebook_v2_ok"),
+        F.lit(serve_diff == 0).alias("served_across_rebuild_ok"),
+        F.lit(occ_ok).alias("occ_versions_ok"),
+        F.lit(m.n_found >= 0.2 * m.n_exact).alias("recall_ok"),
+    )
