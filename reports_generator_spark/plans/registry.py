@@ -301,6 +301,12 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # quantizer + postings rewrite + PQ codebook v2), stale append
         # aborts then rebases, postings compaction — all attested
         "vector_index_rebuild",
+        # r13 widening: the incremental family closed over the
+        # near-dup pair relation, and the FAISS-IVFPQ composite
+        # (cell-probe candidate restriction + integer-grid ADC,
+        # fully value-checked)
+        "embedding_neardup_incremental",
+        "similarity_topk_ivf_pq",
     }
 )
 

@@ -3071,3 +3071,432 @@ def vector_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(occ_ok).alias("occ_versions_ok"),
         F.lit(m.n_found >= 0.2 * m.n_exact).alias("recall_ok"),
     )
+
+
+@query(
+    "embedding_neardup_incremental",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT (SELECT count(*) FROM n) AS n_nodes,
+           (SELECT count(*) FROM n WHERE vec_id % 4 = 0) AS n_batch_nodes,
+           count(*) AS n_exact_pairs,
+           TRUE AS incremental_equals_rebuild_ok,
+           TRUE AS delta_touches_batch_only_ok,
+           TRUE AS batch_never_rehashes_base_ok
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000 + 0.5) / 10000
+            >= {NEARDUP_THRESHOLD}
+    """,
+)
+def embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup maintenance — the pair-relation counterpart
+    of `embedding_knn_graph_incremental`, completing the incremental
+    family (index appends r12, kNN graph r12, near-dup pairs here): a
+    new batch (vec_id % 4 == 0) updates the STORED above-threshold
+    pair set by hashing ONLY ITSELF and joining the stored chunked
+    bucket postings; base vectors are never re-hashed and base×base
+    pairs are never re-scored.
+
+    Update rule, exact by bucket-membership stability (same seeded
+    hyperplanes ⇒ an old vector's buckets never change): the rebuilt
+    pair set over the union corpus is precisely
+      stored base×base pairs  ∪  co-bucketed pairs involving a batch
+      vector (batch×base via the posting join, batch×batch scored
+      once per bucket on the self row).
+    The key ATTESTS the identity rather than assuming it:
+    incremental_equals_rebuild_ok compares the maintained pair set
+    row-for-row (ids AND dround(4) cosines) against a full
+    `embedding_neardup_lsh` rebuild over the union corpus.
+    delta_touches_batch_only_ok pins locality (every delta pair names
+    a batch id); batch_never_rehashes_base_ok is structural — the
+    delta plan's lineage scans raw parquet exactly once (the batch),
+    base vectors entering only through the CHECKPOINTED postings.
+
+    Scale shape: nightly near-dup maintenance costs O(new data ×
+    bucket-local candidates), not O(corpus²); postings are the
+    chunked `_pack_lsh_chunks` layout, so a hot bucket's maintenance
+    scoring parallelizes exactly like the batch builder's."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.similarity import (
+        LSH_CHUNK_CAP,
+        _decode_chunk,
+        _pack_lsh_chunks,
+        embedding_neardup_lsh,
+        signlsh_codes_udf,
+    )
+
+    P, L, SEED, THR = 5, 6, 7, NEARDUP_THRESHOLD  # the neardup base params
+    # (pinned, not auto-scaled: the plane count is part of the stored
+    # posting state, exactly as the kNN incremental key documents)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_corp = emb.filter(F.col("vec_id") % 4 != 0).select(
+        F.col("vec_id").cast("long").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    batch = emb.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").cast("long").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+
+    codes = signlsh_codes_udf(P, L, 64, SEED)
+    base_packed = (
+        _pack_lsh_chunks(
+            base_corp.select(
+                "vid", "v", F.posexplode(codes(F.col("v"))).alias("tbl", "bucket")
+            ),
+            LSH_CHUNK_CAP,
+        )
+        .withColumnRenamed("vids", "base_vids")
+        .withColumnRenamed("flat", "base_flat")
+        .localCheckpoint()
+    )
+    stored_pairs = (
+        embedding_neardup_lsh(
+            base_corp, id_col="vid", vec_col="v", threshold=THR,
+            n_planes=P, n_tables=L, seed=SEED,
+        )
+        .localCheckpoint()
+    )
+
+    batch_packed = (
+        batch.select(
+            "vid", "v", F.posexplode(codes(F.col("v"))).alias("tbl", "bucket")
+        )
+        .groupBy("tbl", "bucket")
+        .agg(F.collect_list(F.struct("vid", "v")).alias("new_vecs"))
+        .select(
+            "tbl",
+            "bucket",
+            F.col("new_vecs.vid").alias("new_vids"),
+            F.flatten(F.col("new_vecs.v")).alias("new_flat"),
+        )
+    )
+    w_self = Window.partitionBy("tbl", "bucket").orderBy(
+        F.col("chk").asc_nulls_first()
+    )
+    joined = (
+        batch_packed.join(base_packed, ["tbl", "bucket"], "left")
+        .withColumn("self_row", F.row_number().over(w_self) == 1)
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def delta_kernel(batches):
+        """Per (bucket × posting chunk) row: above-threshold pairs
+        new×old_chunk; the bucket's single self_row also scores
+        new×new once. Same floor-rounding as the neardup family
+        (its oracles mirror floor(x·1e4+0.5) literally)."""
+        for pdf in batches:
+            outs = []
+            for nv, nf, bv, bf, selfrow in zip(
+                pdf["new_vids"],
+                pdf["new_flat"],
+                pdf["base_vids"],
+                pdf["base_flat"],
+                pdf["self_row"],
+            ):
+                nids, nmat = _decode_chunk(nv, nf)
+                nn = np.linalg.norm(nmat, axis=1)
+                if selfrow and len(nids) > 1:
+                    sim = (nmat @ nmat.T) / np.outer(nn, nn)
+                    sim = np.floor(sim * 10000 + 0.5) / 10000
+                    ia, ib = np.nonzero(sim >= THR)
+                    keep = nids[ia] < nids[ib]
+                    outs.append(
+                        (nids[ia][keep], nids[ib][keep], sim[ia, ib][keep])
+                    )
+                has_old = isinstance(bv, (list, np.ndarray)) and len(bv) > 0
+                if has_old:
+                    oids, omat = _decode_chunk(bv, bf)
+                    on = np.linalg.norm(omat, axis=1)
+                    sim = (nmat @ omat.T) / np.outer(nn, on)
+                    sim = np.floor(sim * 10000 + 0.5) / 10000
+                    ia, ib = np.nonzero(sim >= THR)
+                    lhs, rhs = nids[ia], oids[ib]  # disjoint: once each
+                    outs.append(
+                        (np.minimum(lhs, rhs), np.maximum(lhs, rhs),
+                         sim[ia, ib])
+                    )
+            if outs:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate([o[0] for o in outs]),
+                        "id_b": np.concatenate([o[1] for o in outs]),
+                        "cosine": np.concatenate([o[2] for o in outs]),
+                    }
+                )
+
+    delta_plan = joined.mapInPandas(delta_kernel, out_schema)
+    n_scans = (
+        delta_plan._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .count("FileScan parquet")
+    )
+    delta = delta_plan.groupBy("id_a", "id_b").agg(
+        F.max("cosine").alias("cosine")
+    ).localCheckpoint()
+
+    maintained = (
+        stored_pairs.unionByName(delta)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+        .localCheckpoint()
+    )
+
+    # --- the attested identity: maintained == full rebuild
+    full = embedding_neardup_lsh(
+        emb.select(
+            F.col("vec_id").cast("long").alias("vid"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        ),
+        id_col="vid", vec_col="v", threshold=THR,
+        n_planes=P, n_tables=L, seed=SEED,
+    )
+    n_diff = (
+        maintained.exceptAll(full).unionAll(full.exceptAll(maintained)).count()
+    )
+
+    # locality: every delta pair names a batch id
+    n_nonlocal = delta.filter(
+        (F.col("id_a") % 4 != 0) & (F.col("id_b") % 4 != 0)
+    ).count()
+
+    n_base = base_corp.count()
+    n_batch = batch.count()
+    # n_exact_pairs cross-engine: the EXACT all-pairs count over the
+    # union corpus (real data, same relation the neardup_lsh key pins)
+    from ..operators.similarity import embedding_neardup_blocked
+
+    n_exact = embedding_neardup_blocked(
+        emb, threshold=THR
+    ).count()
+
+    return spark.range(1).select(
+        F.lit(n_base + n_batch).cast("bigint").alias("n_nodes"),
+        F.lit(n_batch).cast("bigint").alias("n_batch_nodes"),
+        F.lit(n_exact).cast("bigint").alias("n_exact_pairs"),
+        F.lit(n_diff == 0).alias("incremental_equals_rebuild_ok"),
+        F.lit(n_nonlocal == 0).alias("delta_touches_batch_only_ok"),
+        F.lit(n_scans == 1).alias("batch_never_rehashes_base_ok"),
+    )
+
+
+_IVFPQ_PROBE = 4
+
+
+@query(
+    "similarity_topk_ivf_pq",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    ord AS (
+      SELECT vec_id, v,
+             row_number() OVER (ORDER BY {_PQ_ORD}, vec_id) AS rn
+      FROM v
+    ),
+    cents AS (SELECT rn - 1 AS cell, v AS cv FROM ord WHERE rn <= {_VIX_CELLS}),
+    cb AS (
+      SELECT rn - 1 AS code, m,
+             v[m * {_PQ_DSUB} + 1 : m * {_PQ_DSUB} + {_PQ_DSUB}] AS c
+      FROM ord, range({_PQ_M}) t(m) WHERE rn <= {_PQ_K}
+    ),
+    celld AS (
+      SELECT v.vec_id, c.cell,
+             CAST(floor(list_reduce(
+               list_transform(range(1, 65), i -> (v.v[i] - c.cv[i]) ^ 2),
+               (a, b) -> a + b) * 10000 + 0.5) AS BIGINT) AS d2i
+      FROM v CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2i, cell) AS r FROM celld
+      ) WHERE r = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2i, cell) AS r
+        FROM celld WHERE vec_id IN (0, 1, 2, 3, 4)
+      ) WHERE r <= {_IVFPQ_PROBE}
+    ),
+    sub AS (
+      SELECT vec_id, m,
+             v[m * {_PQ_DSUB} + 1 : m * {_PQ_DSUB} + {_PQ_DSUB}] AS sv
+      FROM v, range({_PQ_M}) t(m)
+    ),
+    d AS (
+      SELECT s.vec_id, s.m, c.code,
+             CAST(floor(list_reduce(
+               list_transform(range(1, {_PQ_DSUB} + 1),
+                              i -> (s.sv[i] - c.c[i]) ^ 2),
+               (a, b) -> a + b) * 10000 + 0.5) AS BIGINT) AS d2i
+      FROM sub s JOIN cb c USING (m)
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d2i, code) AS r FROM d
+      ) WHERE r = 1
+    ),
+    lut AS (
+      SELECT s.vec_id AS query_id, d.m, d.code, d.d2i
+      FROM (SELECT DISTINCT vec_id FROM v WHERE vec_id IN (0, 1, 2, 3, 4)) s
+      JOIN d ON d.vec_id = s.vec_id
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM qprobe p JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id != p.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(sum(l.d2i) AS BIGINT) AS adc_micro
+      FROM cand c
+      JOIN codes k ON k.vec_id = c.neighbor_id
+      JOIN lut l ON l.query_id = c.query_id AND l.m = k.m AND l.code = k.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_micro, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_micro, neighbor_id) AS BIGINT) AS rank
+      FROM adc
+    ) WHERE rank <= {_PQ_TOPK}
+    """,
+)
+def similarity_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ search — the FAISS-IVFPQ composite that joins the two
+    halves the ANN family already pins separately (`similarity_topk_
+    ivf`: coarse-cell candidate restriction; `embedding_pq_adc_topk`:
+    compressed ADC scoring): queries probe their {_IVFPQ_PROBE}
+    nearest coarse cells and ADC-score ONLY the vectors assigned
+    there, summing {_PQ_M} integer LUT entries per candidate instead
+    of a 64-dim float dot product over the whole corpus.
+
+    Determinism (the PQ integer-grid discipline, extended to the
+    coarse stage): centroids AND codebook are the first-{_VIX_CELLS}
+    Knuth-hash vectors (seeded-quantizer pattern); every distance —
+    cell assignment (64-dim), code assignment and LUT (8-dim
+    subspaces) — accumulates dimension-by-dimension in ascending
+    order on BOTH engines and snaps to the 1e-4 integer grid, so
+    probes, codes, ADC sums, and the final rank are EXACT integer
+    arithmetic. The key is FULLY value-checked cross-engine (not
+    attestation-booleans): DuckDB re-derives quantizers, assignments,
+    probes, LUT, and the ranked result.
+
+    Scale shape: ONE Arrow-batched corpus pass emits (cell, codes) —
+    8 bytes + a cell id per vector, the index the 100 TB tier stores;
+    serving joins the bounded probe relation (queries × {_IVFPQ_PROBE})
+    against the cell-partitioned code table, scores candidates with a
+    640-row broadcast LUT join, and reduces per-query top-{_PQ_TOPK}
+    heaps. The corpus never shuffles; candidate volume is
+    probe_fraction × corpus (here {_IVFPQ_PROBE}/{_VIX_CELLS}).
+    Lloyd-trained quantizers drop in by replacing the seed step."""
+    import numpy as np
+    import pandas as pd
+
+    QIDS = [0, 1, 2, 3, 4]
+    M, DSUB, K = _PQ_M, _PQ_DSUB, _PQ_K
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    ordk = F.expr(_PQ_ORD)
+    seeds = e.orderBy(ordk.asc(), F.col("vec_id").asc()).limit(K).collect()
+    C = np.array([list(s["v"]) for s in seeds], dtype=np.float64)  # 16 × 64
+    # cents == codebook seeds here (both are the first-K hash-order
+    # vectors); they play different roles below
+
+    def d2_int_sub(X: "np.ndarray", m: int) -> "np.ndarray":
+        D = np.zeros((len(X), K), dtype=np.float64)
+        for i in range(DSUB):
+            D += (X[:, m * DSUB + i, None] - C[None, :, m * DSUB + i]) ** 2
+        return np.floor(D * 10000 + 0.5).astype(np.int64)
+
+    def d2_int_full(X: "np.ndarray") -> "np.ndarray":
+        D = np.zeros((len(X), _VIX_CELLS), dtype=np.float64)
+        for i in range(64):
+            D += (X[:, i, None] - C[:_VIX_CELLS, i][None, :]) ** 2
+        return np.floor(D * 10000 + 0.5).astype(np.int64)
+
+    def encode_assign(batches):
+        for pdf in batches:
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            codes = np.empty((len(X), M), dtype=np.int32)
+            for m in range(M):
+                codes[:, m] = np.argmin(d2_int_sub(X, m), axis=1)
+            cells = np.argmin(d2_int_full(X), axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cells,
+                    "codes": list(map(list, codes)),
+                }
+            )
+
+    indexed = e.mapInPandas(
+        encode_assign, "vec_id long, cell int, codes array<int>"
+    )
+
+    # query-side state, driver-built from the same collected seeds
+    qrows = e.filter(F.col("vec_id").isin(QIDS)).collect()
+    probe_rows, lut_rows = [], []
+    for q in qrows:
+        qv = np.array([list(q["v"])], dtype=np.float64)
+        cd = d2_int_full(qv)[0]
+        order = np.lexsort((np.arange(_VIX_CELLS), cd))[:_IVFPQ_PROBE]
+        for cell in order:
+            probe_rows.append((int(q["vec_id"]), int(cell)))
+        for m in range(M):
+            row = d2_int_sub(qv, m)[0]
+            lut_rows.extend(
+                (int(q["vec_id"]), m, code, int(row[code]))
+                for code in range(K)
+            )
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, m int, code int, d2i long"
+    )
+
+    cand = (
+        indexed.join(F.broadcast(probes), ["cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "codes")
+    )
+    adc = (
+        cand.select(
+            "query_id", "neighbor_id", F.posexplode("codes").alias("m", "code")
+        )
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2i").cast("bigint").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "adc_micro", "rank")
+    )

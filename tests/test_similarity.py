@@ -488,3 +488,40 @@ def test_topk_merge_rule_distributive_under_ties():
         assert full == merged
 
     check()
+
+
+def test_topk_select_matches_lexsort_reference_under_ties():
+    """Property fuzz for the O(m·n) integer-key selection that
+    replaced the full lexsort in the LSH kernels: on score matrices
+    drawn from a coarse dround(4) grid (maximally tie-heavy), the
+    selected per-row top-k must equal the (score desc, id asc)
+    reference EXACTLY — including boundary ties, where argpartition's
+    arbitrary ordering would leak through if the composite key were
+    not a total order."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from reports_generator_spark.operators.similarity import _topk_select
+
+    @given(
+        m=st.integers(1, 12),
+        n=st.integers(1, 12),
+        kk=st.integers(1, 12),
+        seed=st.integers(0, 10_000),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(m, n, kk, seed):
+        kk = min(kk, n)
+        rng = np.random.default_rng(seed)
+        # scores on the 1e-4 grid, few distinct values => dense ties
+        sim = rng.integers(-3, 4, size=(m, n)).astype(np.float64) / 1e4
+        ids = np.sort(rng.choice(10 * n, size=n, replace=False)).astype(
+            np.int64
+        )  # sorted ascending, as _decode_chunk guarantees
+        got = _topk_select(sim, kk)
+        for r in range(m):
+            want = sorted(range(n), key=lambda j: (-sim[r, j], ids[j]))[:kk]
+            assert list(got[r]) == want, (r, sim[r], ids)
+
+    check()
