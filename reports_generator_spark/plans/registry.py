@@ -307,6 +307,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # fully value-checked)
         "embedding_neardup_incremental",
         "similarity_topk_ivf_pq",
+        # streaming kNN-graph maintenance: per-epoch OCC commits over
+        # a log-structured edge store, served graph ≡ batch rebuild
+        "stream_knn_graph_append",
     }
 )
 
