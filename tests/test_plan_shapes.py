@@ -742,3 +742,20 @@ def test_wordpiece_trainer_rounds_are_vocab_sized(spark):
     )
     plan = plan_str(pairs.groupBy("a").count(), "simple")
     assert "FileScan" not in plan, plan
+
+
+def test_ivf_pq_serving_no_cartesian_no_corpus_broadcast(spark):
+    """IVF+PQ serving: the candidate restriction is an equi-join of
+    the bounded probe relation against the cell-keyed code table and
+    the ADC scoring joins a broadcast LUT — never a cartesian product
+    or a nested-loop join, and the corpus-side index crosses to
+    Python exactly once (the Arrow encode/assign pass)."""
+    from reports_generator_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["similarity_topk_ivf_pq"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" in plan, plan          # the encode/assign pass
+    assert "BroadcastHashJoin" in plan, plan    # probes + LUT broadcast
