@@ -310,6 +310,10 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # streaming kNN-graph maintenance: per-epoch OCC commits over
         # a log-structured edge store, served graph ≡ batch rebuild
         "stream_knn_graph_append",
+        # the LLM data chain with a TRAINED tokenizer: BPE train →
+        # apply → pack by real tokenized lengths, value-attested
+        # end-to-end (trainer CTEs + recursive packfold in one oracle)
+        "corpus_tokenize_pack",
     }
 )
 

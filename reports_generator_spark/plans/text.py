@@ -2694,3 +2694,113 @@ def tokenizer_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     segmentable = all_words.join(uncovered, "word", "left_anti")
     return _uni_viterbi_usage(segmentable, vocab2)
+
+
+@query(
+    "corpus_tokenize_pack",
+    oracle=f"""{_bpe_symframe_ctes().replace("WITH words AS", "WITH RECURSIVE words AS", 1)},
+    wp AS MATERIALIZED (
+      SELECT word,
+             CAST(len(list_filter(string_split(trim(sym), ' '),
+                                  x -> x <> '')) AS BIGINT) AS np
+      FROM w{_BPE_ROUNDS}
+    ),
+    dt AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    dagg AS MATERIALIZED (
+      SELECT dt.doc_id, CAST(sum(COALESCE(wp.np, 1)) AS BIGINT) AS n_tok
+      FROM dt LEFT JOIN wp ON wp.word = dt.w
+      GROUP BY dt.doc_id
+    ),
+    d AS MATERIALIZED (
+      SELECT doc.doc_id, doc.lang, COALESCE(dagg.n_tok, 0) AS n_tok,
+             row_number() OVER (PARTITION BY doc.lang
+                                ORDER BY doc.doc_id) AS rn
+      FROM documents doc LEFT JOIN dagg ON dagg.doc_id = doc.doc_id
+    ),
+    packfold AS (
+      SELECT doc_id, lang, n_tok, rn, CAST(0 AS BIGINT) AS bin_id,
+             n_tok AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.doc_id, d.lang, d.n_tok, d.rn,
+             CASE WHEN p.fill + d.n_tok <= 256 THEN p.bin_id
+                  ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + d.n_tok <= 256 THEN p.fill + d.n_tok
+                  ELSE d.n_tok END
+      FROM packfold p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, lang AS shard, n_tok, bin_id FROM packfold
+    """,
+)
+def corpus_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-pretraining data chain closed end-to-end with a TRAINED
+    tokenizer: train BPE on the corpus → apply the merge list → pack
+    documents into 256-token context windows by their REAL tokenized
+    lengths (`pack_sequences` packed by whitespace token counts; a
+    production run packs by what the trainer will actually see).
+
+    Per-doc length under the trained tokenizer: alpha words cost
+    their BPE piece count (the applied symbol frame, vocab-sized);
+    every other token costs 1 (pass-through — numbers/punctuation are
+    out of the trainer's ^[a-z]+$ scope, the same convention both
+    engines state literally). Docs with zero tokens pack at length 0.
+
+    Cross-engine: the oracle embeds the BPE trainer's full 3-round
+    CTE chain (merges re-derived), derives the word→piece-count map
+    from the final symbol frame, folds per-doc sums through the SAME
+    recursive next-fit CTE as `pack_sequences` — the packing of the
+    tokenized corpus is value-attested end-to-end.
+
+    Scale shape: corpus scanned ONCE into word freqs (trainer) and
+    ONCE exploded for doc lengths; the word→piece map is vocab-sized
+    and broadcast-joins against the exploded tokens; packing is the
+    per-shard O(n) applyInPandas scan. No stage touches more than
+    corpus + vocab."""
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "sym",
+            F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")),
+        )
+    )
+    merges = tokenizer_bpe_merges(spark, sf_dir).orderBy("round").collect()
+    sym = F.col("sym")
+    for m in merges:
+        pair = m["merged_pair"]
+        sym = F.call_function(
+            "replace",
+            sym,
+            F.lit(f" {pair} "),
+            F.lit(f" {pair.replace(' ', '')} "),
+        )
+    wp = words.select(
+        "word",
+        F.size(F.filter(F.split(F.trim(sym), " "), lambda x: x != "")).cast(
+            "long"
+        ).alias("np"),
+    )
+
+    dt = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("w"))
+    dagg = (
+        dt.join(F.broadcast(wp), dt["w"] == wp["word"], "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("np", F.lit(1))).cast("long").alias("n_tok"))
+    )
+    d = (
+        docs.select("doc_id", "lang")
+        .join(dagg, "doc_id", "left")
+        .select(
+            "doc_id", "lang", F.coalesce("n_tok", F.lit(0)).alias("n_tok")
+        )
+    )
+    return pack_sequences(d, capacity=256, shard_col="lang", tokens_col="n_tok")
