@@ -261,59 +261,27 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "vector_index_incremental", "stream_vector_index_append",
         "tokenizer_wordpiece_apply", "vector_index_pq_codes",
         "embedding_knn_graph_incremental",
+        # --- round 13 green (CORRECTNESS_r13.json: 50/50 hash-match) ---
+        # the 50-key round-13 window (43 were plan/oracle-change
+        # re-attests already listed above, incl. the full TPC-H set under
+        # the kernel-refactored LSH code path; the 7 first-time greens
+        # are listed here)
+        "embedding_neardup_incremental", "similarity_topk_ivf_pq",
+        "stream_knn_graph_append", "corpus_tokenize_pack",
+        "tokenizer_bpe_apply", "tokenizer_unigram_apply",
+        "vector_index_rebuild",
     }
 )
 
 
 #: Keys whose ATTESTATION must (re-)run through the driver's bounded
-#: 50-key window in the CURRENT round (round 13), so they sort FIRST:
-#: every NEW round-13 key, plus any key whose oracle TEXT or plan
+#: 50-key window in the CURRENT round (round 14), so they sort FIRST:
+#: every NEW round-14 key, plus any key whose oracle TEXT or plan
 #: changed this round (the r8 rule: an oracle edit invalidates the
 #: earlier green; the r9 convention re-attests plan changes too).
 _ADDED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # round-13 window: filled as keys land this round.
-        # VERDICT r12 item 1 + ADVICE r12: the sign-LSH family got
-        # bucket-size discipline (lsh_auto_params corpus-scaled
-        # planes/tables + chunked per-bucket scoring), groupBy-max
-        # collision collapse instead of distinct(), and the knn-family
-        # kernels moved to round-half-away-from-zero (np_dround,
-        # matching the oracles' round(expr,4)) — plan-change
-        # re-attests per the r9 convention:
-        "embedding_neardup_lsh",
-        "embedding_knn_graph_lsh",
-        "embedding_knn_graph_topk",
-        "embedding_knn_graph_clusters",
-        "embedding_knn_graph_incremental",
-        # ADVICE r12 (medium): shard writes now mode("overwrite"); the
-        # pre-commit crash window is attested via a planted orphan
-        # shard (new precommit_crash_recovered_ok column — oracle TEXT
-        # changed, so the r8 rule applies too)
-        "stream_vector_index_append",
-        # VERDICT r12 item 3: the tokenizer trainer↔inference matrix
-        # completed — BPE apply (trained merges as chained JVM
-        # replaces) and unigram-LM apply (Viterbi over the FULL corpus
-        # word table under the EM vocab), both with unrolled trainer-
-        # chain-embedding DuckDB twins
-        "tokenizer_bpe_apply",
-        "tokenizer_unigram_apply",
-        # VERDICT r12 item 4: requantization as ONE OCC rewrite (new
-        # quantizer + postings rewrite + PQ codebook v2), stale append
-        # aborts then rebases, postings compaction — all attested
-        "vector_index_rebuild",
-        # r13 widening: the incremental family closed over the
-        # near-dup pair relation, and the FAISS-IVFPQ composite
-        # (cell-probe candidate restriction + integer-grid ADC,
-        # fully value-checked)
-        "embedding_neardup_incremental",
-        "similarity_topk_ivf_pq",
-        # streaming kNN-graph maintenance: per-epoch OCC commits over
-        # a log-structured edge store, served graph ≡ batch rebuild
-        "stream_knn_graph_append",
-        # the LLM data chain with a TRAINED tokenizer: BPE train →
-        # apply → pack by real tokenized lengths, value-attested
-        # end-to-end (trainer CTEs + recursive packfold in one oracle)
-        "corpus_tokenize_pack",
+        # round-14 window: filled as keys land this round.
     }
 )
 
