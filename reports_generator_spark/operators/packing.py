@@ -47,15 +47,25 @@ def pack_sequences(
     id_col: str = "doc_id",
     tokens_col: str = "n_tok",
     order_col: str | None = None,
+    cursors: dict[str, tuple[int, int]] | None = None,
 ) -> DataFrame:
     """(doc_id, shard, n_tok, bin_id): greedy next-fit packing of each
     shard's docs into bins of `capacity` tokens. Packing order within a
     shard is `order_col` (ties broken by id) when given — the composed
-    release pipeline packs in shuffled training order — else id order."""
+    release pipeline packs in shuffled training order — else id order.
+
+    `cursors` maps shard → (open_bin_id, open_bin_fill) and CONTINUES a
+    prior pack from that state instead of starting at bin 0: because
+    next-fit is a left fold over the ordered docs, continuation is
+    exact — fold(base ++ batch) == fold_from(fold(base), batch) — which
+    is what lets an incremental release APPEND a day's batch and land
+    bit-identical to a full repack (plans/release_incremental.py). A
+    shard absent from the map starts fresh at (0, 0)."""
+    cur = dict(cursors) if cursors else {}
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([order_col, id_col] if order_col else id_col)
-        bin_id, fill = 0, 0
+        bin_id, fill = cur.get(str(pdf[shard_col].iloc[0]), (0, 0))
         bins = []
         for n in pdf[tokens_col]:
             if fill > 0 and fill + n > capacity:

@@ -427,6 +427,19 @@ def lsh_auto_params(
     — sub-quadratic (e.g. n^1.33 at p_ref 0.795, n^1.59 at 2/3) —
     instead of n².
 
+    The preserved operating point is the REFERENCE cosine p_ref ONLY.
+    Pairs closer to the decision threshold (lower per-plane agreement
+    p' < p_ref) lose recall as P grows, and steeply: miss there is
+    (1-p'^P)^L, and p'^P shrinks much faster than p_ref^P (e.g. for
+    the neardup family at the threshold cosine 0.38, p' ≈ 0.62 — at
+    n=200k, P≈11/L≈28 the threshold-pair miss rises from ~0.45 base
+    to ~0.85). This is inherent to holding candidate volume
+    sub-quadratic with a single-probe banded scheme; callers that
+    need threshold-cosine recall at scale should lower p_ref (more
+    tables) and pay the candidate growth. `tools/probe_lsh_candidates
+    .py` reports the analytic recall at BOTH cosines per SF so the
+    degradation is measured, not implied.
+
     At every attestation/bench fixture (≤ 2 000 vectors) the formula
     returns the base parameters unchanged, so attested recall gates
     and bench numbers are parameter-identical; the scaling engages
@@ -442,10 +455,11 @@ def lsh_auto_params(
     return P, max(base_tables, L)
 
 
-#: Max vectors packed into one scoring row: bounds every per-task
-#: matrix to chunk_cap² scores (~32 MB of float64 at 2048) no matter
-#: how skewed a bucket is — a hot bucket becomes ⌈m/cap⌉² cooperating
-#: tasks instead of one straggler holding an m² matrix.
+#: Target vectors per scoring row: keeps the EXPECTED per-task matrix
+#: near chunk_cap² scores (~32 MB of float64 at 2048) however skewed a
+#: bucket is — a hot bucket becomes ~⌈m/cap⌉² cooperating tasks
+#: instead of one straggler holding an m² matrix.  Hash assignment
+#: gives an expected-size bound, not a hard cap.
 LSH_CHUNK_CAP = 2048
 
 
@@ -456,9 +470,18 @@ def _pack_lsh_chunks(hashed: DataFrame, chunk_cap: int) -> DataFrame:
 
     Chunk count is ⌈bucket_size/cap⌉ (a count() over the unordered
     (tbl, bucket) window — the same hash exchange the pack groupBy
-    needs, so Spark inserts no second shuffle); chunk assignment is a
-    deterministic multiplicative hash of vid, so a vector's chunk is
-    stable across runs and across incremental-maintenance batches.
+    needs, so Spark inserts no second shuffle); chunk assignment is
+    Fibonacci bucketing — ``h = (vid·2654435761) mod 2³²`` then
+    ``chk = (h·nch) >> 32`` — so the chunk comes from the hash's HIGH
+    bits.  A raw ``h mod nch`` degenerates when vid strides share a
+    factor with nch (e.g. the incremental batch families emit
+    vid ≡ 0 mod 4; with even nch a raw mod folds them onto half the
+    chunks), which re-creates the straggler the chunking exists to
+    break.  The hash gives an EXPECTED size ≈ cap per chunk, not a
+    hard bound — kernels accept any chunk size, and chunked ≡
+    unchunked is tested, so an over-expected chunk costs time only.
+    Assignment stays a deterministic function of vid, so a vector's
+    chunk is stable across runs and incremental-maintenance batches.
 
     The flat layout is a measured ~10× kernel constant: Arrow hands
     the Python side ONE contiguous double array per chunk
@@ -474,9 +497,11 @@ def _pack_lsh_chunks(hashed: DataFrame, chunk_cap: int) -> DataFrame:
         F.lit(1).cast("long"),
         F.ceil(F.count(F.lit(1)).over(wb) / F.lit(chunk_cap)).cast("long"),
     )
-    chk = F.pmod(
-        F.pmod(F.col("vid"), F.lit(2147483648)) * F.lit(2654435761), nch
-    ).cast("int")
+    h = F.pmod(
+        F.pmod(F.col("vid"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
+    chk = F.shiftright(h * nch, 32).cast("int")
     return (
         hashed.withColumn("chk", chk)
         .groupBy("tbl", "bucket", "chk")
@@ -570,6 +595,7 @@ def embedding_neardup_lsh(
     seed: int = 7,
     chunk_cap: int = LSH_CHUNK_CAP,
     target_bucket: int = 128,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold with a sign-LSH prefilter — the
     100 TB path of `embedding_neardup_blocked`.
@@ -586,9 +612,9 @@ def embedding_neardup_lsh(
 
     Candidate pairs must share a bucket in ≥1 of n_tables hash tables;
     every (table, bucket, chunk-pair) becomes one bounded numpy-matmul
-    task (`_pack_lsh_chunks`: no bucket ever packs more than chunk_cap
-    vectors into one row, so a skewed hot bucket is ⌈m/cap⌉² parallel
-    tasks, not one straggler). Shuffle volume is n_tables × corpus
+    task (`_pack_lsh_chunks`: chunks have EXPECTED size ≈ chunk_cap
+    under Fibonacci bucketing, so a skewed hot bucket is ~⌈m/cap⌉²
+    parallel tasks, not one straggler). Shuffle volume is n_tables × corpus
     rows keyed by (tbl, bucket); candidate volume is Σ bucket². A pair
     colliding in several tables/chunk-pairs is collapsed by a
     (id_a, id_b) groupBy taking max(cosine) — NOT distinct(), so no
@@ -607,8 +633,12 @@ def embedding_neardup_lsh(
     )
 
     if n_planes is None or n_tables is None:
+        # builder-call-time count only when the caller didn't pass
+        # n_rows — for an expensive upstream emb, pass the known size
+        # so DataFrame construction stays side-effect-free
         auto_p, auto_t = lsh_auto_params(
-            emb.count(), 5, 6, p_ref=0.795, target_bucket=target_bucket
+            emb.count() if n_rows is None else n_rows,
+            5, 6, p_ref=0.795, target_bucket=target_bucket,
         )
         n_planes = n_planes if n_planes is not None else auto_p
         n_tables = n_tables if n_tables is not None else auto_t
@@ -700,6 +730,7 @@ def knn_graph_lsh(
     seed: int = 7,
     chunk_cap: int = LSH_CHUNK_CAP,
     target_bucket: int = 128,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate kNN graph for EVERY corpus node via banded sign-LSH
     candidates — the full-graph materialization of
@@ -763,8 +794,10 @@ def knn_graph_lsh(
     from ..functions.rounding import np_dround
 
     if n_planes is None or n_tables is None:
+        # see embedding_neardup_lsh: pass n_rows to skip this eager job
         auto_p, auto_t = lsh_auto_params(
-            emb.count(), 4, 12, p_ref=2.0 / 3.0, target_bucket=target_bucket
+            emb.count() if n_rows is None else n_rows,
+            4, 12, p_ref=2.0 / 3.0, target_bucket=target_bucket,
         )
         n_planes = n_planes if n_planes is not None else auto_p
         n_tables = n_tables if n_tables is not None else auto_t

@@ -282,6 +282,24 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset(
 _ADDED_THIS_ROUND: frozenset[str] = frozenset(
     {
         # round-14 window: filled as keys land this round.
+        # ADVICE r13 (medium): chunk assignment moved from raw
+        # mod to Fibonacci bucketing (high-bits) — candidate set is
+        # chunk-invariant (all chunk pairs cross-score) so values are
+        # unchanged, but plan-change re-attests per the r9 convention:
+        "embedding_neardup_lsh",
+        "embedding_knn_graph_lsh",
+        "embedding_knn_graph_incremental",
+        "embedding_neardup_incremental",
+        # + ADVICE r13 (low): stream_knn_graph_append now declares the
+        # FULL posting-shard dependency in its OCC read_set
+        "stream_knn_graph_append",
+        # NEW r14 (verdict item 1): the daily-crawl composition
+        "corpus_release_incremental",
+        # NEW r14 (verdict item 4): two-stage ADC→exact re-rank; its
+        # stage-1 shares _ivf_pq_serving with similarity_topk_ivf_pq,
+        # which re-attests after that (plan-identical) factoring
+        "similarity_topk_ivf_pq_refine",
+        "similarity_topk_ivf_pq",
     }
 )
 
@@ -345,6 +363,10 @@ def load_all() -> None:
     # transactional-MERGE surface (snapshot expiry, delta-log
     # checkpointing, MOR MERGE through one OCC commit)
     from . import lakehouse_meta  # noqa: F401
+    # release_incremental.py registers the round-14 daily-crawl
+    # composition (incremental clean → near-dedup → decon → mix →
+    # pack-append as ONE OCC commit, attested ≡ one-shot rebuild)
+    from . import release_incremental  # noqa: F401
 
     # Reorder for the driver's bounded attestation window (round 1 cut off
     # at exactly 50 entries): keys added/changed this round first (their

@@ -2534,9 +2534,9 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     # table, the vector_index_incremental pattern; here checkpointed
     # relations so base lineage is provably severed from the update)
     # stored postings are CHUNKED exactly like the batch builder
-    # (_pack_lsh_chunks): no bucket ever persists more than chunk_cap
-    # vectors in one posting row, so a hot bucket's maintenance scoring
-    # parallelizes across chunk rows instead of one straggler task
+    # (_pack_lsh_chunks): a posting row holds ~chunk_cap vectors in
+    # expectation (Fibonacci bucketing), so a hot bucket's maintenance
+    # scoring parallelizes across chunk rows instead of one straggler
     base_packed = (
         _pack_lsh_chunks(
             base_corp.select(
@@ -3414,6 +3414,23 @@ def similarity_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     heaps. The corpus never shuffles; candidate volume is
     probe_fraction × corpus (here {_IVFPQ_PROBE}/{_VIX_CELLS}).
     Lloyd-trained quantizers drop in by replacing the seed step."""
+    adc = _ivf_pq_serving(spark, sf_dir)["adc"]
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "adc_micro", "rank")
+    )
+
+
+def _ivf_pq_serving(spark: SparkSession, sf_dir: str) -> dict:
+    """The shared IVF+PQ serving pipeline (see similarity_topk_ivf_pq's
+    docstring — this is its body, factored so the refine key reuses the
+    identical index/probe/LUT/ADC plan): returns {"e": vector relation,
+    "qdf": broadcastable (query_id, qv) frame, "adc": the un-ranked
+    per-candidate ADC relation}."""
     import numpy as np
     import pandas as pd
 
@@ -3492,13 +3509,183 @@ def similarity_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d2i").cast("bigint").alias("adc_micro"))
     )
-    w = Window.partitionBy("query_id").orderBy(
+    qdf = spark.createDataFrame(
+        [(int(q["vec_id"]), list(q["v"])) for q in qrows],
+        "query_id long, qv array<double>",
+    )
+    return {"e": e, "qdf": qdf, "adc": adc}
+
+
+#: refine stage: ADC top-N candidates re-scored exactly (FAISS's
+#: IVFPQR / refine-reorder pattern) — N trades recall for N exact
+#: 64-dim distances per query.
+_REFINE_N = 50
+
+
+@query(
+    "similarity_topk_ivf_pq_refine",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    ord AS (
+      SELECT vec_id, v,
+             row_number() OVER (ORDER BY {_PQ_ORD}, vec_id) AS rn
+      FROM v
+    ),
+    cents AS (SELECT rn - 1 AS cell, v AS cv FROM ord WHERE rn <= {_VIX_CELLS}),
+    cb AS (
+      SELECT rn - 1 AS code, m,
+             v[m * {_PQ_DSUB} + 1 : m * {_PQ_DSUB} + {_PQ_DSUB}] AS c
+      FROM ord, range({_PQ_M}) t(m) WHERE rn <= {_PQ_K}
+    ),
+    celld AS (
+      SELECT v.vec_id, c.cell,
+             CAST(floor(list_reduce(
+               list_transform(range(1, 65), i -> (v.v[i] - c.cv[i]) ^ 2),
+               (a, b) -> a + b) * 10000 + 0.5) AS BIGINT) AS d2i
+      FROM v CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2i, cell) AS r FROM celld
+      ) WHERE r = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2i, cell) AS r
+        FROM celld WHERE vec_id IN (0, 1, 2, 3, 4)
+      ) WHERE r <= {_IVFPQ_PROBE}
+    ),
+    sub AS (
+      SELECT vec_id, m,
+             v[m * {_PQ_DSUB} + 1 : m * {_PQ_DSUB} + {_PQ_DSUB}] AS sv
+      FROM v, range({_PQ_M}) t(m)
+    ),
+    d AS (
+      SELECT s.vec_id, s.m, c.code,
+             CAST(floor(list_reduce(
+               list_transform(range(1, {_PQ_DSUB} + 1),
+                              i -> (s.sv[i] - c.c[i]) ^ 2),
+               (a, b) -> a + b) * 10000 + 0.5) AS BIGINT) AS d2i
+      FROM sub s JOIN cb c USING (m)
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d2i, code) AS r FROM d
+      ) WHERE r = 1
+    ),
+    lut AS (
+      SELECT s.vec_id AS query_id, d.m, d.code, d.d2i
+      FROM (SELECT DISTINCT vec_id FROM v WHERE vec_id IN (0, 1, 2, 3, 4)) s
+      JOIN d ON d.vec_id = s.vec_id
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM qprobe p JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id != p.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(sum(l.d2i) AS BIGINT) AS adc_micro
+      FROM cand c
+      JOIN codes k ON k.vec_id = c.neighbor_id
+      JOIN lut l ON l.query_id = c.query_id AND l.m = k.m AND l.code = k.code
+      GROUP BY 1, 2
+    ),
+    ranked AS MATERIALIZED (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_micro, neighbor_id) AS arank
+      FROM adc
+    ),
+    ex AS (
+      SELECT t.query_id, t.neighbor_id, t.adc_micro,
+             CAST(floor(list_reduce(
+               list_transform(range(1, 65), i -> (nv.v[i] - qv.v[i]) ^ 2),
+               (a, b) -> a + b) * 10000 + 0.5) AS BIGINT) AS exact_d2i
+      FROM (SELECT query_id, neighbor_id, adc_micro FROM ranked
+            WHERE arank <= {_REFINE_N}) t
+      JOIN v nv ON nv.vec_id = t.neighbor_id
+      JOIN v qv ON qv.vec_id = t.query_id
+    )
+    SELECT e.query_id, e.neighbor_id, e.exact_d2i, e.adc_micro,
+           (r.arank IS NOT NULL) AS in_adc_topk, e.rank
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY exact_d2i, neighbor_id) AS BIGINT) AS rank
+          FROM ex) e
+    LEFT JOIN (SELECT query_id, neighbor_id, arank FROM ranked
+               WHERE arank <= {_PQ_TOPK}) r
+      ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+    WHERE e.rank <= {_PQ_TOPK}
+    """,
+)
+def similarity_topk_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF+PQ serving with EXACT re-ranking (r13 verdict item
+    4) — the standard recall-recovery step between a compressed ADC
+    scan and the exact scorer (FAISS `IndexRefine` / IVFPQR, public
+    design): stage 1 ADC-ranks the probed candidates and keeps the top
+    {_REFINE_N}; stage 2 re-scores ONLY those from the raw vectors
+    (integer-grid 64-dim distance, the `similarity_topk` comparator)
+    and emits the exact top {_PQ_TOPK}.
+
+    `in_adc_topk` makes the recall delta a per-edge, cross-engine
+    value: rows with FALSE are exactly the neighbors the PQ
+    quantization error had pushed out of the uncorrected ADC top
+    {_PQ_TOPK} and the refine stage recovered — the oracle re-derives
+    the flag independently, so the delta is attested data, not a
+    quality boolean.
+
+    Scale shape: stage 2 touches queries × {_REFINE_N} rows — the
+    candidate list broadcasts against the vector relation (no corpus
+    shuffle, plan-pinned in tests/test_plan_shapes.py), and the exact
+    distance is a single JVM zip_with/aggregate fold over 64 dims, in
+    ascending-dimension order on BOTH engines so the 1e-4 grid snap is
+    exact integer agreement. Refine cost per query is N exact
+    distances — independent of corpus size, the property that makes
+    the two-stage design the 100 TB serving path."""
+    s = _ivf_pq_serving(spark, sf_dir)
+    w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc_micro").asc(), F.col("neighbor_id").asc()
     )
+    # reused by the top-N cut AND the in_adc_topk flag — checkpoint so
+    # the ADC join tree runs once
+    ranked = s["adc"].withColumn(
+        "arank", F.row_number().over(w_adc)
+    ).localCheckpoint()
+    topn = ranked.filter(F.col("arank") <= _REFINE_N).select(
+        "query_id", "neighbor_id", "adc_micro"
+    )
+    nv = s["e"].select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+    )
+    diffsq = F.zip_with("nv", "qv", lambda x, y: (x - y) * (x - y))
+    d2 = F.aggregate(diffsq, F.lit(0.0), lambda a, x: a + x)
+    ex = (
+        nv.join(F.broadcast(topn), "neighbor_id")
+        .join(F.broadcast(s["qdf"]), "query_id")
+        .select(
+            "query_id", "neighbor_id", "adc_micro",
+            F.floor(d2 * 10000 + F.lit(0.5)).cast("bigint").alias("exact_d2i"),
+        )
+    )
+    adc10 = ranked.filter(F.col("arank") <= _PQ_TOPK).select(
+        "query_id", "neighbor_id", F.lit(True).alias("hit")
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.col("exact_d2i").asc(), F.col("neighbor_id").asc()
+    )
     return (
-        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        ex.withColumn("rank", F.row_number().over(w_ex).cast("bigint"))
         .filter(F.col("rank") <= _PQ_TOPK)
-        .select("query_id", "neighbor_id", "adc_micro", "rank")
+        .join(F.broadcast(adc10), ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id", "neighbor_id", "exact_d2i", "adc_micro",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("in_adc_topk"),
+            "rank",
+        )
     )
 
 
@@ -3777,7 +3964,12 @@ def stream_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"graph_e{batch_id}",
             ],
             remove=[],
-            read_set={"postings_base"},
+            # the delta scored against EVERY posting shard at head
+            # (postings_base AND each prior epoch's postings_e*), so all
+            # of them are OCC dependencies — a concurrent compaction
+            # rewriting any epoch shard between stage and commit must
+            # surface as a conflict, not slip past a base-only read_set
+            read_set=set(posting_dirs),
         )
 
     schema = s.read.parquet(src).schema

@@ -42,11 +42,21 @@ def probe_dir(sf_dir: str, cpus: str) -> dict:
     n = emb.count()
     out: dict = {"sf_dir": sf_dir, "n_rows": n}
 
-    for fam, base_p, base_l, p_ref in (
-        ("knn", 4, 12, 2.0 / 3.0),
-        ("neardup", 5, 6, 0.795),
+    import math
+
+    for fam, base_p, base_l, p_ref, cos_ref, cos_thr in (
+        # cos_ref: the recall-reference cosine the auto-params preserve;
+        # cos_thr: the family's decision-threshold cosine, where recall
+        # DEGRADES as P scales (ADVICE r13) — report both so the
+        # degradation is measured, not implied
+        ("knn", 4, 12, 2.0 / 3.0, 0.5, 0.5),
+        ("neardup", 5, 6, 0.795, 0.8, 0.38),
     ):
         P, L = lsh_auto_params(n, base_p, base_l, p_ref=p_ref)
+
+        def _recall(cos: float, planes: int, tables: int) -> float:
+            p = 1.0 - math.acos(max(-1.0, min(1.0, cos))) / math.pi
+            return 1.0 - (1.0 - p**planes) ** tables
         base = emb.select(
             F.col("vec_id").cast("long").alias("vid"),
             F.col("embedding").cast("array<double>").alias("v"),
@@ -92,6 +102,12 @@ def probe_dir(sf_dir: str, cpus: str) -> dict:
             "max_bucket": bstats.max_bucket,
             "max_chunk_row": stats.max_chunk,
             "scored_candidates": int(cand),
+            "recall_ref_cosine": round(_recall(cos_ref, P, L), 4),
+            "recall_ref_base_params": round(_recall(cos_ref, base_p, base_l), 4),
+            "recall_threshold_cosine": round(_recall(cos_thr, P, L), 4),
+            "recall_threshold_base_params": round(
+                _recall(cos_thr, base_p, base_l), 4
+            ),
         }
 
     t0 = time.perf_counter()
@@ -110,6 +126,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     results = [probe_dir(d, cpus) for d in sys.argv[1:]]
     print(json.dumps(results, indent=1))
+    os.makedirs(".scratch", exist_ok=True)
     with open(".scratch/probe_lsh_candidates.json", "w") as fh:
         json.dump(results, fh, indent=1)
 
