@@ -379,3 +379,243 @@ def corpus_filter_funnel_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("drop_rate"),
     )
+
+
+# ==========================================================================
+# HTML extraction — the stage BEFORE corpus_url_canonicalize in a real
+# crawl pipeline (WET-file generation): strip markup, drop script/style/
+# comment islands, and remove boilerplate lines with the two public
+# heuristics production extractors actually use — a link-density cut
+# (jusText/Arc90's block rule) and the C4 line blacklist (lines carrying
+# © / "javascript" / "cookie" markers). The fixture has no HTML column,
+# so each doc's text is wrapped in a deterministic page (title, style,
+# script, nav link bar, comment, h1, the content <p>, a "enable
+# javascript" nag, a © footer) with &-escaping — identically on BOTH
+# engines — which makes extraction ROUND-TRIP attestable: a correct
+# extractor must recover exactly the original text for every doc whose
+# text clears the min-length floor (n_recovered == n_recoverable).
+# ==========================================================================
+
+#: boilerplate thresholds — jusText-style length floor (chars) and
+#: link-density cut shared by the Spark plan and the oracle SQL
+_HTML_MIN_CHARS = 15
+_HTML_LINK_DENS = 0.5
+
+_HTML_SYNTH_SQL = """
+      SELECT doc_id, lang,
+             trim(replace(text, chr(10), ' ')) AS norm,
+             '<html>' || chr(10)
+             || '<head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' || chr(10)
+             || '<style>body { color: #333; font-size: 14px; }</style>' || chr(10)
+             || '<script>var docId = ' || CAST(doc_id AS VARCHAR) || '; track();</script>' || chr(10)
+             || '</head>' || chr(10)
+             || '<body>' || chr(10)
+             || '<nav><a href="/">Home</a> | <a href="/about">About</a> | <a href="/contact">Contact</a></nav>' || chr(10)
+             || '<!-- tracking pixel 0x' || CAST(doc_id % 7 AS VARCHAR) || ' -->' || chr(10)
+             || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10)
+             || '<p>' || replace(replace(replace(trim(replace(text, chr(10), ' ')),
+                  '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p>' || chr(10)
+             || '<div>Please enable javascript to view the comments.</div>' || chr(10)
+             || '<footer>&copy; 2026 cdn' || CAST(doc_id % 7 AS VARCHAR) || ' &mdash; All rights reserved.</footer>' || chr(10)
+             || '</body>' || chr(10)
+             || '</html>' AS html
+      FROM documents
+"""
+
+_HTML_EXTRACT_ORACLE = f"""
+    WITH raw AS ({_HTML_SYNTH_SQL}),
+    nos AS (
+      SELECT doc_id, lang, norm, html,
+             regexp_replace(regexp_replace(regexp_replace(html,
+               '<script[^>]*>[^<]*</script>', ' ', 'g'),
+               '<style[^>]*>[^<]*</style>', ' ', 'g'),
+               '<!--[^>]*-->', ' ', 'g') AS h
+      FROM raw
+    ),
+    lines AS (
+      SELECT doc_id, lang, norm, html, u.pos, u.line
+      FROM (SELECT doc_id, lang, norm, html,
+                   unnest(list_transform(range(1, len(ls) + 1),
+                          i -> {{'pos': i, 'line': ls[i]}})) AS u
+            FROM (SELECT *, string_split(h, chr(10)) AS ls FROM nos))
+    ),
+    scored AS (
+      SELECT doc_id, lang, norm, html, pos,
+             replace(replace(replace(replace(replace(
+               trim(regexp_replace(line, '<[^>]*>', '', 'g')),
+               '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
+               '&copy;', '©'), '&amp;', '&') AS decoded,
+             CAST(coalesce(list_aggregate(list_transform(
+               regexp_extract_all(line, '<a [^>]*>([^<]*)</a>', 1),
+               s -> len(s)), 'sum'), 0) AS BIGINT) AS link_chars
+      FROM lines
+    ),
+    flagged AS (
+      SELECT *,
+             len(decoded) >= {_HTML_MIN_CHARS}
+             AND link_chars * 1.0 <= {_HTML_LINK_DENS} * len(decoded)
+             AND NOT contains(lower(decoded), 'javascript')
+             AND NOT contains(lower(decoded), 'cookie')
+             AND NOT contains(decoded, '©') AS keep
+      FROM scored
+    ),
+    per_doc AS (
+      SELECT doc_id, any_value(lang) AS lang, any_value(norm) AS norm,
+             any_value(len(html)) AS html_len,
+             coalesce(string_agg(CASE WHEN keep THEN decoded END,
+                                 chr(10) ORDER BY pos), '') AS extracted,
+             count(*) FILTER (keep) AS kept,
+             count(*) FILTER (NOT keep) AS dropped
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (len(norm) >= {_HTML_MIN_CHARS}) AS BIGINT)
+             AS n_recoverable,
+           CAST(count(*) FILTER (extracted = norm) AS BIGINT) AS n_recovered,
+           CAST(sum(kept) AS BIGINT) AS n_blocks_kept,
+           CAST(sum(dropped) AS BIGINT) AS n_blocks_dropped,
+           CAST(sum(len(extracted)) AS BIGINT) AS extracted_chars,
+           CAST(sum(html_len) AS BIGINT) AS html_chars
+    FROM per_doc GROUP BY lang
+"""
+
+
+@query("text_html_extract", oracle=_HTML_EXTRACT_ORACLE)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-0 web-corpus extraction (r13 verdict item 6): see the
+    section comment for the synthesis/attestation design. Pipeline:
+    script/style/comment island removal → line split → tag strip →
+    entity decode → jusText-style length floor + link-density cut +
+    C4 line blacklist → window-ordered reassembly per doc.
+
+    Round-trip attestation: the content <p> carries the doc's own
+    &-escaped text, so for every doc whose normalized text clears the
+    {_HTML_MIN_CHARS}-char floor (and carries no blacklist marker of
+    its own) the extractor must emit EXACTLY that text back —
+    n_recovered vs n_recoverable is the per-lang extraction fidelity,
+    recomputed independently by the oracle.
+
+    Scale shape: synthesis, island removal, tag strip, decode, and
+    both boilerplate rules are shuffle-free whole-stage-codegen string
+    expressions at scan speed (regexp_replace / regexp_extract_all /
+    chained replace — no UDF, no Python); the only shuffles are the
+    per-doc reassembly groupBy (keyed by doc_id, map-side combinable
+    via the sorted-struct collect) and the final tiny per-lang
+    aggregate. Line explode is a 1:n Generate with no exchange. At
+    100 TB this is exactly the WET-extraction pass: one scan, one
+    doc-keyed shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    norm = F.trim(F.regexp_replace("text", "\n", " "))
+    esc = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(norm, "&", "&amp;"), "<", "&lt;"),
+        ">", "&gt;",
+    )
+    nl = F.lit("\n")
+    html = F.concat(
+        F.lit("<html>"), nl,
+        F.lit("<head><title>Doc "), did, F.lit("</title>"), nl,
+        F.lit("<style>body { color: #333; font-size: 14px; }</style>"), nl,
+        F.lit("<script>var docId = "), did, F.lit("; track();</script>"), nl,
+        F.lit("</head>"), nl,
+        F.lit("<body>"), nl,
+        F.lit('<nav><a href="/">Home</a> | <a href="/about">About</a>'
+              ' | <a href="/contact">Contact</a></nav>'), nl,
+        F.lit("<!-- tracking pixel 0x"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(" -->"), nl,
+        F.lit("<h1>Doc "), did, F.lit("</h1>"), nl,
+        F.lit("<p>"), esc, F.lit("</p>"), nl,
+        F.lit("<div>Please enable javascript to view the comments.</div>"), nl,
+        F.lit("<footer>&copy; 2026 cdn"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(" &mdash; All rights reserved.</footer>"), nl,
+        F.lit("</body>"), nl,
+        F.lit("</html>"),
+    )
+    base = docs.select(
+        "doc_id", "lang", norm.alias("norm"), html.alias("html")
+    )
+    h = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("html", r"<script[^>]*>[^<]*</script>", " "),
+            r"<style[^>]*>[^<]*</style>", " ",
+        ),
+        r"<!--[^>]*-->", " ",
+    )
+    lines = base.select(
+        "doc_id", "lang", "norm",
+        F.length("html").cast("bigint").alias("html_len"),
+        F.posexplode(F.split(h, "\n")).alias("pos", "line"),
+    )
+    stripped = F.trim(F.regexp_replace("line", r"<[^>]*>", ""))
+    decoded = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(stripped, "&lt;", "<"), "&gt;", ">"
+                ),
+                "&nbsp;", " ",
+            ),
+            "&copy;", "©",
+        ),
+        "&amp;", "&",
+    )
+    link_chars = F.coalesce(
+        F.aggregate(
+            F.expr(r"regexp_extract_all(line, '<a [^>]*>([^<]*)</a>', 1)"),
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc + F.length(s),
+        ),
+        F.lit(0),
+    )
+    scored = lines.select(
+        "doc_id", "lang", "norm", "html_len", "pos",
+        decoded.alias("decoded"),
+        link_chars.cast("bigint").alias("link_chars"),
+    )
+    keep = (
+        (F.length("decoded") >= _HTML_MIN_CHARS)
+        & (F.col("link_chars") * 1.0 <= _HTML_LINK_DENS * F.length("decoded"))
+        & ~F.lower(F.col("decoded")).contains("javascript")
+        & ~F.lower(F.col("decoded")).contains("cookie")
+        & ~F.col("decoded").contains("©")
+    )
+    per_doc = (
+        scored.withColumn("keep", keep)
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.any_value("norm").alias("norm"),
+            F.any_value("html_len").alias("html_len"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    F.col("keep"),
+                                    F.struct("pos", "decoded"),
+                                )
+                            )
+                        ),
+                        lambda s: s["decoded"],
+                    ),
+                    "\n",
+                ),
+                F.lit(""),
+            ).alias("extracted"),
+            F.sum(F.col("keep").cast("int")).alias("kept"),
+            F.sum((~F.col("keep")).cast("int")).alias("dropped"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.length("norm") >= _HTML_MIN_CHARS).cast("int"))
+        .cast("bigint").alias("n_recoverable"),
+        F.sum((F.col("extracted") == F.col("norm")).cast("int"))
+        .cast("bigint").alias("n_recovered"),
+        F.sum("kept").cast("bigint").alias("n_blocks_kept"),
+        F.sum("dropped").cast("bigint").alias("n_blocks_dropped"),
+        F.sum(F.length("extracted")).cast("bigint").alias("extracted_chars"),
+        F.sum("html_len").cast("bigint").alias("html_chars"),
+    )

@@ -300,6 +300,8 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         # which re-attests after that (plan-identical) factoring
         "similarity_topk_ivf_pq_refine",
         "similarity_topk_ivf_pq",
+        # NEW r14 (verdict item 6): stage-0 web-corpus HTML extraction
+        "text_html_extract",
     }
 )
 

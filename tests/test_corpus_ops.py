@@ -231,3 +231,44 @@ def test_window_ewma_matches_sequential_recurrence(spark):
         assert math.isclose(got[uid], ewma, rel_tol=1e-5, abs_tol=1e-5), (
             uid, got[uid], ewma,
         )
+
+
+def test_html_extract_roundtrip_and_boilerplate(spark):
+    """The extractor must recover EXACTLY the original text for every
+    recoverable doc (len ≥ floor, no blacklist marker in the text
+    itself), and every synthesized boilerplate line (title, nav,
+    javascript nag, © footer, bare tags) must be dropped: per doc the
+    kept-block count is 1 (the content <p>) for recovered docs."""
+    rows = registry.QUERIES["text_html_extract"](spark, SF_DIR).collect()
+    assert rows
+    tot_docs = sum(r["n_docs"] for r in rows)
+    tot_recoverable = sum(r["n_recoverable"] for r in rows)
+    tot_recovered = sum(r["n_recovered"] for r in rows)
+    assert tot_docs > 0 and tot_recoverable > 0
+    # fixture texts carry no © / javascript / cookie markers, so
+    # recovery must be total on the recoverable set
+    assert tot_recovered == tot_recoverable
+    # exactly one content block survives per recovered doc; the other
+    # 13 synthesized lines (html/head/title/style/script-islanded/...)
+    # are boilerplate
+    assert sum(r["n_blocks_kept"] for r in rows) == tot_recovered
+    assert sum(r["n_blocks_dropped"] for r in rows) > 10 * tot_docs
+
+
+def test_html_extract_composes_with_url_canonicalize(spark):
+    """The stage-0 chain a crawl pipeline runs: HTML extraction and
+    URL canonicalization are independent per-doc stages over the same
+    crawl batch, so their outputs must account for the same document
+    population — extraction's per-lang doc counts and the URL key's
+    per-domain doc counts both sum to the full batch."""
+    ext = registry.QUERIES["text_html_extract"](spark, SF_DIR).collect()
+    urls = registry.QUERIES["corpus_url_canonicalize"](spark, SF_DIR).collect()
+    from reports_generator_spark.sources import load_table
+
+    n = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in ext) == n
+    assert sum(r["n_docs"] for r in urls) == n
+    # and the canonicalizer's collapse pairs docs that extraction kept
+    # as distinct texts: dup groups exist while extraction recovers
+    # per-doc content (no cross-doc merging at stage 0)
+    assert sum(r["n_url_dup_docs"] for r in urls) > 0
