@@ -947,3 +947,78 @@ def semantic_dedup(
         F.max_by(F.col(id_col), ordkey).alias("rep_id"),
         F.max(F.col("cscore")).alias("rep_score"),
     )
+
+
+def neardup_stratum_exact(
+    emb: DataFrame,
+    mod: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.38,
+) -> DataFrame:
+    """EXACT near-dup pairs touching a deterministic node stratum
+    (id % mod == 0) — the bounded ground-truth twin that lets the LSH
+    key's recall attestation run at ANY scale factor (r13 verdict item
+    7): cost is |stratum| × corpus, never corpus², and |stratum| is
+    the caller's dial (the registered key scales mod with n so the
+    stratum stays ~1k queries).
+
+    Same posture as the kNN-graph audit (`_knn_graph_edges`): the
+    stratum matrix is bounded driver state broadcast to every
+    partition; each corpus Arrow batch scores against ALL stratum
+    vectors in one numpy matmul and emits only the ≥-threshold pairs,
+    id-normalized (lo, hi). A pair with BOTH endpoints in the stratum
+    surfaces from each anchor; the groupBy-max collapse picks one
+    (scores are the same product reassociated — the repo-wide
+    no-float-distinct discipline). Rounding is the neardup family's
+    floor(x·1e4+0.5) — the oracle mirrors it literally."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    base = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    qrows = base.filter(F.col("vid") % mod == 0).collect()
+    qids = np.array([r["vid"] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r["v"]) for r in qrows], dtype=np.float64)
+    qnrm = np.linalg.norm(qmat, axis=1)
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:
+                continue
+            ids = pdf["vid"].to_numpy(dtype=np.int64)
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(mat, axis=1)
+            sim = (qmat @ mat.T) / np.outer(qnrm, nrm)
+            sim = np.floor(sim * 10000 + 0.5) / 10000
+            qi, ci = np.nonzero(sim >= threshold)
+            lhs, rhs = qids[qi], ids[ci]
+            keep = lhs != rhs
+            lo = np.minimum(lhs[keep], rhs[keep])
+            hi = np.maximum(lhs[keep], rhs[keep])
+            yield pd.DataFrame(
+                {"id_a": lo, "id_b": hi, "cosine": sim[qi, ci][keep]}
+            )
+
+    return (
+        base.mapInPandas(score_batches, out_schema)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )

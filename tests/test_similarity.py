@@ -525,3 +525,32 @@ def test_topk_select_matches_lexsort_reference_under_ties():
             assert list(got[r]) == want, (r, sim[r], ids)
 
     check()
+
+
+def test_neardup_stratum_twin_matches_allpairs_restriction(spark):
+    """The bounded stratum twin that re-anchored embedding_neardup_lsh's
+    audit (r14) must agree EXACTLY with the all-pairs exact relation
+    restricted to the stratum — the full quadratic audit stays a
+    fixture-SF test here while the registered key runs at any SF."""
+    from reports_generator_spark.operators.similarity import (
+        embedding_neardup_blocked,
+        neardup_stratum_exact,
+    )
+    from reports_generator_spark.plans.similarity import (
+        _NEARDUP_STRATUM_MOD,
+        NEARDUP_THRESHOLD,
+    )
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    strat = neardup_stratum_exact(
+        emb, _NEARDUP_STRATUM_MOD, threshold=NEARDUP_THRESHOLD
+    )
+    full = embedding_neardup_blocked(emb, threshold=NEARDUP_THRESHOLD).filter(
+        (F.col("id_a") % _NEARDUP_STRATUM_MOD == 0)
+        | (F.col("id_b") % _NEARDUP_STRATUM_MOD == 0)
+    )
+    s_rows = {(r["id_a"], r["id_b"], r["cosine"]) for r in strat.collect()}
+    f_rows = {(r["id_a"], r["id_b"], r["cosine"]) for r in full.collect()}
+    assert s_rows == f_rows and len(s_rows) > 0
