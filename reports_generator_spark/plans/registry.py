@@ -302,6 +302,9 @@ _ADDED_THIS_ROUND: frozenset[str] = frozenset(
         "similarity_topk_ivf_pq",
         # NEW r14 (verdict item 6): stage-0 web-corpus HTML extraction
         "text_html_extract",
+        # NEW r14 (verdict item 8): HD-rotation OPQ with per-edge
+        # recall-delta flags vs plain PQ and the exact ground truth
+        "embedding_opq_adc_topk",
     }
 )
 
