@@ -38,20 +38,29 @@ def connected_components(
     # exactly once — the symmetric union below references it twice, and
     # every round joins against the edge set
     base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
-    und = (
-        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
     # graph-sized iteration parallelism (see pagerank_undirected): an
     # inherited wide layout turns every min-label round over a small
     # graph into dozens of near-empty tasks; ~50k endpoints/partition
-    # keeps tasks meaningful while a big graph still fans out fully
+    # keeps tasks meaningful while a big graph still fans out fully.
+    # Directed-edge count bounds the symmetric relation (n ≤ und ≤ 2n),
+    # which is all the sizing heuristic needs — counting the cheap
+    # checkpointed base instead of the deduped union lets the union,
+    # dedup and layout materialize as ONE job below (was three).
+    n_edges = base.count()
     n_parts = max(1, min(
-        und.sparkSession.sparkContext.defaultParallelism,
-        und.count() // 50_000 + 1,
+        base.sparkSession.sparkContext.defaultParallelism,
+        2 * n_edges // 50_000 + 1,
     ))
-    und = und.repartition(n_parts, "src").localCheckpoint()
+    # single exchange: hash-partition by src FIRST, then dedup —
+    # HashPartitioning(src) already clusters (src, dst), so the
+    # dropDuplicates aggregates partition-locally with no second
+    # shuffle, and the round-loop groupBy("src") reuses the layout
+    und = (
+        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(n_parts, "src")
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint()
+    )
     # fused first round: every node's label starts at
     # min(node, min(neighbors)) — one groupBy instead of a join round
     labels = (

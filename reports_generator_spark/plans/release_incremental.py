@@ -399,7 +399,9 @@ def _batch_flow(
         .join(fps0.select("fp"), "fp", "left_anti")
         .withColumn("rn", F.row_number().over(w_fp))
         .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "text", "n_tok")
+        # fp rides along so the e1-state write reuses it instead of
+        # re-tokenizing + re-hashing the batch (r14 optimization)
+        .select("doc_id", "lang", "text", "n_tok", "fp")
     )
     sig = _signatures(clean).localCheckpoint()
     bb = _bands(sig)
@@ -475,6 +477,10 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base)
     os.makedirs(base)
 
+    def phase(name: str) -> None:
+        # UI/REST attribution only (guide §1.5); no effect on results
+        spark.sparkContext.setJobDescription(f"cri:{name}")
+
     docs = load_table(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 5 == 4
     rates = spark.createDataFrame(
@@ -484,10 +490,12 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ord_key = (key % F.lit(4294967296)).alias("ord_key")
 
     # ---- twin, epoch 0 == the base release build ----------------------
+    phase("scored_ckpt")
     scored = _scored(docs).withColumn(
         "epoch", is_batch.cast("int")
     ).localCheckpoint()
     w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    phase("clean0")
     clean0 = (
         scored.filter((F.col("epoch") == 0) & (F.col("q") >= _REL_Q_MIN))
         .withColumn("rn", F.row_number().over(w_fp))
@@ -495,6 +503,7 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "text", "n_tok", "fp")
         .localCheckpoint()
     )
+    phase("sig0")
     sig0 = _signatures(clean0).localCheckpoint()
     from ..operators.graph import connected_components
 
@@ -506,12 +515,15 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()
     )
+    phase("cc0")
     pairs0 = _est_pairs(cand0, sig0, sig0)
     cc0 = connected_components(pairs0, src="id_a", dst="id_b")
     dropped0 = cc0.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
     )
+    phase("keep0")
     keep0 = clean0.join(dropped0, "doc_id", "left_anti").localCheckpoint()
+    phase("evsh")
     evsh = (
         exploded_shingles(
             docs.filter((~is_batch) & (F.col("doc_id") % EVAL_MOD == 0)),
@@ -529,6 +541,7 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contam0, "doc_id", "left_anti")
         .select("doc_id", "lang", "n_tok")
     )
+    phase("mixed0")
     mixed0 = (
         decon0.join(F.broadcast(rates), "lang")
         .filter(key % 1000 < F.col("keep_permille"))
@@ -541,12 +554,14 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tok", ord_key,
         ((key % F.lit(4294967296)) % _REL_SHARDS).cast("string").alias("shard"),
     )
+    phase("packed0")
     packed0 = pack_sequences(
         shard0, capacity=_REL_CAPACITY, shard_col="shard",
         tokens_col="n_tok", order_col="ord_key",
     ).localCheckpoint()
 
     # ---- persist the release state + manifest v1 ----------------------
+    phase("state_writes")
     sigs_keep0 = sig0.join(keep0.select("doc_id"), "doc_id")
     state = {
         "state_fps_base": clean0.select("fp"),
@@ -562,22 +577,55 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("n_tok").cast("long").alias("open_fill"))
         ),
     }
-    for name, df in state.items():
+    # all six artifact writes are independent: submit them from a small
+    # thread pool so each write's task tail back-fills the executors
+    # freed by its siblings (guide §2.6 — actions are only sequential
+    # because driver code calls them sequentially)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(item: tuple[str, DataFrame]) -> None:
+        name, df = item
         df.write.mode("overwrite").parquet(os.path.join(base, name))
-    docs.filter(is_batch).select("doc_id", "lang", "text").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(base, "batch_raw"))
+
+    writes = dict(state)
+    writes["batch_raw"] = docs.filter(is_batch).select("doc_id", "lang", "text")
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_write, writes.items()))
     assert atomic_claim(
         os.path.join(base, "manifest-v1.txt"), "\n".join(sorted(state))
     )
 
     # ---- the INCREMENTAL flow: batch landing zone + state ONLY --------
+    # the epoch-1 REBUILD TWIN depends only on the in-memory epoch-0
+    # frames (all checkpointed above), never on the state files the
+    # incremental flow reads — so it is built CONCURRENTLY with the
+    # incremental flow on a driver thread and its jobs back-fill the
+    # incremental protocol's idle stretches (guide §2.6); the equality
+    # section below joins the thread before comparing.
+    from pyspark import InheritableThread
+
+    twin_box: dict[str, dict[str, DataFrame]] = {}
+
+    def _build_twin() -> None:
+        spark.sparkContext.setJobDescription("cri:twin_e1_concurrent")
+        twin_box["twin"] = _batch_flow(
+            scored.filter(F.col("epoch") == 1),
+            clean0.select("fp").distinct(),
+            sigs_keep0,
+            evsh,
+            rates,
+        )
+
+    twin_thread = InheritableThread(target=_build_twin)
+    twin_thread.start()
+
     audited_files: set[str] = set()
 
     def audit(df: DataFrame) -> DataFrame:
         audited_files.update(df.inputFiles())
         return df
 
+    phase("inc_flow")
     batch_raw = audit(spark.read.parquet(os.path.join(base, "batch_raw")))
     fps0_s = audit(spark.read.parquet(os.path.join(base, "state_fps_base")))
     sigs0_s = audit(spark.read.parquet(os.path.join(base, "state_sigs_base")))
@@ -596,6 +644,7 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tok", ord_key,
         ((key % F.lit(4294967296)) % _REL_SHARDS).cast("string").alias("shard"),
     )
+    phase("packed_b")
     packed_b = pack_sequences(
         shard_b, capacity=_REL_CAPACITY, shard_col="shard",
         tokens_col="n_tok", order_col="ord_key", cursors=cursors,
@@ -604,21 +653,24 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage + publish as ONE OCC commit: every state artifact the flow
     # read is a declared dependency, so a concurrent rewrite of any of
     # them aborts the append (lost-update prevention, r13 ADVICE rule)
-    packed_b.write.mode("overwrite").parquet(os.path.join(base, "packed_e1"))
-    inc["clean"].select(
-        fingerprint_col(tokens_col(F.col("text"))).alias("fp")
-    ).write.mode("overwrite").parquet(os.path.join(base, "state_fps_e1"))
-    inc["sig"].join(inc["keep"].select("doc_id"), "doc_id").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(base, "state_sigs_e1"))
+    phase("e1_state_writes")
     w_sh = Window.partitionBy("shard")
-    (
-        packed_b.withColumn("open_bin", F.max("bin_id").over(w_sh))
-        .filter(F.col("bin_id") == F.col("open_bin"))
-        .groupBy("shard", "open_bin")
-        .agg(F.sum("n_tok").cast("long").alias("open_fill"))
-        .write.mode("overwrite").parquet(os.path.join(base, "cursor_v2"))
-    )
+    e1_writes = {
+        "packed_e1": packed_b,
+        # fp was computed by the batch's own _scored pass and carried
+        # through clean — reusing it here skips a second tokenize+md5
+        # of every batch text (identical values by construction)
+        "state_fps_e1": inc["clean"].select("fp"),
+        "state_sigs_e1": inc["sig"].join(inc["keep"].select("doc_id"), "doc_id"),
+        "cursor_v2": (
+            packed_b.withColumn("open_bin", F.max("bin_id").over(w_sh))
+            .filter(F.col("bin_id") == F.col("open_bin"))
+            .groupBy("shard", "open_bin")
+            .agg(F.sum("n_tok").cast("long").alias("open_fill"))
+        ),
+    }
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_write, e1_writes.items()))
     committed_v, _ = commit_with_conflict_detection(
         base, 1,
         add=["packed_e1", "state_fps_e1", "state_sigs_e1", "cursor_v2"],
@@ -641,13 +693,9 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) and len(audited_files) > 0
 
     # ---- twin, epoch 1 + one-shot union pack, then the equality -------
-    twin = _batch_flow(
-        scored.filter(F.col("epoch") == 1),
-        clean0.select("fp").distinct(),
-        sigs_keep0,
-        evsh,
-        rates,
-    )
+    phase("twin_e1")
+    twin_thread.join()
+    twin = twin_box["twin"]
     # one-shot fold over the union in (epoch, shuffle-key, id) order —
     # epoch folds into the order column so ONE pack_sequences call
     # reproduces base-then-batch arrival
@@ -665,21 +713,38 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         union_sharded, capacity=_REL_CAPACITY, shard_col="shard",
         tokens_col="n_tok", order_col="o",
     )
+    phase("equalities")
     served = spark.read.parquet(os.path.join(base, "packed_base")).unionByName(
         spark.read.parquet(os.path.join(base, "packed_e1"))
     ).select("doc_id", "shard", "n_tok", "bin_id")
     tp = twin_packed.select("doc_id", "shard", "n_tok", "bin_id")
-    pack_eq = (
-        served.exceptAll(tp).count() == 0 and tp.exceptAll(served).count() == 0
-    )
-    keep_eq = (
-        inc["keep"].select("doc_id").exceptAll(twin["keep"].select("doc_id")).count() == 0
-        and twin["keep"].select("doc_id").exceptAll(inc["keep"].select("doc_id")).count() == 0
-    )
-    mix_eq = (
-        inc["mixed"].exceptAll(twin["mixed"]).count() == 0
-        and twin["mixed"].exceptAll(inc["mixed"]).count() == 0
-    )
+
+    def _multiset_eq(a: DataFrame, b: DataFrame) -> bool:
+        """a ≡ b as multisets, as ONE job: signed union + group-count.
+        Equivalent to the two-sided exceptAll-is-empty check (a row
+        with nonzero signed count is exactly a row surviving one of
+        the two exceptAlls) at half the shuffles and a quarter of the
+        actions."""
+        cols = a.columns
+        diff = (
+            a.withColumn("__sgn", F.lit(1))
+            .unionByName(b.select(*cols).withColumn("__sgn", F.lit(-1)))
+            .groupBy(*cols)
+            .agg(F.sum("__sgn").alias("__d"))
+            .filter(F.col("__d") != 0)
+        )
+        return diff.limit(1).count() == 0
+
+    # three independent equality checks — run concurrently (§2.6)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        pack_eq_f = pool.submit(_multiset_eq, served, tp)
+        keep_eq_f = pool.submit(
+            _multiset_eq, inc["keep"].select("doc_id"), twin["keep"].select("doc_id")
+        )
+        mix_eq_f = pool.submit(_multiset_eq, inc["mixed"], twin["mixed"])
+        pack_eq, keep_eq, mix_eq = (
+            pack_eq_f.result(), keep_eq_f.result(), mix_eq_f.result()
+        )
     equals_rebuild = pack_eq and keep_eq and mix_eq
 
     # ---- stage rows off the INCREMENTAL artifacts ---------------------
@@ -692,6 +757,7 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_bins.cast("bigint").alias("n_bins"),
         )
 
+    phase("stage_rows")
     pb_read = audit(spark.read.parquet(os.path.join(base, "packed_base")))
     pe1_read = spark.read.parquet(os.path.join(base, "packed_e1"))
     n_bins_total = (
@@ -712,6 +778,7 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("batch_mixed", inc["mixed"], null_bins))
         .unionByName(row("batch_packed", pe1_read, F.lit(n_bins_total)))
     )
+    phase("final")
     return stats.select(
         "*",
         F.lit(bool(equals_rebuild)).alias("incremental_equals_rebuild"),
