@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from ..functions.diff import one_sided_diff_count, symmetric_diff_count
 from .registry import query
 from .scale_joins import (
     CommitConflict,
@@ -604,7 +605,7 @@ def mv_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
     )
-    n_diff = merged.exceptAll(full).unionAll(full.exceptAll(merged)).count()
+    n_diff = symmetric_diff_count(merged, full)
     assert n_diff == 0, "incremental MV diverged from full recompute"
     return merged
 
@@ -1282,10 +1283,8 @@ def table_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches_target = int(set(_log_read(base, restore_v)) == set(_log_read(base, 2)))
     history_ok = int(_log_versions(base) == [1, 2, 3, 4])
     # rollback's CDC: rows present in v3 but not in the restore head
-    rolled_back = (
-        snap(3).select("o_orderkey")
-        .exceptAll(snap(restore_v).select("o_orderkey"))
-        .count()
+    rolled_back = one_sided_diff_count(
+        snap(3).select("o_orderkey"), snap(restore_v).select("o_orderkey")
     )
     bad = snap(3).agg(
         F.count(F.lit(1)).alias("n_rows_bad_version"),

@@ -17,6 +17,11 @@ from pyspark.sql import functions as F
 from ..functions.rounding import dround, np_dround
 from ..operators.similarity import cosine_topk, cosine_topk_lsh, embedding_neardup
 from ..sources import load_table
+from ..functions.diff import (
+    one_sided_diff_count,
+    symmetric_diff_count,
+    symmetric_diff_rows,
+)
 from .registry import query
 
 QUERY_IDS = [0, 1, 2, 3, 4]
@@ -1968,14 +1973,10 @@ def vector_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the content-equality diff)
     fresh_idx = _vix_assign(vecs, cents).localCheckpoint()
     recomputed = _vix_served_topk(spark, vecs, fresh_idx, cents)
-    n_serve_diff = (
-        served.exceptAll(recomputed).unionAll(recomputed.exceptAll(served)).count()
-    )
+    n_serve_diff = symmetric_diff_count(served, recomputed)
 
     # twin 2: stored postings == fresh assignment, row for row
-    idx_diff = (
-        idx.exceptAll(fresh_idx).unionAll(fresh_idx.exceptAll(idx)).count()
-    )
+    idx_diff = symmetric_diff_count(idx, fresh_idx)
 
     # exact side: bounded broadcast cross (the cosine_topk contract)
     exact = cosine_topk(vecs, _VIX_QUERY_IDS, k=_VIX_K).select(
@@ -2220,13 +2221,11 @@ def stream_vector_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     idx = spark.read.parquet(*[os.path.join(data, x) for x in idx_shards])
     fresh_idx = _vix_assign(vecs, cents).localCheckpoint()
-    idx_diff = idx.exceptAll(fresh_idx).unionAll(fresh_idx.exceptAll(idx)).count()
+    idx_diff = symmetric_diff_count(idx, fresh_idx)
 
     served = _vix_served_topk(spark, vecs, idx, cents).localCheckpoint()
     recomputed = _vix_served_topk(spark, vecs, fresh_idx, cents)
-    n_serve_diff = (
-        served.exceptAll(recomputed).unionAll(recomputed.exceptAll(served)).count()
-    )
+    n_serve_diff = symmetric_diff_count(served, recomputed)
 
     exact = cosine_topk(vecs, _VIX_QUERY_IDS, k=_VIX_K).select(
         "query_id", "neighbor_id"
@@ -2737,9 +2736,7 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         ),
         id_col="vid", vec_col="v", k=K, n_planes=P, n_tables=L, seed=SEED,
     )
-    n_diff = (
-        incremental.exceptAll(full).unionAll(full.exceptAll(incremental)).count()
-    )
+    n_diff = symmetric_diff_count(incremental, full)
 
     # locality: changed base nodes ⊆ nodes with a batch candidate
     affected = (
@@ -2755,8 +2752,7 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         .select("node_id", "neighbor_id", "score")
     )
     changed = (
-        inc_base.exceptAll(g_base_ranked)
-        .unionAll(g_base_ranked.exceptAll(inc_base))
+        symmetric_diff_rows(inc_base, g_base_ranked)
         .select("node_id")
         .distinct()
     )
@@ -3008,10 +3004,9 @@ def vector_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove=[],
         read_set={"centroids_v2", "pq_codebook_v2"},
     )
-    rebase_diff = (
-        spark.read.parquet(os.path.join(data, "idx_batch_v2"))
-        .exceptAll(_vix_assign(batch, cents_v2))
-        .count()
+    rebase_diff = one_sided_diff_count(
+        spark.read.parquet(os.path.join(data, "idx_batch_v2")),
+        _vix_assign(batch, cents_v2),
     )
 
     # --- COMPACTION: two postings shards -> one, content-preserving
@@ -3036,32 +3031,18 @@ def vector_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     fresh_idx = _vix_assign(all_vecs, cents_v2).localCheckpoint()
     stored_idx = spark.read.parquet(os.path.join(data, "idx_compacted"))
-    idx_diff = (
-        stored_idx.exceptAll(fresh_idx).unionAll(fresh_idx.exceptAll(stored_idx))
-        .count()
-    )
-    compact_diff = (
-        stored_idx.exceptAll(pre_compact).unionAll(
-            pre_compact.exceptAll(stored_idx)
-        )
-        .count()
-    )
+    idx_diff = symmetric_diff_count(stored_idx, fresh_idx)
+    compact_diff = symmetric_diff_count(stored_idx, pre_compact)
     stored_codes = spark.read.parquet(
         os.path.join(data, "pq_codes_v2"),
         os.path.join(data, "pq_codes_batch_v2"),
     )
     fresh_codes = pq_encode(all_vecs)
-    pq_diff = (
-        stored_codes.exceptAll(fresh_codes)
-        .unionAll(fresh_codes.exceptAll(stored_codes))
-        .count()
-    )
+    pq_diff = symmetric_diff_count(stored_codes, fresh_codes)
 
     served = _vix_served_topk(spark, all_vecs, stored_idx, cents_v2).localCheckpoint()
     recomputed = _vix_served_topk(spark, all_vecs, fresh_idx, cents_v2)
-    serve_diff = (
-        served.exceptAll(recomputed).unionAll(recomputed.exceptAll(served)).count()
-    )
+    serve_diff = symmetric_diff_count(served, recomputed)
 
     exact = cosine_topk(all_vecs, _VIX_QUERY_IDS, k=_VIX_K).select(
         "query_id", "neighbor_id"
@@ -3306,9 +3287,7 @@ def embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         id_col="vid", vec_col="v", threshold=THR,
         n_planes=P, n_tables=L, seed=SEED,
     )
-    n_diff = (
-        maintained.exceptAll(full).unionAll(full.exceptAll(maintained)).count()
-    )
+    n_diff = symmetric_diff_count(maintained, full)
 
     # locality: every delta pair names a batch id
     n_nonlocal = delta.filter(
@@ -4053,7 +4032,7 @@ def stream_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         id_col="vid", vec_col="v", k=K, n_planes=P, n_tables=L, seed=SEED,
     )
-    n_diff = served.exceptAll(full).unionAll(full.exceptAll(served)).count()
+    n_diff = symmetric_diff_count(served, full)
 
     max_deg = (
         served.groupBy("node_id").count().agg(F.max("count")).collect()[0][0]
