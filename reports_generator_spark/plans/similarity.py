@@ -22,6 +22,7 @@ from ..functions.diff import (
     symmetric_diff_count,
     symmetric_diff_rows,
 )
+from ..functions.overlap import concurrent_values
 from .registry import query
 
 QUERY_IDS = [0, 1, 2, 3, 4]
@@ -1966,17 +1967,15 @@ def vector_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = spark.read.parquet(*[os.path.join(data, s) for s in sorted(idx_shards)])
     cents = spark.read.parquet(os.path.join(data, "centroids_v1")).localCheckpoint()
 
-    served = _vix_served_topk(spark, vecs, idx, cents).localCheckpoint()
-
-    # twin 1: the same serving plan over a FRESH full assignment
-    # (checkpointed once — it feeds the serving twin AND both sides
-    # of the content-equality diff)
-    fresh_idx = _vix_assign(vecs, cents).localCheckpoint()
+    # the serving pass and the fresh-assignment twin 1 are independent
+    # of each other — materialize both concurrently; then the equality
+    # / recall / count actions below are independent scalars over those
+    # checkpointed relations, so they overlap too (guide §2.6)
+    served, fresh_idx = concurrent_values(
+        lambda: _vix_served_topk(spark, vecs, idx, cents).localCheckpoint(),
+        lambda: _vix_assign(vecs, cents).localCheckpoint(),
+    )
     recomputed = _vix_served_topk(spark, vecs, fresh_idx, cents)
-    n_serve_diff = symmetric_diff_count(served, recomputed)
-
-    # twin 2: stored postings == fresh assignment, row for row
-    idx_diff = symmetric_diff_count(idx, fresh_idx)
 
     # exact side: bounded broadcast cross (the cosine_topk contract)
     exact = cosine_topk(vecs, _VIX_QUERY_IDS, k=_VIX_K).select(
@@ -1984,15 +1983,25 @@ def vector_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = exact.withColumn("_x", F.lit(1))
     sv = served.select("query_id", "neighbor_id").withColumn("_f", F.lit(1))
-    m = ex.join(sv, ["query_id", "neighbor_id"], "full_outer").agg(
-        F.count("_x").alias("n_exact"),
-        F.sum(F.when(F.col("_x").isNotNull(), F.col("neighbor_id"))).alias(
-            "exact_id_sum"
-        ),
-        F.count(F.when(F.col("_x").isNotNull() & F.col("_f").isNotNull(), 1)).alias(
-            "n_found"
-        ),
-    ).collect()[0]
+    n_serve_diff, idx_diff, m, n_corpus, n_batch = concurrent_values(
+        # twin 1: served == the same plan over the fresh assignment
+        lambda: symmetric_diff_count(served, recomputed),
+        # twin 2: stored postings == fresh assignment, row for row
+        lambda: symmetric_diff_count(idx, fresh_idx),
+        lambda: ex.join(sv, ["query_id", "neighbor_id"], "full_outer")
+        .agg(
+            F.count("_x").alias("n_exact"),
+            F.sum(
+                F.when(F.col("_x").isNotNull(), F.col("neighbor_id"))
+            ).alias("exact_id_sum"),
+            F.count(
+                F.when(F.col("_x").isNotNull() & F.col("_f").isNotNull(), 1)
+            ).alias("n_found"),
+        )
+        .collect()[0],
+        lambda: vecs.count(),
+        lambda: spark.read.parquet(os.path.join(data, "vec_batch")).count(),
+    )
 
     with open(os.path.join(base, "_AUDIT")) as f:
         audit = json.load(f)
@@ -2001,8 +2010,6 @@ def vector_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ_ok = versions == [1, 2] and sorted(v2) == sorted(
         v1 + ["vec_batch", "idx_batch"]
     )
-    n_corpus = vecs.count()
-    n_batch = spark.read.parquet(os.path.join(data, "vec_batch")).count()
 
     return spark.range(1).select(
         F.lit(n_corpus).cast("bigint").alias("n_corpus"),
@@ -2220,28 +2227,36 @@ def stream_vector_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[os.path.join(data, x) for x in vec_shards]
     ).localCheckpoint()
     idx = spark.read.parquet(*[os.path.join(data, x) for x in idx_shards])
-    fresh_idx = _vix_assign(vecs, cents).localCheckpoint()
-    idx_diff = symmetric_diff_count(idx, fresh_idx)
-
-    served = _vix_served_topk(spark, vecs, idx, cents).localCheckpoint()
+    # fresh assignment twin and stored-index serving pass are
+    # independent — materialize concurrently, then overlap the
+    # equality/recall/count scalars (guide §2.6)
+    fresh_idx, served = concurrent_values(
+        lambda: _vix_assign(vecs, cents).localCheckpoint(),
+        lambda: _vix_served_topk(spark, vecs, idx, cents).localCheckpoint(),
+    )
     recomputed = _vix_served_topk(spark, vecs, fresh_idx, cents)
-    n_serve_diff = symmetric_diff_count(served, recomputed)
 
     exact = cosine_topk(vecs, _VIX_QUERY_IDS, k=_VIX_K).select(
         "query_id", "neighbor_id"
     )
     ex = exact.withColumn("_x", F.lit(1))
     sv = served.select("query_id", "neighbor_id").withColumn("_f", F.lit(1))
-    m = ex.join(sv, ["query_id", "neighbor_id"], "full_outer").agg(
-        F.count("_x").alias("n_exact"),
-        F.sum(F.when(F.col("_x").isNotNull(), F.col("neighbor_id"))).alias(
-            "exact_id_sum"
-        ),
-        F.count(F.when(F.col("_x").isNotNull() & F.col("_f").isNotNull(), 1)).alias(
-            "n_found"
-        ),
-    ).collect()[0]
-    n_corpus = vecs.count()
+    idx_diff, n_serve_diff, m, n_corpus = concurrent_values(
+        lambda: symmetric_diff_count(idx, fresh_idx),
+        lambda: symmetric_diff_count(served, recomputed),
+        lambda: ex.join(sv, ["query_id", "neighbor_id"], "full_outer")
+        .agg(
+            F.count("_x").alias("n_exact"),
+            F.sum(
+                F.when(F.col("_x").isNotNull(), F.col("neighbor_id"))
+            ).alias("exact_id_sum"),
+            F.count(
+                F.when(F.col("_x").isNotNull() & F.col("_f").isNotNull(), 1)
+            ).alias("n_found"),
+        )
+        .collect()[0],
+        lambda: vecs.count(),
+    )
 
     return spark.range(1).select(
         F.lit(n_corpus).cast("bigint").alias("n_corpus"),
@@ -2561,6 +2576,32 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("embedding").cast("array<double>").alias("v"),
     )
 
+    # the full-rebuild attestation twin reads only the raw embeddings —
+    # independent of the stored state AND of the incremental pass — so
+    # it runs on a driver thread concurrent with both, its jobs
+    # back-filling the protocol's idle stretches (guide §2.6); the
+    # equality section below joins the thread before comparing
+    from pyspark import InheritableThread
+
+    twin_box: dict[str, object] = {}
+
+    def _full_twin() -> None:
+        try:
+            spark.sparkContext.setJobDescription("eki:full_rebuild_twin")
+            twin_box["full"] = knn_graph_lsh(
+                emb.select(
+                    F.col("vec_id").cast("long").alias("vid"),
+                    F.col("embedding").cast("array<double>").alias("v"),
+                ),
+                id_col="vid", vec_col="v", k=K,
+                n_planes=P, n_tables=L, seed=SEED,
+            ).localCheckpoint()
+        except BaseException as exc:  # surfaced at join
+            twin_box["err"] = exc
+
+    twin_thread = InheritableThread(target=_full_twin)
+    twin_thread.start()
+
     codes = signlsh_codes_udf(P, L, 64, SEED)
     # --- the STORED state (in production: parquet shards of the index
     # table, the vector_index_incremental pattern; here checkpointed
@@ -2728,15 +2769,12 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("rank").cast("bigint").alias("rank"),
     ).localCheckpoint()
 
-    # --- the attested identity: incremental == full rebuild
-    full = knn_graph_lsh(
-        emb.select(
-            F.col("vec_id").cast("long").alias("vid"),
-            F.col("embedding").cast("array<double>").alias("v"),
-        ),
-        id_col="vid", vec_col="v", k=K, n_planes=P, n_tables=L, seed=SEED,
-    )
-    n_diff = symmetric_diff_count(incremental, full)
+    # --- the attested identity: incremental == full rebuild (built
+    # concurrently on the twin thread started at builder entry)
+    twin_thread.join()
+    if "err" in twin_box:
+        raise twin_box["err"]  # type: ignore[misc]
+    full = twin_box["full"]
 
     # locality: changed base nodes ⊆ nodes with a batch candidate
     affected = (
@@ -2756,13 +2794,18 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         .select("node_id")
         .distinct()
     )
-    n_changed_unaffected = changed.join(affected, "node_id", "left_anti").count()
-
-    max_deg = (
-        incremental.groupBy("node_id").count().agg(F.max("count")).collect()[0][0]
+    # the equality diff, locality audit and tail counts are independent
+    # scalars over checkpointed relations — overlap them (guide §2.6)
+    n_diff, n_changed_unaffected, max_deg, n_base, n_batch = concurrent_values(
+        lambda: symmetric_diff_count(incremental, full),
+        lambda: changed.join(affected, "node_id", "left_anti").count(),
+        lambda: incremental.groupBy("node_id")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0],
+        lambda: base_corp.count(),
+        lambda: batch.count(),
     )
-    n_base = base_corp.count()
-    n_batch = batch.count()
 
     no_rescan = n_scans == 1  # captured pre-checkpoint, above
 
@@ -3029,27 +3072,33 @@ def vector_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_vecs = spark.read.parquet(
         os.path.join(data, "vec_base"), os.path.join(data, "vec_batch")
     ).localCheckpoint()
-    fresh_idx = _vix_assign(all_vecs, cents_v2).localCheckpoint()
     stored_idx = spark.read.parquet(os.path.join(data, "idx_compacted"))
-    idx_diff = symmetric_diff_count(stored_idx, fresh_idx)
-    compact_diff = symmetric_diff_count(stored_idx, pre_compact)
     stored_codes = spark.read.parquet(
         os.path.join(data, "pq_codes_v2"),
         os.path.join(data, "pq_codes_batch_v2"),
     )
     fresh_codes = pq_encode(all_vecs)
-    pq_diff = symmetric_diff_count(stored_codes, fresh_codes)
-
-    served = _vix_served_topk(spark, all_vecs, stored_idx, cents_v2).localCheckpoint()
+    # the five attestation legs are pairwise independent given the
+    # checkpointed all_vecs — overlap them in two concurrent batches
+    # (guide §2.6): first materialize the two relations everything
+    # else reads plus the two legs that don't need them, then the
+    # remaining equality scalars
+    fresh_idx, served, compact_diff, pq_diff = concurrent_values(
+        lambda: _vix_assign(all_vecs, cents_v2).localCheckpoint(),
+        lambda: _vix_served_topk(
+            spark, all_vecs, stored_idx, cents_v2
+        ).localCheckpoint(),
+        lambda: symmetric_diff_count(stored_idx, pre_compact),
+        lambda: symmetric_diff_count(stored_codes, fresh_codes),
+    )
     recomputed = _vix_served_topk(spark, all_vecs, fresh_idx, cents_v2)
-    serve_diff = symmetric_diff_count(served, recomputed)
 
     exact = cosine_topk(all_vecs, _VIX_QUERY_IDS, k=_VIX_K).select(
         "query_id", "neighbor_id"
     )
     ex = exact.withColumn("_x", F.lit(1))
     sv = served.select("query_id", "neighbor_id").withColumn("_f", F.lit(1))
-    m = ex.join(sv, ["query_id", "neighbor_id"], "full_outer").agg(
+    m_agg = ex.join(sv, ["query_id", "neighbor_id"], "full_outer").agg(
         F.count("_x").alias("n_exact"),
         F.sum(F.when(F.col("_x").isNotNull(), F.col("neighbor_id"))).alias(
             "exact_id_sum"
@@ -3057,7 +3106,14 @@ def vector_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("_x").isNotNull() & F.col("_f").isNotNull(), 1)).alias(
             "n_found"
         ),
-    ).collect()[0]
+    )
+    idx_diff, serve_diff, m, n_corpus, n_batch = concurrent_values(
+        lambda: symmetric_diff_count(stored_idx, fresh_idx),
+        lambda: symmetric_diff_count(served, recomputed),
+        lambda: m_agg.collect()[0],
+        lambda: all_vecs.count(),
+        lambda: batch.count(),
+    )
 
     rebuild_atomic = v2_set == {
         "vec_base", "centroids_v2", "idx_rebuilt", "pq_codebook_v2",
@@ -3068,8 +3124,6 @@ def vector_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq_codes_v2", "pq_codes_batch_v2", "idx_compacted",
     }
     occ_ok = versions == [1, 2, 3, 4] and head == head_expected
-    n_corpus = all_vecs.count()
-    n_batch = batch.count()
 
     return spark.range(1).select(
         F.lit(n_corpus).cast("bigint").alias("n_corpus"),
@@ -3165,6 +3219,31 @@ def embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("vec_id").cast("long").alias("vid"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
+
+    # the full-rebuild twin reads only the raw embeddings — independent
+    # of the stored state and the maintenance pass — so it runs on a
+    # driver thread concurrent with both (guide §2.6); joined before
+    # the equality diff below
+    from pyspark import InheritableThread
+
+    twin_box: dict[str, object] = {}
+
+    def _full_twin() -> None:
+        try:
+            spark.sparkContext.setJobDescription("eni:full_rebuild_twin")
+            twin_box["full"] = embedding_neardup_lsh(
+                emb.select(
+                    F.col("vec_id").cast("long").alias("vid"),
+                    F.col("embedding").cast("array<double>").alias("v"),
+                ),
+                id_col="vid", vec_col="v", threshold=THR,
+                n_planes=P, n_tables=L, seed=SEED,
+            ).localCheckpoint()
+        except BaseException as exc:  # surfaced at join
+            twin_box["err"] = exc
+
+    twin_thread = InheritableThread(target=_full_twin)
+    twin_thread.start()
 
     codes = signlsh_codes_udf(P, L, 64, SEED)
     base_packed = (
@@ -3278,31 +3357,29 @@ def embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .localCheckpoint()
     )
 
-    # --- the attested identity: maintained == full rebuild
-    full = embedding_neardup_lsh(
-        emb.select(
-            F.col("vec_id").cast("long").alias("vid"),
-            F.col("embedding").cast("array<double>").alias("v"),
-        ),
-        id_col="vid", vec_col="v", threshold=THR,
-        n_planes=P, n_tables=L, seed=SEED,
-    )
-    n_diff = symmetric_diff_count(maintained, full)
+    # --- the attested identity: maintained == full rebuild (built
+    # concurrently on the twin thread started at builder entry)
+    twin_thread.join()
+    if "err" in twin_box:
+        raise twin_box["err"]  # type: ignore[misc]
+    full = twin_box["full"]
 
-    # locality: every delta pair names a batch id
-    n_nonlocal = delta.filter(
-        (F.col("id_a") % 4 != 0) & (F.col("id_b") % 4 != 0)
-    ).count()
-
-    n_base = base_corp.count()
-    n_batch = batch.count()
     # n_exact_pairs cross-engine: the EXACT all-pairs count over the
     # union corpus (real data, same relation the neardup_lsh key pins)
     from ..operators.similarity import embedding_neardup_blocked
 
-    n_exact = embedding_neardup_blocked(
-        emb, threshold=THR
-    ).count()
+    # equality diff, locality audit, exact-pair audit and tail counts
+    # are independent scalars — overlap them (guide §2.6)
+    n_diff, n_nonlocal, n_base, n_batch, n_exact = concurrent_values(
+        lambda: symmetric_diff_count(maintained, full),
+        # locality: every delta pair names a batch id
+        lambda: delta.filter(
+            (F.col("id_a") % 4 != 0) & (F.col("id_b") % 4 != 0)
+        ).count(),
+        lambda: base_corp.count(),
+        lambda: batch.count(),
+        lambda: embedding_neardup_blocked(emb, threshold=THR).count(),
+    )
 
     return spark.range(1).select(
         F.lit(n_base + n_batch).cast("bigint").alias("n_nodes"),
@@ -3817,6 +3894,38 @@ def stream_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(data)
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # the full-rebuild twin and the exact-stratum audit read only the
+    # raw embeddings — independent of every protocol artifact — so they
+    # run on a driver thread concurrent with the whole setup + stream +
+    # replay flow (guide §2.6); joined before the equality diff below
+    from pyspark import InheritableThread
+
+    twin_box: dict[str, object] = {}
+
+    def _full_twin() -> None:
+        try:
+            spark.sparkContext.setJobDescription("sknn:full_rebuild_twin")
+            twin_box["full"] = knn_graph_lsh(
+                emb.select(
+                    F.col("vec_id").cast("long").alias("vid"),
+                    F.col("embedding").cast("array<double>").alias("v"),
+                ),
+                id_col="vid", vec_col="v", k=K,
+                n_planes=P, n_tables=L, seed=SEED,
+            ).localCheckpoint()
+            twin_box["exact_sum"] = (
+                _knn_graph_edges(spark, sf_dir)
+                .agg(F.sum("neighbor_id").cast("bigint"))
+                .collect()[0][0]
+            )
+            twin_box["n_nodes"] = emb.count()
+        except BaseException as exc:  # surfaced at join
+            twin_box["err"] = exc
+
+    twin_thread = InheritableThread(target=_full_twin)
+    twin_thread.start()
+
     emb.filter(F.col("vec_id") % 4 != 0).write.parquet(
         os.path.join(data, "vec_base")
     )
@@ -4024,25 +4133,22 @@ def stream_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    # --- the attested identity: served ≡ full batch rebuild
-    full = knn_graph_lsh(
-        emb.select(
-            F.col("vec_id").cast("long").alias("vid"),
-            F.col("embedding").cast("array<double>").alias("v"),
-        ),
-        id_col="vid", vec_col="v", k=K, n_planes=P, n_tables=L, seed=SEED,
-    )
-    n_diff = symmetric_diff_count(served, full)
+    # --- the attested identity: served ≡ full batch rebuild (built
+    # concurrently on the twin thread started at builder entry)
+    twin_thread.join()
+    if "err" in twin_box:
+        raise twin_box["err"]  # type: ignore[misc]
+    full = twin_box["full"]
+    exact_sum = twin_box["exact_sum"]
+    n_nodes = twin_box["n_nodes"]
 
-    max_deg = (
-        served.groupBy("node_id").count().agg(F.max("count")).collect()[0][0]
+    n_diff, max_deg = concurrent_values(
+        lambda: symmetric_diff_count(served, full),
+        lambda: served.groupBy("node_id")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0],
     )
-    exact_sum = (
-        _knn_graph_edges(spark, sf_dir)
-        .agg(F.sum("neighbor_id").cast("bigint"))
-        .collect()[0][0]
-    )
-    n_nodes = emb.count()
     n_epochs = len([x for x in head if x.startswith("graph_e")])
 
     return spark.range(1).select(
