@@ -1605,73 +1605,122 @@ def embedding_knn_graph_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_graph_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
-    graph = knn_graph_lsh(emb, k=_KNN_GRAPH_K).localCheckpoint()
 
-    # --- graph-level audit: coverage + degree bound (one agg job)
-    n_nodes = emb.count()
-    g = graph.groupBy("node_id").agg(F.count("*").alias("deg")).agg(
-        F.count("*").alias("n_covered"),
-        F.max("deg").alias("max_deg"),
-        F.sum("deg").alias("n_edges"),
-    ).collect()[0]
+    # the exact-stratum edges read only the raw embeddings — build them
+    # on a driver thread concurrent with the LSH graph gemm (guide §2.6)
+    from pyspark import InheritableThread
 
-    # --- edge-level recall/subset audit vs the exact stratum edges
-    # (both relations are |stratum|·k — bounded; one full-outer join +
-    # one aggregation computes every quantity)
-    exact = _knn_graph_edges(spark, sf_dir).select(
-        F.col("query_id").alias("node_id"),
-        F.col("neighbor_id"),
-        F.col("score").alias("x_score"),
-    )
-    lsh_stratum = graph.filter(
-        F.col("node_id") % _KNN_GRAPH_MOD == 0
-    ).select("node_id", "neighbor_id", F.col("score").alias("f_score"))
-    m = exact.join(lsh_stratum, ["node_id", "neighbor_id"], "full_outer").agg(
-        F.count("x_score").alias("n_exact"),
-        F.sum(F.when(F.col("x_score").isNotNull(), F.col("neighbor_id"))).alias(
-            "exact_id_sum"
-        ),
-        F.count(
-            F.when(F.col("x_score").isNotNull() & F.col("f_score").isNotNull(), 1)
-        ).alias("n_found"),
-        F.count(
-            F.when(
-                F.col("x_score").isNotNull()
-                & F.col("f_score").isNotNull()
-                & (F.col("x_score") != F.col("f_score")),
-                1,
+    exact_box: dict[str, object] = {}
+
+    def _exact_side() -> None:
+        try:
+            spark.sparkContext.setJobDescription("ekg:exact_stratum")
+            exact_box["exact"] = (
+                _knn_graph_edges(spark, sf_dir)
+                .select(
+                    F.col("query_id").alias("node_id"),
+                    F.col("neighbor_id"),
+                    F.col("score").alias("x_score"),
+                )
+                .localCheckpoint()
             )
-        ).alias("n_score_mismatch"),
-        F.count(F.when(F.col("x_score") >= 0.5, 1)).alias("n_strong"),
-        F.count(
-            F.when((F.col("x_score") >= 0.5) & F.col("f_score").isNotNull(), 1)
-        ).alias("n_strong_found"),
-    ).collect()[0]
-    n_stratum = exact.select("node_id").distinct().count()
+        except BaseException as exc:  # surfaced at join
+            exact_box["err"] = exc
 
-    # --- mutual-prune -> CC on the FULL LSH graph, contract-checked
-    rev = graph.select(
-        F.col("node_id").alias("_rn"), F.col("neighbor_id").alias("_rq")
-    )
-    mutual = graph.join(
-        rev,
-        (F.col("_rq") == F.col("node_id")) & (F.col("_rn") == F.col("neighbor_id")),
-    ).select("node_id", "neighbor_id").localCheckpoint()
-    n_mutual = mutual.count()
-    n_sym = mutual.alias("a").join(
-        mutual.select(
-            F.col("node_id").alias("neighbor_id"), F.col("neighbor_id").alias("node_id")
-        ).alias("b"),
-        ["node_id", "neighbor_id"],
-    ).count()
-    cc = connected_components_star(mutual, src="node_id", dst="neighbor_id")
-    bad_labels = (
-        cc.groupBy("cluster_id")
-        .agg(F.min("node").alias("mn"))
-        .filter(F.col("cluster_id") != F.col("mn"))
-        .count()
-    )
-    n_cc_nodes = cc.count()
+    exact_thread = InheritableThread(target=_exact_side)
+    exact_thread.start()
+
+    graph = knn_graph_lsh(emb, k=_KNN_GRAPH_K).localCheckpoint()
+    exact_thread.join()
+    if "err" in exact_box:
+        raise exact_box["err"]  # type: ignore[misc]
+    exact = exact_box["exact"]
+
+    # the three audit groups below — coverage/degree, recall-vs-exact,
+    # mutual-prune→CC — are independent given the checkpointed graph,
+    # so they run concurrently; each computes exactly what the
+    # sequential version computed (guide §2.6)
+    def _coverage_audit():
+        # graph-level audit: coverage + degree bound (one agg job)
+        n_nodes = emb.count()
+        g = graph.groupBy("node_id").agg(F.count("*").alias("deg")).agg(
+            F.count("*").alias("n_covered"),
+            F.max("deg").alias("max_deg"),
+            F.sum("deg").alias("n_edges"),
+        ).collect()[0]
+        return n_nodes, g
+
+    def _recall_audit():
+        # edge-level recall/subset audit vs the exact stratum edges
+        # (both relations are |stratum|·k — bounded; one full-outer
+        # join + one aggregation computes every quantity)
+        lsh_stratum = graph.filter(
+            F.col("node_id") % _KNN_GRAPH_MOD == 0
+        ).select("node_id", "neighbor_id", F.col("score").alias("f_score"))
+        m = exact.join(
+            lsh_stratum, ["node_id", "neighbor_id"], "full_outer"
+        ).agg(
+            F.count("x_score").alias("n_exact"),
+            F.sum(
+                F.when(F.col("x_score").isNotNull(), F.col("neighbor_id"))
+            ).alias("exact_id_sum"),
+            F.count(
+                F.when(
+                    F.col("x_score").isNotNull() & F.col("f_score").isNotNull(),
+                    1,
+                )
+            ).alias("n_found"),
+            F.count(
+                F.when(
+                    F.col("x_score").isNotNull()
+                    & F.col("f_score").isNotNull()
+                    & (F.col("x_score") != F.col("f_score")),
+                    1,
+                )
+            ).alias("n_score_mismatch"),
+            F.count(F.when(F.col("x_score") >= 0.5, 1)).alias("n_strong"),
+            F.count(
+                F.when((F.col("x_score") >= 0.5) & F.col("f_score").isNotNull(), 1)
+            ).alias("n_strong_found"),
+        ).collect()[0]
+        n_stratum = exact.select("node_id").distinct().count()
+        return m, n_stratum
+
+    def _cluster_audit():
+        # mutual-prune -> CC on the FULL LSH graph, contract-checked
+        rev = graph.select(
+            F.col("node_id").alias("_rn"), F.col("neighbor_id").alias("_rq")
+        )
+        mutual = graph.join(
+            rev,
+            (F.col("_rq") == F.col("node_id"))
+            & (F.col("_rn") == F.col("neighbor_id")),
+        ).select("node_id", "neighbor_id").localCheckpoint()
+        cc = connected_components_star(mutual, src="node_id", dst="neighbor_id")
+        n_mutual, n_sym, bad_labels, n_cc_nodes = concurrent_values(
+            lambda: mutual.count(),
+            lambda: mutual.alias("a")
+            .join(
+                mutual.select(
+                    F.col("node_id").alias("neighbor_id"),
+                    F.col("neighbor_id").alias("node_id"),
+                ).alias("b"),
+                ["node_id", "neighbor_id"],
+            )
+            .count(),
+            lambda: cc.groupBy("cluster_id")
+            .agg(F.min("node").alias("mn"))
+            .filter(F.col("cluster_id") != F.col("mn"))
+            .count(),
+            lambda: cc.count(),
+        )
+        return n_mutual, n_sym, bad_labels, n_cc_nodes
+
+    (
+        (n_nodes, g),
+        (m, n_stratum),
+        (n_mutual, n_sym, bad_labels, n_cc_nodes),
+    ) = concurrent_values(_coverage_audit, _recall_audit, _cluster_audit)
 
     return spark.range(1).select(
         F.lit(n_nodes).cast("bigint").alias("n_nodes"),
