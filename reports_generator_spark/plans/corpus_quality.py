@@ -323,17 +323,30 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dedup_minhash_lsh, dedup_ngram_jaccard
     from .dedup import _MAX_SHINGLE_DF
 
+    from ..functions.overlap import concurrent_values
+
     docs = load_table(spark, sf_dir, "documents")
-    truth = dedup_ngram_jaccard(
-        docs, threshold=_AUDIT_TAU, max_shingle_df=_MAX_SHINGLE_DF
-    ).select("id_a", "id_b")
-    cand = dedup_minhash_lsh(
-        docs,
-        num_hashes=_AUDIT_HASHES,
-        bands=_AUDIT_BANDS,
-        jaccard_threshold=0.0,
-        hash_family="md5_portable",
-    ).select("id_a", "id_b")
+    # each side feeds TWO consumers (its count agg and the hit join);
+    # without a barrier the lazy plan re-executes the full exact and
+    # sketch pipelines once per consumer. Materialize each pipeline
+    # exactly once — concurrently, they are independent (guide §2.6) —
+    # and let the three aggregates read the checkpoints.
+    truth, cand = concurrent_values(
+        lambda: dedup_ngram_jaccard(
+            docs, threshold=_AUDIT_TAU, max_shingle_df=_MAX_SHINGLE_DF
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(),
+        lambda: dedup_minhash_lsh(
+            docs,
+            num_hashes=_AUDIT_HASHES,
+            bands=_AUDIT_BANDS,
+            jaccard_threshold=0.0,
+            hash_family="md5_portable",
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(),
+    )
     hit = truth.join(cand, ["id_a", "id_b"])
     counts = (
         truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))

@@ -1052,8 +1052,19 @@ def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profile of `orders`. One aggregate computes every
     column's stats simultaneously (single scan, partial aggregation);
     the per-column rows are unpivoted from that one result — NOT one
-    scan per column like the oracle's UNION ALL spelling."""
-    o = _t(spark, sf_dir, "orders")
+    scan per column like the oracle's UNION ALL spelling.
+
+    The five countDistinct rewrite to an Expand (×6 rows) whose
+    partial aggregation runs in the SCAN stage; a single-row-group
+    fixture file yields one input partition, serializing that work on
+    one core (guide §2.4 — parallelize heavy fan-out after a small
+    scan). The round-robin respread costs one tiny-table shuffle and
+    is sized from the scheduler's parallelism, not a constant; at
+    cluster scale a many-file table already arrives split and the
+    respread stays proportional to the same knob."""
+    o = _t(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
@@ -1127,6 +1138,10 @@ def data_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserting the sketch landed within 5% (rsd 0.01), which the oracle
     derives from ITS OWN approx_count_distinct per column (each engine
     independently certifies its sketch's error bound)."""
+    # no input respread here (unlike data_profile): the HLL sketches
+    # fold map-side in the scan stage, and a measured respread variant
+    # ran ~1 s SLOWER — the extra exchange outweighs parallelizing the
+    # single exact companion agg
     o = _t(spark, sf_dir, "orders")
     aggs = []
     for c in _PROFILE_COLS:
