@@ -2169,6 +2169,41 @@ def stream_vector_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(data)
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # source: the append batch as 3 mtime-ordered slice files — they
+    # depend only on emb, so they stage on a driver thread concurrent
+    # with the base-state chain below (guide §2.6); the deterministic
+    # utime stamps set the delivery order regardless of write order
+    from pyspark import InheritableThread
+
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    slice_box: dict[str, object] = {}
+
+    def _stage_slices() -> None:
+        try:
+            spark.sparkContext.setJobDescription("svix:slice_staging")
+            t0 = 1_600_000_000
+
+            def one(i: int) -> None:
+                tmp = os.path.join(base, f"__slice{i}")
+                batch.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+                    tmp
+                )
+                fn = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+                dst = os.path.join(src, f"slice-{i}.parquet")
+                shutil.copy(os.path.join(tmp, fn), dst)
+                os.utime(dst, (t0 + 100 * i, t0 + 100 * i))
+                shutil.rmtree(tmp)
+
+            concurrent_values(*[lambda i=i: one(i) for i in range(3)])
+        except BaseException as exc:  # surfaced at join
+            slice_box["err"] = exc
+
+    slice_thread = InheritableThread(target=_stage_slices)
+    slice_thread.start()
+
     emb.filter(F.col("vec_id") % 4 != 0).write.parquet(
         os.path.join(data, "vec_base")
     )
@@ -2191,19 +2226,10 @@ def stream_vector_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "\n".join(["vec_base", "centroids_v1", "idx_base"]),
     )
 
-    # source: the append batch as 3 mtime-ordered slice files
-    src = os.path.join(base, "src")
-    os.makedirs(src)
-    batch = emb.filter(F.col("vec_id") % 4 == 0)
-    t0 = 1_600_000_000
-    for i in range(3):
-        tmp = os.path.join(base, f"__slice{i}")
-        batch.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(tmp)
-        fn = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
-        dst = os.path.join(src, f"slice-{i}.parquet")
-        shutil.copy(os.path.join(tmp, fn), dst)
-        os.utime(dst, (t0 + 100 * i, t0 + 100 * i))
-        shutil.rmtree(tmp)
+    # orphan staging below reads slice-0; the stream reads all three
+    slice_thread.join()
+    if "err" in slice_box:
+        raise slice_box["err"]  # type: ignore[misc]
 
     def append_epoch(batch_df: DataFrame, batch_id: int) -> None:
         latest = _log_versions(base)[-1]
@@ -4000,12 +4026,15 @@ def stream_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "\n".join(["vec_base", "postings_base", "graph_base"]),
     )
 
-    # source: the append batch as 3 mtime-ordered slice files
+    # source: the append batch as 3 mtime-ordered slice files — staged
+    # concurrently (they depend only on emb; deterministic utime stamps
+    # fix the delivery order regardless of write completion order)
     src = os.path.join(base, "src")
     os.makedirs(src)
     batch_all = emb.filter(F.col("vec_id") % 4 == 0)
     t0 = 1_600_000_000
-    for i in range(3):
+
+    def _stage_slice(i: int) -> None:
         tmp = os.path.join(base, f"__slice{i}")
         batch_all.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(tmp)
         fn = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
@@ -4013,6 +4042,8 @@ def stream_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(os.path.join(tmp, fn), dst)
         os.utime(dst, (t0 + 100 * i, t0 + 100 * i))
         shutil.rmtree(tmp)
+
+    concurrent_values(*[lambda i=i: _stage_slice(i) for i in range(3)])
 
     out_schema = StructType(
         [
