@@ -18,6 +18,91 @@ import sys
 import time
 
 
+def warm_python_datasource_streaming(spark) -> None:
+    """Warm the Python-DataSource STREAMING machinery (same category as
+    the Arrow-pool warmup in fresh_session): the first streaming query
+    in a JVM whose source or sink is a Python DataSource pays a
+    one-time runner/engine init (streaming-engine classes, the
+    python-streaming-source runner bootstrap, offset/commit-log
+    codepaths) measured at ~9 s — a per-JVM cost that otherwise lands
+    on whichever registered key happens to follow a JVM restart,
+    timing bench position instead of the key's plan. The warmup
+    datasource is a trivial one-row reader/discarding writer defined
+    HERE; registered keys still register and run their own connector
+    machinery inside their timed region."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        DataSourceStreamWriter,
+        InputPartition,
+        WriterCommitMessage,
+    )
+
+    class _WarmPartition(InputPartition):
+        def __init__(self, value: int) -> None:
+            self.value = value
+
+    class _WarmReader(DataSourceStreamReader):
+        def initialOffset(self):
+            return {"offset": 0}
+
+        def latestOffset(self):
+            return {"offset": 1}
+
+        def partitions(self, start, end):
+            return [_WarmPartition(start["offset"])]
+
+        def read(self, partition):
+            yield (partition.value,)
+
+    class _WarmMsg(WriterCommitMessage):
+        pass
+
+    class _WarmWriter(DataSourceStreamWriter):
+        def write(self, iterator):
+            for _ in iterator:
+                pass
+            return _WarmMsg()
+
+        def commit(self, messages, batchId) -> None:
+            pass
+
+        def abort(self, messages, batchId) -> None:
+            pass
+
+    class _WarmStreamDS(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "bench_warm_pyds_stream"
+
+        def schema(self) -> str:
+            return "v int"
+
+        def streamReader(self, schema):
+            return _WarmReader()
+
+        def streamWriter(self, schema, overwrite):
+            return _WarmWriter()
+
+    spark.dataSource.register(_WarmStreamDS)
+    ckpt = tempfile.mkdtemp(prefix="bench_warm_pyds_")
+    try:
+        q = (
+            spark.readStream.format("bench_warm_pyds_stream")
+            .load()
+            .writeStream.format("bench_warm_pyds_stream")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -44,6 +129,9 @@ def main() -> None:
         ).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
             "overwrite"
         ).save()
+        # warm the Python-DataSource streaming runner (one-time per-JVM
+        # init; see warm_python_datasource_streaming docstring)
+        warm_python_datasource_streaming(spark)
         # bucketed layout: a one-time ingest cost amortized over every
         # co-located join, so `join_bucketed_colocated` times the join
         from reports_generator_spark.plans.relational import ensure_bucketed_tables

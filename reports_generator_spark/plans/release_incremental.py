@@ -604,17 +604,40 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # section below joins the thread before comparing.
     from pyspark import InheritableThread
 
-    twin_box: dict[str, dict[str, DataFrame]] = {}
+    twin_box: dict[str, object] = {}
 
     def _build_twin() -> None:
         spark.sparkContext.setJobDescription("cri:twin_e1_concurrent")
-        twin_box["twin"] = _batch_flow(
+        twin = _batch_flow(
             scored.filter(F.col("epoch") == 1),
             clean0.select("fp").distinct(),
             sigs_keep0,
             evsh,
             rates,
         )
+        twin_box["twin"] = twin
+        # the one-shot UNION pack twin (epoch folded into the order
+        # column so ONE pack_sequences call reproduces base-then-batch
+        # arrival) depends only on mixed0 (checkpointed above) and the
+        # twin's own mixed frame — materialize it HERE so the fold job
+        # also back-fills the incremental flow instead of extending the
+        # post-join critical tail (guide §2.6)
+        union_mix = (
+            mixed0.withColumn("epoch", F.lit(0))
+            .unionByName(twin["mixed"].withColumn("epoch", F.lit(1)))
+        )
+        union_sharded = union_mix.select(
+            "doc_id", "n_tok",
+            (F.col("epoch").cast("long") * F.lit(8589934592)
+             + (key % F.lit(4294967296))).alias("o"),
+            ((key % F.lit(4294967296)) % _REL_SHARDS).cast("string").alias(
+                "shard"
+            ),
+        )
+        twin_box["twin_packed"] = pack_sequences(
+            union_sharded, capacity=_REL_CAPACITY, shard_col="shard",
+            tokens_col="n_tok", order_col="o",
+        ).localCheckpoint()
 
     twin_thread = InheritableThread(target=_build_twin)
     twin_thread.start()
@@ -695,24 +718,8 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ---- twin, epoch 1 + one-shot union pack, then the equality -------
     phase("twin_e1")
     twin_thread.join()
-    twin = twin_box["twin"]
-    # one-shot fold over the union in (epoch, shuffle-key, id) order —
-    # epoch folds into the order column so ONE pack_sequences call
-    # reproduces base-then-batch arrival
-    union_mix = (
-        mixed0.withColumn("epoch", F.lit(0))
-        .unionByName(twin["mixed"].withColumn("epoch", F.lit(1)))
-    )
-    union_sharded = union_mix.select(
-        "doc_id", "n_tok",
-        (F.col("epoch").cast("long") * F.lit(8589934592)
-         + (key % F.lit(4294967296))).alias("o"),
-        ((key % F.lit(4294967296)) % _REL_SHARDS).cast("string").alias("shard"),
-    )
-    twin_packed = pack_sequences(
-        union_sharded, capacity=_REL_CAPACITY, shard_col="shard",
-        tokens_col="n_tok", order_col="o",
-    )
+    twin: dict[str, DataFrame] = twin_box["twin"]  # type: ignore[assignment]
+    twin_packed: DataFrame = twin_box["twin_packed"]  # type: ignore[assignment]
     phase("equalities")
     served = spark.read.parquet(os.path.join(base, "packed_base")).unionByName(
         spark.read.parquet(os.path.join(base, "packed_e1"))
@@ -735,15 +742,24 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return diff.limit(1).count() == 0
 
-    # three independent equality checks — run concurrently (§2.6)
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    # three independent equality checks + the bin-count scalar (reads
+    # only the published pack shards) — run concurrently (§2.6)
+    pb_read = audit(spark.read.parquet(os.path.join(base, "packed_base")))
+    pe1_read = spark.read.parquet(os.path.join(base, "packed_e1"))
+    with ThreadPoolExecutor(max_workers=4) as pool:
         pack_eq_f = pool.submit(_multiset_eq, served, tp)
         keep_eq_f = pool.submit(
             _multiset_eq, inc["keep"].select("doc_id"), twin["keep"].select("doc_id")
         )
         mix_eq_f = pool.submit(_multiset_eq, inc["mixed"], twin["mixed"])
-        pack_eq, keep_eq, mix_eq = (
-            pack_eq_f.result(), keep_eq_f.result(), mix_eq_f.result()
+        n_bins_f = pool.submit(
+            lambda: pb_read.select("shard", "bin_id")
+            .unionByName(pe1_read.select("shard", "bin_id"))
+            .distinct().count()
+        )
+        pack_eq, keep_eq, mix_eq, n_bins_total = (
+            pack_eq_f.result(), keep_eq_f.result(), mix_eq_f.result(),
+            n_bins_f.result(),
         )
     equals_rebuild = pack_eq and keep_eq and mix_eq
 
@@ -758,13 +774,6 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     phase("stage_rows")
-    pb_read = audit(spark.read.parquet(os.path.join(base, "packed_base")))
-    pe1_read = spark.read.parquet(os.path.join(base, "packed_e1"))
-    n_bins_total = (
-        pb_read.select("shard", "bin_id")
-        .unionByName(pe1_read.select("shard", "bin_id"))
-        .distinct().count()
-    )
     null_bins = F.lit(None)
     batch_raw_stats = batch_raw.select(
         "doc_id", F.size(tokens_col(F.col("text"))).cast("bigint").alias("n_tok")

@@ -2239,13 +2239,19 @@ def stream_vector_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         # OCC commit leaves orphan dirs no manifest references; the
         # at-least-once retry must re-stage over them, not die on
         # 'path already exists' (the r12 advice — the staged epoch-0
-        # orphan below drives exactly that window)
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(data, f"vec_e{batch_id}")
+        # orphan below drives exactly that window).
+        # The two shard writes are independent (the assignment reads
+        # the micro-batch rows, not the staged file — parquet
+        # round-trips long/double exactly, so the content is identical
+        # by construction) — stage them concurrently (guide §2.6).
+        concurrent_values(
+            lambda: batch_df.write.mode("overwrite").parquet(
+                os.path.join(data, f"vec_e{batch_id}")
+            ),
+            lambda: _vix_assign(batch_df, cents)
+            .write.mode("overwrite")
+            .parquet(os.path.join(data, f"idx_e{batch_id}")),
         )
-        _vix_assign(
-            spark.read.parquet(os.path.join(data, f"vec_e{batch_id}")), cents
-        ).write.mode("overwrite").parquet(os.path.join(data, f"idx_e{batch_id}"))
         commit_with_conflict_detection(
             base,
             latest,
@@ -3033,37 +3039,47 @@ def vector_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- the IN-FLIGHT append: staged under the v1 quantizer
     batch = emb.filter(F.col("vec_id") % 4 == 0).localCheckpoint()
-    _vix_assign(batch, cents_v1).write.parquet(
-        os.path.join(data, "idx_batch_stale")
-    )
-    batch.write.parquet(os.path.join(data, "vec_batch"))
 
-    # --- THE REBUILD: one OCC rewrite (new quantizer + postings + PQ)
+    # --- THE REBUILD: one OCC rewrite (new quantizer + postings + PQ).
+    # Staging writes land in distinct dirs and the COMMITS stay strictly
+    # ordered below, so the stale-append staging, the v2 quantizer and
+    # the PQ codebook are independent work — overlap them (guide §2.6).
     M, DSUB, K = _PQ_M, _PQ_DSUB, _PQ_K
-    cents_v2 = make_centroids(v1_vecs, _VIX_CELLS_V2, "centroids_v2")
-    _vix_assign(v1_vecs, cents_v2).write.parquet(
-        os.path.join(data, "idx_rebuilt")
-    )
-    # PQ codebook v2: first-K Knuth-hash vectors of the owned corpus,
-    # persisted as an index artifact (a codebook IS part of the index)
-    seeds = (
-        v1_vecs.select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+
+    def _stage_stale_append() -> None:
+        _vix_assign(batch, cents_v1).write.parquet(
+            os.path.join(data, "idx_batch_stale")
         )
-        .orderBy(F.expr(_PQ_ORD).asc(), F.col("vec_id").asc())
-        .limit(K)
-    )
-    seeds.coalesce(1).write.parquet(os.path.join(data, "pq_codebook_v2"))
-    C = np.array(
-        [
-            list(s["v"])
-            for s in spark.read.parquet(
-                os.path.join(data, "pq_codebook_v2")
+        batch.write.parquet(os.path.join(data, "vec_batch"))
+
+    def _stage_pq_codebook() -> "np.ndarray":
+        # PQ codebook v2: first-K Knuth-hash vectors of the owned
+        # corpus, persisted as an index artifact (a codebook IS part
+        # of the index)
+        seeds = (
+            v1_vecs.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
             )
             .orderBy(F.expr(_PQ_ORD).asc(), F.col("vec_id").asc())
-            .collect()
-        ],
-        dtype=np.float64,
+            .limit(K)
+        )
+        seeds.coalesce(1).write.parquet(os.path.join(data, "pq_codebook_v2"))
+        return np.array(
+            [
+                list(s["v"])
+                for s in spark.read.parquet(
+                    os.path.join(data, "pq_codebook_v2")
+                )
+                .orderBy(F.expr(_PQ_ORD).asc(), F.col("vec_id").asc())
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+
+    cents_v2, C, _ = concurrent_values(
+        lambda: make_centroids(v1_vecs, _VIX_CELLS_V2, "centroids_v2"),
+        _stage_pq_codebook,
+        _stage_stale_append,
     )
 
     def d2_int(X: "np.ndarray", m: int) -> "np.ndarray":
@@ -3088,7 +3104,16 @@ def vector_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         ).mapInPandas(encode, "vec_id long, codes array<int>")
 
-    pq_encode(v1_vecs).write.parquet(os.path.join(data, "pq_codes_v2"))
+    # the full postings rewrite and the full PQ encode are independent
+    # given cents_v2 / the codebook — stage them concurrently
+    concurrent_values(
+        lambda: _vix_assign(v1_vecs, cents_v2).write.parquet(
+            os.path.join(data, "idx_rebuilt")
+        ),
+        lambda: pq_encode(v1_vecs).write.parquet(
+            os.path.join(data, "pq_codes_v2")
+        ),
+    )
     commit_with_conflict_detection(
         base,
         1,
@@ -3111,10 +3136,15 @@ def vector_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         stale_aborted = True
 
     # --- REBASE: reassign + re-encode under the v2 artifacts
-    _vix_assign(batch, cents_v2).write.parquet(
-        os.path.join(data, "idx_batch_v2")
+    # (two independent staging writes — concurrent, commit stays after)
+    concurrent_values(
+        lambda: _vix_assign(batch, cents_v2).write.parquet(
+            os.path.join(data, "idx_batch_v2")
+        ),
+        lambda: pq_encode(batch).write.parquet(
+            os.path.join(data, "pq_codes_batch_v2")
+        ),
     )
-    pq_encode(batch).write.parquet(os.path.join(data, "pq_codes_batch_v2"))
     commit_with_conflict_detection(
         base,
         2,
@@ -3122,15 +3152,20 @@ def vector_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove=[],
         read_set={"centroids_v2", "pq_codebook_v2"},
     )
-    rebase_diff = one_sided_diff_count(
-        spark.read.parquet(os.path.join(data, "idx_batch_v2")),
-        _vix_assign(batch, cents_v2),
-    )
 
-    # --- COMPACTION: two postings shards -> one, content-preserving
-    pre_compact = spark.read.parquet(
-        os.path.join(data, "idx_rebuilt"), os.path.join(data, "idx_batch_v2")
-    ).localCheckpoint()
+    # --- COMPACTION: two postings shards -> one, content-preserving.
+    # The rebase-fidelity diff reads only committed v3 artifacts and is
+    # independent of the compaction staging — overlap the two.
+    rebase_diff, pre_compact = concurrent_values(
+        lambda: one_sided_diff_count(
+            spark.read.parquet(os.path.join(data, "idx_batch_v2")),
+            _vix_assign(batch, cents_v2),
+        ),
+        lambda: spark.read.parquet(
+            os.path.join(data, "idx_rebuilt"),
+            os.path.join(data, "idx_batch_v2"),
+        ).localCheckpoint(),
+    )
     pre_compact.coalesce(1).write.parquet(os.path.join(data, "idx_compacted"))
     commit_with_conflict_detection(
         base,
@@ -4001,38 +4036,15 @@ def stream_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin_thread = InheritableThread(target=_full_twin)
     twin_thread.start()
 
-    emb.filter(F.col("vec_id") % 4 != 0).write.parquet(
-        os.path.join(data, "vec_base")
-    )
-    base_corp = spark.read.parquet(os.path.join(data, "vec_base")).select(
-        F.col("vec_id").cast("long").alias("vid"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    )
-    codes = signlsh_codes_udf(P, L, 64, SEED)
-    _pack_lsh_chunks(
-        base_corp.select(
-            "vid", "v", F.posexplode(codes(F.col("v"))).alias("tbl", "bucket")
-        ),
-        LSH_CHUNK_CAP,
-    ).write.parquet(os.path.join(data, "postings_base"))
-    knn_graph_lsh(
-        base_corp, id_col="vid", vec_col="v", k=K,
-        n_planes=P, n_tables=L, seed=SEED,
-    ).select("node_id", "neighbor_id", "score").write.parquet(
-        os.path.join(data, "graph_base")
-    )
-    assert atomic_claim(
-        os.path.join(base, "manifest-v1.txt"),
-        "\n".join(["vec_base", "postings_base", "graph_base"]),
-    )
-
-    # source: the append batch as 3 mtime-ordered slice files — staged
-    # concurrently (they depend only on emb; deterministic utime stamps
-    # fix the delivery order regardless of write completion order)
+    # source: the append batch as 3 mtime-ordered slice files — they
+    # depend only on emb, so they stage on a driver thread concurrent
+    # with the base-state chain below (guide §2.6); the deterministic
+    # utime stamps set the delivery order regardless of write order
     src = os.path.join(base, "src")
     os.makedirs(src)
     batch_all = emb.filter(F.col("vec_id") % 4 == 0)
     t0 = 1_600_000_000
+    slice_box: dict[str, object] = {}
 
     def _stage_slice(i: int) -> None:
         tmp = os.path.join(base, f"__slice{i}")
@@ -4043,7 +4055,51 @@ def stream_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(dst, (t0 + 100 * i, t0 + 100 * i))
         shutil.rmtree(tmp)
 
-    concurrent_values(*[lambda i=i: _stage_slice(i) for i in range(3)])
+    def _stage_slices() -> None:
+        try:
+            spark.sparkContext.setJobDescription("sknn:slice_staging")
+            concurrent_values(*[lambda i=i: _stage_slice(i) for i in range(3)])
+        except BaseException as exc:  # surfaced at join
+            slice_box["err"] = exc
+
+    slice_thread = InheritableThread(target=_stage_slices)
+    slice_thread.start()
+
+    emb.filter(F.col("vec_id") % 4 != 0).write.parquet(
+        os.path.join(data, "vec_base")
+    )
+    base_corp = spark.read.parquet(os.path.join(data, "vec_base")).select(
+        F.col("vec_id").cast("long").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    codes = signlsh_codes_udf(P, L, 64, SEED)
+    # the posting pack and the base-graph build both read only the
+    # checkpointable vec_base shard and are independent of each other —
+    # materialize them concurrently (guide §2.6)
+    concurrent_values(
+        lambda: _pack_lsh_chunks(
+            base_corp.select(
+                "vid", "v",
+                F.posexplode(codes(F.col("v"))).alias("tbl", "bucket"),
+            ),
+            LSH_CHUNK_CAP,
+        ).write.parquet(os.path.join(data, "postings_base")),
+        lambda: knn_graph_lsh(
+            base_corp, id_col="vid", vec_col="v", k=K,
+            n_planes=P, n_tables=L, seed=SEED,
+        ).select("node_id", "neighbor_id", "score").write.parquet(
+            os.path.join(data, "graph_base")
+        ),
+    )
+    assert atomic_claim(
+        os.path.join(base, "manifest-v1.txt"),
+        "\n".join(["vec_base", "postings_base", "graph_base"]),
+    )
+
+    # the stream below consumes the slice files — staging must be done
+    slice_thread.join()
+    if "err" in slice_box:
+        raise slice_box["err"]  # type: ignore[misc]
 
     out_schema = StructType(
         [
