@@ -2691,24 +2691,26 @@ def embedding_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     # (_pack_lsh_chunks): a posting row holds ~chunk_cap vectors in
     # expectation (Fibonacci bucketing), so a hot bucket's maintenance
     # scoring parallelizes across chunk rows instead of one straggler
-    base_packed = (
-        _pack_lsh_chunks(
+    # the stored postings and the stored graph both read only base_corp
+    # and are independent of each other — materialize them concurrently
+    # (guide §2.6)
+    base_packed, g_base = concurrent_values(
+        lambda: _pack_lsh_chunks(
             base_corp.select(
-                "vid", "v", F.posexplode(codes(F.col("v"))).alias("tbl", "bucket")
+                "vid", "v",
+                F.posexplode(codes(F.col("v"))).alias("tbl", "bucket"),
             ),
             LSH_CHUNK_CAP,
         )
         .withColumnRenamed("vids", "base_vids")
         .withColumnRenamed("flat", "base_flat")
-        .localCheckpoint()
-    )
-    g_base = (
-        knn_graph_lsh(
+        .localCheckpoint(),
+        lambda: knn_graph_lsh(
             base_corp, id_col="vid", vec_col="v", k=K,
             n_planes=P, n_tables=L, seed=SEED,
         )
         .select("node_id", "neighbor_id", "score")
-        .localCheckpoint()
+        .localCheckpoint(),
     )
 
     # --- the INCREMENTAL pass: hash ONLY the batch, join stored postings
@@ -3356,23 +3358,24 @@ def embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     twin_thread.start()
 
     codes = signlsh_codes_udf(P, L, 64, SEED)
-    base_packed = (
-        _pack_lsh_chunks(
+    # the stored postings and the stored pair set both read only
+    # base_corp and are independent of each other — materialize them
+    # concurrently (guide §2.6)
+    base_packed, stored_pairs = concurrent_values(
+        lambda: _pack_lsh_chunks(
             base_corp.select(
-                "vid", "v", F.posexplode(codes(F.col("v"))).alias("tbl", "bucket")
+                "vid", "v",
+                F.posexplode(codes(F.col("v"))).alias("tbl", "bucket"),
             ),
             LSH_CHUNK_CAP,
         )
         .withColumnRenamed("vids", "base_vids")
         .withColumnRenamed("flat", "base_flat")
-        .localCheckpoint()
-    )
-    stored_pairs = (
-        embedding_neardup_lsh(
+        .localCheckpoint(),
+        lambda: embedding_neardup_lsh(
             base_corp, id_col="vid", vec_col="v", threshold=THR,
             n_planes=P, n_tables=L, seed=SEED,
-        )
-        .localCheckpoint()
+        ).localCheckpoint(),
     )
 
     batch_packed = (
@@ -4206,11 +4209,16 @@ def stream_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_audits.append(
             not (set(delta_plan.inputFiles()) & vec_base_files)
         )
-        delta_plan.write.mode("overwrite").parquet(
-            os.path.join(data, f"graph_e{batch_id}")
-        )
-        _pack_lsh_chunks(hashed, LSH_CHUNK_CAP).write.mode("overwrite").parquet(
-            os.path.join(data, f"postings_e{batch_id}")
+        # the edge-delta shard and the epoch's posting shard are
+        # independent writes into distinct dirs — stage them
+        # concurrently; the OCC commit stays strictly after both
+        concurrent_values(
+            lambda: delta_plan.write.mode("overwrite").parquet(
+                os.path.join(data, f"graph_e{batch_id}")
+            ),
+            lambda: _pack_lsh_chunks(hashed, LSH_CHUNK_CAP)
+            .write.mode("overwrite")
+            .parquet(os.path.join(data, f"postings_e{batch_id}")),
         )
         commit_with_conflict_detection(
             base,
