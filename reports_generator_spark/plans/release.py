@@ -226,8 +226,13 @@ def corpus_release_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
 
     # tokenize once: explode(array(·)) is a 1:1 Generate barrier, so the
-    # split cannot be inlined into each downstream consumer
-    bar = docs.select(
+    # split cannot be inlined into each downstream consumer. _spread
+    # first: the single-file fixture scan is ONE partition, which would
+    # serialize the whole tokenize+score pass on one task; a production
+    # read is already partitioned and _spread is a no-op (guide §2.4)
+    from ..operators.dedup import _spread
+
+    bar = _spread(docs).select(
         "doc_id", "lang", "text",
         F.explode(F.array(tokens_col(F.col("text")))).alias("toks"),
     )

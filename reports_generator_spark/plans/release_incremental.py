@@ -356,9 +356,23 @@ def _bands(sig: DataFrame) -> DataFrame:
     return out
 
 
-def _est_pairs(cand: DataFrame, sig_a: DataFrame, sig_b: DataFrame) -> DataFrame:
+def _est_pairs(
+    cand: DataFrame,
+    sig_a: DataFrame,
+    sig_b: DataFrame,
+    small_left: bool = False,
+) -> DataFrame:
     """Filter (id_a, id_b) candidates to est-Jaccard ≥ threshold using
-    the two sides' signature frames."""
+    the two sides' signature frames.
+
+    ``small_left=True`` declares that `cand` and `sig_a` are both
+    O(day's batch) by design (the incremental flow's invariant — the
+    module docstring's scale shape): the candidate⋈sig_a product is
+    broadcast so the corpus-sized `sig_b` is probed in place instead of
+    shuffled (guide §3.1 — size estimates after groupBy/checkpoint
+    chains are unreliable, so the knowledge is stated as a hint). The
+    epoch-0 rebuild calls keep the default shuffle path: there BOTH
+    sides are corpus-sized."""
     sa = sig_a.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(_INC_NH)],
@@ -371,8 +385,11 @@ def _est_pairs(cand: DataFrame, sig_a: DataFrame, sig_b: DataFrame) -> DataFrame
     for i in range(_INC_NH):
         term = (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int")
         agree = term if agree is None else agree + term
+    left = cand.join(F.broadcast(sa) if small_left else sa, "id_a")
+    if small_left:
+        left = F.broadcast(left)
     return (
-        cand.join(sa, "id_a").join(sb, "id_b")
+        left.join(sb, "id_b")
         .filter(agree * 1.0 / _INC_NH >= _INC_THR)
         .select("id_a", "id_b")
     )
@@ -406,13 +423,17 @@ def _batch_flow(
     sig = _signatures(clean).localCheckpoint()
     bb = _bands(sig)
     b0 = _bands(sigs_keep0)
+    # the batch's band rows are O(day) by design — broadcast them so
+    # the CORPUS-sized keeper band relation streams through a
+    # BroadcastHashJoin instead of being shuffled 16-rows-per-keeper
+    # (guide §3.1); this is the only batch×corpus equi-join in the flow
     cand = (
-        bb.select(F.col("doc_id").alias("id_a"), "band", "band_key")
+        F.broadcast(bb.select(F.col("doc_id").alias("id_a"), "band", "band_key"))
         .join(b0.select(F.col("doc_id").alias("id_b"), "band", "band_key"),
               ["band", "band_key"])
         .select("id_a", "id_b").distinct()
     )
-    matched = _est_pairs(cand, sig, sigs_keep0).select(
+    matched = _est_pairs(cand, sig, sigs_keep0, small_left=True).select(
         F.col("id_a").alias("doc_id")
     ).distinct()
     rem = clean.join(matched, "doc_id", "left_anti").localCheckpoint()
@@ -421,13 +442,16 @@ def _batch_flow(
     cand_in = (
         bb_rem.select(F.col("doc_id").alias("id_a"), "band", "band_key")
         .join(
-            bb_rem.select(F.col("doc_id").alias("id_b"), "band", "band_key"),
+            # batch-internal self-join: both sides O(day) — hint one
+            F.broadcast(
+                bb_rem.select(F.col("doc_id").alias("id_b"), "band", "band_key")
+            ),
             ["band", "band_key"],
         )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()
     )
-    pairs = _est_pairs(cand_in, sig, sig)
+    pairs = _est_pairs(cand_in, sig, sig, small_left=True)
     cc = connected_components(pairs, src="id_a", dst="id_b")
     dropped = cc.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
@@ -490,8 +514,15 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ord_key = (key % F.lit(4294967296)).alias("ord_key")
 
     # ---- twin, epoch 0 == the base release build ----------------------
+    # the single-file fixture scan arrives as ONE partition, so the
+    # whole tokenize+score+md5 pass serialized on one task (measured:
+    # 0.52 s single-task stage); _spread round-robins it across the
+    # scheduler's parallelism and is a NO-OP on an already-partitioned
+    # production read (guide §2.4 — the data_profile r14 pattern)
+    from ..operators.dedup import _spread
+
     phase("scored_ckpt")
-    scored = _scored(docs).withColumn(
+    scored = _scored(_spread(docs)).withColumn(
         "epoch", is_batch.cast("int")
     ).localCheckpoint()
     w_fp = Window.partitionBy("fp").orderBy("doc_id")
@@ -607,37 +638,43 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin_box: dict[str, object] = {}
 
     def _build_twin() -> None:
-        spark.sparkContext.setJobDescription("cri:twin_e1_concurrent")
-        twin = _batch_flow(
-            scored.filter(F.col("epoch") == 1),
-            clean0.select("fp").distinct(),
-            sigs_keep0,
-            evsh,
-            rates,
-        )
-        twin_box["twin"] = twin
-        # the one-shot UNION pack twin (epoch folded into the order
-        # column so ONE pack_sequences call reproduces base-then-batch
-        # arrival) depends only on mixed0 (checkpointed above) and the
-        # twin's own mixed frame — materialize it HERE so the fold job
-        # also back-fills the incremental flow instead of extending the
-        # post-join critical tail (guide §2.6)
-        union_mix = (
-            mixed0.withColumn("epoch", F.lit(0))
-            .unionByName(twin["mixed"].withColumn("epoch", F.lit(1)))
-        )
-        union_sharded = union_mix.select(
-            "doc_id", "n_tok",
-            (F.col("epoch").cast("long") * F.lit(8589934592)
-             + (key % F.lit(4294967296))).alias("o"),
-            ((key % F.lit(4294967296)) % _REL_SHARDS).cast("string").alias(
-                "shard"
-            ),
-        )
-        twin_box["twin_packed"] = pack_sequences(
-            union_sharded, capacity=_REL_CAPACITY, shard_col="shard",
-            tokens_col="n_tok", order_col="o",
-        ).localCheckpoint()
+        # err-box: any failure re-raises at join below instead of
+        # surfacing as KeyError('twin') (r14 ADVICE; the sibling
+        # threads in similarity.py use the same pattern)
+        try:
+            spark.sparkContext.setJobDescription("cri:twin_e1_concurrent")
+            twin = _batch_flow(
+                scored.filter(F.col("epoch") == 1),
+                clean0.select("fp").distinct(),
+                sigs_keep0,
+                evsh,
+                rates,
+            )
+            twin_box["twin"] = twin
+            # the one-shot UNION pack twin (epoch folded into the order
+            # column so ONE pack_sequences call reproduces base-then-batch
+            # arrival) depends only on mixed0 (checkpointed above) and the
+            # twin's own mixed frame — materialize it HERE so the fold job
+            # also back-fills the incremental flow instead of extending the
+            # post-join critical tail (guide §2.6)
+            union_mix = (
+                mixed0.withColumn("epoch", F.lit(0))
+                .unionByName(twin["mixed"].withColumn("epoch", F.lit(1)))
+            )
+            union_sharded = union_mix.select(
+                "doc_id", "n_tok",
+                (F.col("epoch").cast("long") * F.lit(8589934592)
+                 + (key % F.lit(4294967296))).alias("o"),
+                ((key % F.lit(4294967296)) % _REL_SHARDS).cast("string").alias(
+                    "shard"
+                ),
+            )
+            twin_box["twin_packed"] = pack_sequences(
+                union_sharded, capacity=_REL_CAPACITY, shard_col="shard",
+                tokens_col="n_tok", order_col="o",
+            ).localCheckpoint()
+        except BaseException as exc:  # surfaced at join
+            twin_box["err"] = exc
 
     twin_thread = InheritableThread(target=_build_twin)
     twin_thread.start()
@@ -655,7 +692,7 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     evsh_s = audit(spark.read.parquet(os.path.join(base, "state_evsh")))
     cursor_s = audit(spark.read.parquet(os.path.join(base, "cursor_v1")))
 
-    scored_b = _scored(batch_raw)
+    scored_b = _scored(_spread(batch_raw))
     audited_files.update(scored_b.inputFiles())
     inc = _batch_flow(
         scored_b.localCheckpoint(), fps0_s, sigs0_s, evsh_s, rates
@@ -718,6 +755,8 @@ def corpus_release_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ---- twin, epoch 1 + one-shot union pack, then the equality -------
     phase("twin_e1")
     twin_thread.join()
+    if "err" in twin_box:
+        raise twin_box["err"]  # type: ignore[misc]
     twin: dict[str, DataFrame] = twin_box["twin"]  # type: ignore[assignment]
     twin_packed: DataFrame = twin_box["twin_packed"]  # type: ignore[assignment]
     phase("equalities")

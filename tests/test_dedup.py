@@ -177,6 +177,41 @@ def test_star_cc_matches_label_propagation(spark):
     assert (40, 0) in b
 
 
+def test_cc_local_fast_path_matches_iterative(spark, monkeypatch):
+    """The single-task union-find fast path (engaged when the edge
+    list is at most _CC_LOCAL_EDGE_CAP rows) must be row-identical to
+    the distributed min-label loop on the same adversarial topologies
+    — chain, star, cliques, random, plus duplicate/reversed edges and
+    self-loop-free multi-edges."""
+    import random
+
+    from reports_generator_spark.operators import graph as G
+
+    rng = random.Random(11)
+    chain = [(i, i + 1) for i in range(0, 30)]
+    star = [(100, 100 + i) for i in range(1, 8)]
+    dup = [(200, 201), (201, 200), (200, 201)]  # dup + reversed
+    rand = [(rng.randrange(300, 350), rng.randrange(300, 350)) for _ in range(60)]
+    edges = [e for e in chain + star + dup + rand if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    fast = {
+        (r["node"], r["cluster_id"])
+        for r in G.connected_components(df, max_iter=50).collect()
+    }
+    # force the distributed path by disabling the gate
+    monkeypatch.setattr(G, "_CC_LOCAL_EDGE_CAP", -1)
+    dist = {
+        (r["node"], r["cluster_id"])
+        for r in G.connected_components(df, max_iter=50).collect()
+    }
+    assert fast == dist
+    # every node present exactly once on the fast path
+    nodes = sorted(n for n, _ in fast)
+    assert len(nodes) == len(set(nodes))
+    assert (30, 0) in fast  # chain collapses to min label 0
+
+
 def test_pagerank_isolated_pair_and_star(spark):
     """Stationary sanity on known topologies: an isolated edge
     converges to rank 1.0 on both ends; a star's hub outranks its
