@@ -4162,10 +4162,13 @@ def stream_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         head_now = set(_log_read(base, latest))
         if f"graph_e{batch_id}" in head_now:
             return  # replay: this epoch is already committed
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(data, f"vec_e{batch_id}")
-        )
-        bdf = spark.read.parquet(os.path.join(data, f"vec_e{batch_id}")).select(
+        # the delta flow reads the micro-batch rows DIRECTLY instead of
+        # re-reading the staged vec shard (parquet round-trips
+        # long/double exactly, so the content is identical by
+        # construction — the r14 stream_vector_index_append pattern);
+        # the vec shard write moves into the concurrent staging group
+        # below, cutting one serial write + one read job per epoch
+        bdf = batch_df.select(
             F.col("vec_id").cast("long").alias("vid"),
             F.col("embedding").cast("array<double>").alias("v"),
         )
@@ -4209,10 +4212,15 @@ def stream_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_audits.append(
             not (set(delta_plan.inputFiles()) & vec_base_files)
         )
-        # the edge-delta shard and the epoch's posting shard are
-        # independent writes into distinct dirs — stage them
-        # concurrently; the OCC commit stays strictly after both
+        # the vec shard, the edge-delta shard and the epoch's posting
+        # shard are independent writes into distinct dirs — stage all
+        # three concurrently; the OCC commit stays strictly after all
+        # (all writes are mode("overwrite"), so a crash between staging
+        # and commit retries cleanly exactly as before)
         concurrent_values(
+            lambda: batch_df.write.mode("overwrite").parquet(
+                os.path.join(data, f"vec_e{batch_id}")
+            ),
             lambda: delta_plan.write.mode("overwrite").parquet(
                 os.path.join(data, f"graph_e{batch_id}")
             ),
