@@ -20,6 +20,7 @@ reproducible against any float64 oracle.
 from __future__ import annotations
 
 import math
+import os
 import random
 
 import numpy as np
@@ -456,11 +457,22 @@ def lsh_auto_params(
 
 
 #: Target vectors per scoring row: keeps the EXPECTED per-task matrix
-#: near chunk_cap² scores (~32 MB of float64 at 2048) however skewed a
+#: near chunk_cap² scores (~8 MB of float64 at 1024) however skewed a
 #: bucket is — a hot bucket becomes ~⌈m/cap⌉² cooperating tasks
 #: instead of one straggler holding an m² matrix.  Hash assignment
 #: gives an expected-size bound, not a hard cap.
-LSH_CHUNK_CAP = 2048
+#:
+#: 1024 (was 2048), an r15 measured change: at the sf1 probe the
+#: scoring stage's TOTAL CPU inflated 3.7× when run 32-wide vs 8-wide
+#: (118.8 s vs 31.9 s for the same 486 MB input) — 32 concurrent
+#: 2048²-double matmuls saturate memory bandwidth, so wide executors
+#: ran SLOWER than narrow ones. 8 MB sim matrices keep each task's
+#: working set near cache and restored ~core-count scaling
+#: (embedding_knn_graph_lsh sf1/32c median 16.1 → 11.9 s; sf0.1
+#: unaffected — fixture buckets rarely exceed either cap). Chunked ≡
+#: unchunked is pinned in tests/test_similarity.py, so the cap is a
+#: pure performance knob.
+LSH_CHUNK_CAP = int(os.environ.get("SPARK_GRAFT_LSH_CHUNK_CAP", "1024"))
 
 
 def _pack_lsh_chunks(hashed: DataFrame, chunk_cap: int) -> DataFrame:
